@@ -1,0 +1,124 @@
+"""Ragged-ROI batching: pack variable-size ROIs into fixed-shape canvases.
+
+XLA requires static shapes, but IFCB ROIs are ragged (typically ~180x70 px,
+occasionally much larger). We bound recompilation by bucketing ROIs into a
+small, fixed set of canvas sizes and packing each bucket into a
+``(batch, canvas_h, canvas_w) uint8`` array (top-left placement) plus per-ROI
+``(h, w)`` arrays. The device preprocessing kernel
+(:mod:`sykepic_tpu.ops.preprocess`) then resizes each ROI from its canvas in
+one batched gather, so the host never touches pixels beyond a single memcpy
+per ROI.
+
+ROIs larger than the largest bucket are pre-shrunk on the host with an
+area-preserving box filter; this only affects pathological captures (the
+reference instead skips whole >1 GB samples, ``compute/probability.py:44-53``,
+which we also honor at the CLI layer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# Canvas side lengths, multiples of 128 to line up with TPU lane tiling.
+DEFAULT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (64, 128),
+    (128, 128),
+    (128, 256),
+    (256, 256),
+    (256, 512),
+    (512, 512),
+    (512, 1024),
+    (1024, 1024),
+)
+
+
+@dataclass
+class PackedBatch:
+    """One fixed-shape batch ready for device preprocessing."""
+
+    canvas: np.ndarray  # (B, Hc, Wc) uint8
+    heights: np.ndarray  # (B,) int32 -- valid ROI height per slot
+    widths: np.ndarray  # (B,) int32
+    roi_ids: np.ndarray  # (B,) int64 -- 1-based ROI number, 0 for padding slots
+    sample_idx: np.ndarray  # (B,) int32 -- index into the caller's sample list
+    n_valid: int  # number of real (non-padding) slots
+
+
+def bucket_for(h: int, w: int, buckets=DEFAULT_BUCKETS) -> tuple[int, int]:
+    """Smallest bucket that fits (h, w); the largest bucket if none do."""
+    for bh, bw in buckets:
+        if h <= bh and w <= bw:
+            return (bh, bw)
+    return buckets[-1]
+
+
+def shrink_to_fit(img: np.ndarray, max_h: int, max_w: int) -> np.ndarray:
+    """Downscale an oversized ROI to fit (max_h, max_w), keeping aspect."""
+    h, w = img.shape
+    scale = min(max_h / h, max_w / w)
+    new_h = max(1, int(h * scale))
+    new_w = max(1, int(w * scale))
+    try:
+        import cv2
+
+        return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_AREA)
+    except ImportError:  # pragma: no cover
+        ys = (np.arange(new_h) * h // new_h).clip(0, h - 1)
+        xs = (np.arange(new_w) * w // new_w).clip(0, w - 1)
+        return img[np.ix_(ys, xs)]
+
+
+def pack_rois(
+    rois,
+    batch_size: int = 256,
+    buckets=DEFAULT_BUCKETS,
+    pad_to_batch: bool = True,
+):
+    """Group ROIs by bucket and pack them into :class:`PackedBatch` es.
+
+    Parameters
+    ----------
+    rois : iterable of (sample_idx, roi_id, np.ndarray)
+        Decoded ROIs (2-D uint8 arrays) tagged with their origin.
+    batch_size : int
+        Fixed batch size per canvas shape. The tail batch is zero-padded up to
+        this size when ``pad_to_batch`` so every (canvas, batch) shape pair
+        compiles exactly once.
+
+    Yields
+    ------
+    PackedBatch
+    """
+    groups: dict[tuple[int, int], list] = {}
+    for sample_idx, roi_id, img in rois:
+        bh, bw = bucket_for(img.shape[0], img.shape[1], buckets)
+        if img.shape[0] > bh or img.shape[1] > bw:
+            img = shrink_to_fit(img, bh, bw)
+        group = groups.setdefault((bh, bw), [])
+        group.append((sample_idx, roi_id, img))
+        if len(group) == batch_size:
+            yield _emit(group, bh, bw, batch_size, pad_to_batch)
+            groups[(bh, bw)] = []
+    for (bh, bw), group in groups.items():
+        if group:
+            yield _emit(group, bh, bw, batch_size, pad_to_batch)
+
+
+def _emit(group, bh, bw, batch_size, pad_to_batch) -> PackedBatch:
+    n = len(group)
+    b = batch_size if pad_to_batch else n
+    canvas = np.zeros((b, bh, bw), dtype=np.uint8)
+    heights = np.ones(b, dtype=np.int32)
+    widths = np.ones(b, dtype=np.int32)
+    roi_ids = np.zeros(b, dtype=np.int64)
+    sample_idx = np.zeros(b, dtype=np.int32)
+    for i, (sidx, rid, img) in enumerate(group):
+        h, w = img.shape
+        canvas[i, :h, :w] = img
+        heights[i] = h
+        widths[i] = w
+        roi_ids[i] = rid
+        sample_idx[i] = sidx
+    return PackedBatch(canvas, heights, widths, roi_ids, sample_idx, n_valid=n)

@@ -1,0 +1,135 @@
+"""Ingest-layer tests against the real IFCB fixture sample.
+
+Golden facts about tests/data/raw/valid/D20180712T065600_IFCB114:
+- 3 adc rows; row 1 has ROI width 0 (empty trigger) and is skipped
+  (reference behavior: sykepic/utils/ifcb.py:109-110)
+- ROI 2 is 42x56 at byte 0, ROI 3 is 53x128 at byte 2352
+- .roi payload is 9136 bytes = 42*56 + 53*128
+- volume = 0.25 * (238.018835 - 1.500050) / 60 ~= 0.985 ml
+  (reference: sykepic/compute/feature_python.py:105-118)
+"""
+
+import datetime
+
+import numpy as np
+import pytest
+
+from sykepic_tpu.ingest import (
+    ifcb,
+    pack,
+)
+
+VALID = "tests/data/raw/valid/D20180712T065600_IFCB114"
+
+
+def test_parse_adc():
+    widths, heights, starts = ifcb.parse_adc(VALID + ".adc")
+    assert len(widths) == 3
+    assert widths.tolist() == [0, 56, 128]
+    assert heights.tolist() == [0, 42, 53]
+    assert starts.tolist() == [0, 0, 2352]
+
+
+def test_read_sample():
+    rois = ifcb.read_sample(VALID)
+    assert rois.sample == "D20180712T065600_IFCB114"
+    assert rois.roi_ids.tolist() == [2, 3]
+    img2 = rois.image(0)
+    img3 = rois.image(1)
+    assert img2.shape == (42, 56)
+    assert img3.shape == (53, 128)
+    assert img2.dtype == np.uint8
+    # Zero-copy views into the flat payload
+    assert img2.base is not None
+
+
+def test_raw_to_numpy_matches_reference_semantics():
+    pairs = list(ifcb.raw_to_numpy(VALID + ".adc", VALID + ".roi"))
+    assert [rid for rid, _ in pairs] == [2, 3]
+    # Byte-exact content: first ROI starts at payload byte 0
+    payload = np.fromfile(VALID + ".roi", dtype=np.uint8)
+    np.testing.assert_array_equal(pairs[0][1].ravel(), payload[: 42 * 56])
+    np.testing.assert_array_equal(pairs[1][1].ravel(), payload[2352:])
+
+
+def test_truncated_roi_raises_valueerror(tmp_path):
+    # adc referencing bytes beyond the payload must raise ValueError, the
+    # error class the per-sample isolation catches (probability.py:111-112)
+    adc = tmp_path / "D20990101T000000_IFCB999.adc"
+    roi = tmp_path / "D20990101T000000_IFCB999.roi"
+    cols = ["0"] * 18
+    cols[15], cols[16], cols[17] = "10", "10", "50"
+    adc.write_text(",".join(cols) + "\n")
+    np.zeros(60, dtype=np.uint8).tofile(roi)
+    with pytest.raises(ValueError):
+        ifcb.read_sample(tmp_path / "D20990101T000000_IFCB999")
+
+
+def test_sample_to_datetime():
+    dt = ifcb.sample_to_datetime("D20180703T093453_IFCB114")
+    assert dt == datetime.datetime(
+        2018, 7, 3, 9, 34, 53, tzinfo=datetime.timezone.utc
+    )
+    iso = ifcb.sample_to_datetime("D20180703T093453_IFCB114", isoformat=True)
+    assert iso == "2018-07-03T09:34:53+00:00"
+
+
+def test_sample_volume():
+    vol = ifcb.sample_volume(VALID + ".hdr")
+    assert vol == pytest.approx(0.985, rel=1e-3)
+
+
+def test_raw_to_png(tmp_path):
+    out = tmp_path / "imgs"
+    ifcb.raw_to_png(VALID + ".adc", VALID + ".roi", out_dir=out)
+    pngs = sorted(out.glob("*.png"))
+    assert [p.name for p in pngs] == [
+        "D20180712T065600_IFCB114_00002.png",
+        "D20180712T065600_IFCB114_00003.png",
+    ]
+    import cv2
+
+    img = cv2.imread(str(pngs[0]), cv2.IMREAD_GRAYSCALE)
+    rois = ifcb.read_sample(VALID)
+    np.testing.assert_array_equal(img, rois.image(0))
+
+
+def test_filter_out_quality_flagged_samples(tmp_path):
+    exc = tmp_path / "exclude.txt"
+    exc.write_text("D20180712T065600\n")
+    kept = ifcb.filter_out_quality_flagged_samples(
+        [VALID, "tests/data/raw/invalid/D20210523T053149_IFCB114"], exc
+    )
+    assert len(kept) == 1
+    assert "D20210523T053149" in str(kept[0])
+
+
+def test_pack_rois_buckets_and_padding():
+    rois = ifcb.read_sample(VALID)
+    tagged = [(0, rid, img) for rid, img in rois.images()]
+    batches = list(pack.pack_rois(tagged, batch_size=4))
+    # 42x56 -> (64,128) bucket; 53x128 -> (64,128) bucket too
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.canvas.shape == (4, 64, 128)
+    assert b.n_valid == 2
+    assert b.roi_ids.tolist() == [2, 3, 0, 0]
+    np.testing.assert_array_equal(b.canvas[0, :42, :56], rois.image(0))
+    np.testing.assert_array_equal(b.canvas[1, :53, :128], rois.image(1))
+    assert b.heights.tolist() == [42, 53, 1, 1]
+    assert b.widths.tolist() == [56, 128, 1, 1]
+
+
+def test_pack_oversized_roi_shrinks():
+    big = np.random.default_rng(0).integers(0, 255, (3000, 3000), np.uint8)
+    batches = list(pack.pack_rois([(0, 1, big)], batch_size=1))
+    assert batches[0].canvas.shape == (1, 1024, 1024)
+    assert batches[0].heights[0] == 1024
+    assert batches[0].widths[0] == 1024
+
+
+def test_sample_csv_path():
+    from sykepic_tpu.utils import files
+
+    p = files.sample_csv_path(VALID, "/out", suffix=".prob")
+    assert str(p) == "/out/2018/07/12/D20180712T065600_IFCB114.prob.csv"
