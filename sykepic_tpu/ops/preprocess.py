@@ -1,0 +1,215 @@
+"""Batched on-device preprocessing: resize + pad-to-square + normalize.
+
+This is the TPU-native replacement for the reference's per-image OpenCV
+pipeline (``sykepic/train/image.py``), which ran inside PyTorch DataLoader
+worker processes on PNG files. Here a whole batch of ragged ROIs -- packed
+top-left into one fixed uint8 canvas (:mod:`sykepic_tpu.ingest.pack`) -- is
+transformed in a single XLA program:
+
+1. per-image mode-pixel border value via a masked 256-bin histogram
+   (reference ``image.py:229-237``: ``cv2.calcHist`` + argmax),
+2. aspect-preserving bilinear resize to per-image ``(new_h, new_w)``
+   (reference ``image.py:183-198`` / ``cv2.resize`` INTER_LINEAR),
+3. constant-border pad to the square target (reference ``image.py:201-226``),
+4. scale to [0, 1] (torchvision ``ToTensor``) and optional ImageNet
+   normalization (reference ``train/config.py:52-56``).
+
+Everything is output-driven gathers with static shapes, so XLA fuses the
+whole thing into one kernel; there is no data-dependent control flow.
+
+Geometry subtlety: the reference computes ``new_h = int(h * (T / float(w)))``
+in Python float64 (``image.py:190-197``). 1-ulp differences flip the result
+(e.g. ``56 * (180 / 70.0)`` is 143.99999999999997, truncating to 143, not
+144). To stay bit-compatible we replicate that exact float64 truncation on
+the host in :func:`compute_geometry` and feed the per-image geometry to the
+device kernel as metadata -- never recompute it in float32 on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision.transforms.Normalize ImageNet stats (reference config.py:55-56)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def compute_geometry(heights, widths, target_h: int, target_w: int):
+    """Per-image resize geometry, bit-compatible with reference
+    ``image.py:183-198`` (float64 multiply then truncation) and the pad split
+    of ``image.py:209-215`` (top/left get ``pad // 2``).
+
+    Parameters are 1-D integer arrays; returns int32 arrays
+    ``(new_h, new_w, pad_top, pad_left)``.
+    """
+    h = np.asarray(heights, dtype=np.float64)
+    w = np.asarray(widths, dtype=np.float64)
+    taller = h > w
+    # h > w: new_h = target_h, new_w = int(w * (target_h / h))
+    r_tall = target_h / h
+    r_wide = target_w / w
+    new_h = np.where(taller, target_h, np.trunc(h * r_wide)).astype(np.int32)
+    new_w = np.where(taller, np.trunc(w * r_tall), target_w).astype(np.int32)
+    new_h = np.maximum(new_h, 1)
+    new_w = np.maximum(new_w, 1)
+    pad_h = np.maximum(target_h - new_h, 0)
+    pad_w = np.maximum(target_w - new_w, 0)
+    pad_top = (pad_h // 2).astype(np.int32)
+    pad_left = (pad_w // 2).astype(np.int32)
+    return new_h, new_w, pad_top, pad_left
+
+
+def mode_pixel(img: np.ndarray) -> int:
+    """Most common pixel value of one image (reference ``image.py:229-237``:
+    ``cv2.calcHist`` 256 bins + ``np.argmax``, first-max wins).
+
+    Host-side on purpose: a 256-bin histogram is scatter-shaped work that maps
+    badly onto the TPU VPU, while on the host it is a single pass fused with
+    the packing memcpy. The result rides into the device kernel as per-ROI
+    metadata (the ``border`` argument of :func:`eval_preprocess`).
+    """
+    return int(np.argmax(np.bincount(np.asarray(img, np.uint8).ravel(),
+                                     minlength=256)))
+
+
+def mode_pixel_batch(canvas, heights, widths) -> np.ndarray:
+    """Per-image mode pixel over the valid (h, w) region of a packed canvas
+    (host, NumPy). Padding is excluded so zero-fill doesn't skew bin 0."""
+    canvas = np.asarray(canvas)
+    out = np.empty(canvas.shape[0], np.uint8)
+    for i in range(canvas.shape[0]):
+        out[i] = mode_pixel(canvas[i, : int(heights[i]), : int(widths[i])])
+    return out
+
+
+def border_values(canvas, heights, widths, border_mode: str) -> np.ndarray:
+    """Per-image border fill values for a packed batch (host metadata).
+
+    ``mode``/``white``/``black`` per reference ``image.py:20-23,26-28``.
+    """
+    n = np.asarray(canvas).shape[0]
+    if border_mode == "mode":
+        return mode_pixel_batch(canvas, heights, widths)
+    if border_mode == "white":
+        return np.full(n, 255, np.uint8)
+    if border_mode == "black":
+        return np.zeros(n, np.uint8)
+    raise ValueError(f"Unknown border mode: {border_mode}")
+
+
+def resize_pad_batch(
+    canvas: jax.Array,
+    heights: jax.Array,
+    widths: jax.Array,
+    new_h: jax.Array,
+    new_w: jax.Array,
+    pad_top: jax.Array,
+    pad_left: jax.Array,
+    border: jax.Array,
+    target_h: int,
+    target_w: int,
+    dtype=jnp.float32,
+):
+    """Aspect-preserving bilinear resize into a constant-border square.
+
+    Per output pixel ``(i, j)``: if inside the resized region, sample the
+    source with OpenCV INTER_LINEAR coordinate mapping
+    ``src = (dst + 0.5) * (src_size / dst_size) - 0.5`` (clamped); else write
+    the border value. Returns ``(B, target_h, target_w)`` in [0, 255] float.
+    """
+
+    out_i = jax.lax.broadcasted_iota(jnp.int32, (target_h, target_w), 0)
+    out_j = jax.lax.broadcasted_iota(jnp.int32, (target_h, target_w), 1)
+
+    def one(img, h, w, nh, nw, pt, pl, bval):
+        inside = (
+            (out_i >= pt)
+            & (out_i < pt + nh)
+            & (out_j >= pl)
+            & (out_j < pl + nw)
+        )
+        fy = (out_i - pt + 0.5) * (h.astype(jnp.float32) / nh) - 0.5
+        fx = (out_j - pl + 0.5) * (w.astype(jnp.float32) / nw) - 0.5
+        fy = jnp.clip(fy, 0.0, (h - 1).astype(jnp.float32))
+        fx = jnp.clip(fx, 0.0, (w - 1).astype(jnp.float32))
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = fy - y0
+        wx = fx - x0
+        p00 = img[y0, x0].astype(jnp.float32)
+        p01 = img[y0, x1].astype(jnp.float32)
+        p10 = img[y1, x0].astype(jnp.float32)
+        p11 = img[y1, x1].astype(jnp.float32)
+        top = p00 + (p01 - p00) * wx
+        bot = p10 + (p11 - p10) * wx
+        val = top + (bot - top) * wy
+        return jnp.where(inside, val, bval.astype(jnp.float32))
+
+    out = jax.vmap(one)(
+        canvas, heights, widths, new_h, new_w, pad_top, pad_left, border
+    )
+    return out.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "target_h",
+        "target_w",
+        "num_chans",
+        "imagenet_normalization",
+        "dtype",
+    ),
+)
+def eval_preprocess(
+    canvas: jax.Array,
+    heights: jax.Array,
+    widths: jax.Array,
+    new_h: jax.Array,
+    new_w: jax.Array,
+    pad_top: jax.Array,
+    pad_left: jax.Array,
+    border: jax.Array,
+    *,
+    target_h: int,
+    target_w: int,
+    num_chans: int = 3,
+    imagenet_normalization: bool = False,
+    dtype=jnp.float32,
+):
+    """Fused eval-path preprocessing (reference eval transform = Resize +
+    ToTensor [+ Normalize], ``train/config.py:31-58``).
+
+    ``border`` is the per-image fill value, precomputed on the host by
+    :func:`border_values` (mode pixel / white / black).
+
+    Returns ``(B, target_h, target_w, num_chans)`` NHWC in the requested
+    dtype -- NHWC because that is the native TPU conv layout (the reference's
+    NCHW is a torch convention, not a contract).
+    """
+    img = resize_pad_batch(
+        canvas,
+        heights,
+        widths,
+        new_h,
+        new_w,
+        pad_top,
+        pad_left,
+        border,
+        target_h,
+        target_w,
+        dtype=jnp.float32,
+    )
+    img = img / 255.0
+    img = jnp.repeat(img[..., None], num_chans, axis=-1)
+    if imagenet_normalization:
+        mean = jnp.asarray(IMAGENET_MEAN[:num_chans], jnp.float32)
+        std = jnp.asarray(IMAGENET_STD[:num_chans], jnp.float32)
+        img = (img - mean) / std
+    return img.astype(dtype)
