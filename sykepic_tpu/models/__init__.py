@@ -1,0 +1,3 @@
+from .resnet import ResNet, BasicBlock, Bottleneck  # noqa: F401
+from .registry import build_model, MODEL_REGISTRY  # noqa: F401
+from . import checkpoint, convert_torch  # noqa: F401

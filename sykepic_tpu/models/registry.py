@@ -1,0 +1,52 @@
+"""Model registry: name -> builder (reference used ``getattr(torchvision
+.models, name)``, ``sykepic/train/network.py:48``; we use an explicit
+registry of TPU-native implementations)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import resnet
+
+MODEL_REGISTRY = {
+    "resnet18": resnet.resnet18,
+    "resnet34": resnet.resnet34,
+    "resnet50": resnet.resnet50,
+    "resnet101": resnet.resnet101,
+}
+
+
+def build_model(
+    name: str,
+    num_classes: int,
+    head=(256, 128),
+    dropout=(),
+    last_activation=None,
+    dtype=jnp.float32,
+):
+    """Build a model by torchvision-style name (reference ``config.py:63-77``)."""
+    if name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown network '{name}'. Available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name](
+        num_classes=num_classes,
+        head=tuple(head),
+        dropout=tuple(tuple(d) for d in dropout),
+        last_activation=last_activation,
+        dtype=dtype,
+    )
+
+
+def init_variables(model, img_shape_hwc, seed: int = 0, batch: int = 1):
+    """Initialize {params, batch_stats} for a model at the given input shape."""
+    x = jnp.zeros((batch, *img_shape_hwc), jnp.float32)
+    return model.init({"params": jax.random.PRNGKey(seed)}, x, train=False)
+
+
+def head_in_features(params) -> int:
+    """Input width of the first head layer (reference ``network.py:50-56``
+    reads ``last_linear.in_features``)."""
+    return int(np.asarray(params["head"]["fc0"]["kernel"]).shape[0])
