@@ -1,0 +1,335 @@
+"""CLI entry point: ``python -m sykepic_tpu`` (reference ``sykepic/__main__.py``).
+
+Same 8 sub-commands with the same argument surfaces:
+``train prob feat class size abundance class_stats features_per_prediction``.
+Modules are imported lazily inside each dispatch so the CLI stays fast and
+sub-commands stay independent.
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+from .utils import logger
+
+
+def _list_of_strings(arg):
+    return arg.split(",")
+
+
+def main(argv=None):
+    logger.setup()
+    parser = ArgumentParser(
+        prog="sykepic-tpu",
+        description="TPU-native plankton image classification (syke-pic rebuild)",
+    )
+    subparsers = parser.add_subparsers(
+        title="available sub-commands",
+        required=True,
+        dest="sub-command",
+        help="sykepic-tpu {sub-command} -h for more information",
+    )
+
+    # train
+    train_parser = subparsers.add_parser(
+        "train", description="Train neural network classifiers"
+    )
+    train_parser.set_defaults(func=_train)
+    train_parser.add_argument("config", help="Path to config file")
+    train_parser.add_argument(
+        "--collage",
+        nargs=3,
+        metavar=("ROWS", "COLUMNS", "PNG"),
+        help="Save a ROWS x COLUMNS grid of transformed images to PNG.",
+    )
+    train_parser.add_argument(
+        "--dist", metavar="FILE", help="Save a class distribution plot to FILE"
+    )
+    train_parser.add_argument(
+        "--save-images",
+        metavar="DIR",
+        help="Extract train, test, val images to this path",
+    )
+
+    # prob
+    prob_parser = subparsers.add_parser(
+        "prob", description="Calculate class probabilities"
+    )
+    prob_parser.set_defaults(func=_prob)
+    prob_raw = prob_parser.add_mutually_exclusive_group(required=True)
+    prob_raw.add_argument(
+        "-r", "--raw", metavar="DIR", help="Root directory of raw IFCB data"
+    )
+    prob_raw.add_argument(
+        "-s",
+        "--samples",
+        nargs="+",
+        metavar="SAMPLE PATH",
+        help="One or more sample paths (raw file without suffix)",
+    )
+    prob_raw.add_argument("--image-dir", metavar="DIR", help="Root directory of images")
+    prob_raw.add_argument(
+        "--images", nargs="+", metavar="FILE", help="One or more image paths"
+    )
+    prob_parser.add_argument("-m", "--model", required=True, help="Model directory")
+    prob_parser.add_argument("-o", "--out", required=True, help="Root output directory")
+    prob_parser.add_argument(
+        "-b", "--batch-size", type=int, default=64, metavar="INT", help="Default is 64"
+    )
+    prob_parser.add_argument(
+        "-w", "--num-workers", type=int, default=2, metavar="INT", help="Default is 2"
+    )
+    prob_parser.add_argument(
+        "-f",
+        "--force",
+        action="store_true",
+        help="Force overwrite of previous probabilities",
+    )
+
+    # feat
+    feat_parser = subparsers.add_parser("feat", description="Extract features")
+    feat_parser.set_defaults(func=_feat)
+    feat_raw = feat_parser.add_mutually_exclusive_group(required=True)
+    feat_raw.add_argument(
+        "-r", "--raw", metavar="DIR", help="Root directory of raw IFCB data"
+    )
+    feat_raw.add_argument(
+        "-s",
+        "--samples",
+        nargs="+",
+        metavar="SAMPLE PATH",
+        help="One or more sample paths (raw file without suffix)",
+    )
+    feat_parser.add_argument(
+        "-o", "--out", metavar="DIR", required=True, help="Root output directory"
+    )
+    feat_parser.add_argument(
+        "-m",
+        "--matlab",
+        metavar="FILE",
+        help="Matlab binary path (and use it instead of the native backend)",
+    )
+    feat_parser.add_argument(
+        "-p", "--parallel", action="store_true", help="Use multiple cores"
+    )
+    feat_parser.add_argument(
+        "-f",
+        "--force",
+        action="store_true",
+        help="Force overwrite of previous features",
+    )
+
+    # class
+    class_parser = subparsers.add_parser(
+        "class",
+        description="Use thresholds together with probabilities for classification",
+    )
+    class_parser.set_defaults(func=_class)
+    class_parser.add_argument("probabilities", help="Root directory of probabilities")
+    class_parser.add_argument(
+        "--feat", metavar="DIR", help="Root directory of features"
+    )
+    class_parser.add_argument(
+        "-t", "--thresholds", metavar="FILE", required=True,
+        help="Probability thresholds file (required)",
+    )
+    class_parser.add_argument(
+        "-d", "--divisions", metavar="FILE", help="Feature divisions file (optional)"
+    )
+    class_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV-file path (required)",
+    )
+    class_parser.add_argument(
+        "-v", "--value-column", metavar="FEATURE", default="biomass_ugl",
+        help="Feature used to aggregate results, default is biomass_ugl",
+    )
+    class_parser.add_argument(
+        "-a", "--append", action="store_true",
+        help="Append to output file if it exists",
+    )
+    class_parser.add_argument(
+        "-f", "--force", action="store_true",
+        help="Overwrite output file if it exists",
+    )
+    class_parser.add_argument(
+        "-exc", "--exclusion_list", metavar="FILE",
+        help="Text file containing a list of sample names to exclude",
+    )
+
+    # size
+    size_parser = subparsers.add_parser("size", description="Extract size groups")
+    size_parser.set_defaults(func=_size)
+    size_parser.add_argument("features", help="Root directory of features")
+    size_parser.add_argument(
+        "-g", "--groups", metavar="FILE", required=True,
+        help="Size group file (required)",
+    )
+    size_parser.add_argument(
+        "-s", "--size-column", metavar="FEATURE", required=True,
+        help="Feature used to determine groups (required)",
+    )
+    size_parser.add_argument(
+        "-v", "--value-column", metavar="FEATURE", required=False,
+        help="Feature used to aggregate results. Can be 'abundance'. "
+             "Defaults to size-column.",
+    )
+    size_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV-file path (required)",
+    )
+    size_parser.add_argument("-a", "--append", action="store_true",
+                             help="Append to output file if it exists")
+    size_parser.add_argument("-f", "--force", action="store_true",
+                             help="Overwrite output file if it exists")
+    size_parser.add_argument(
+        "--pixels-to-um3", action="store_true",
+        help="Convert pixels to um3 before determining size group",
+    )
+    size_parser.add_argument(
+        "--volume", action="store_true", help="Include sample volume in output"
+    )
+    size_parser.add_argument(
+        "-q", "--quiet", action="store_true", help="Don't display progress bar"
+    )
+    size_parser.add_argument(
+        "-exc", "--exclusion_list", metavar="FILE",
+        help="Text file containing a list of sample names to exclude",
+    )
+
+    # abundance
+    abundance_parser = subparsers.add_parser(
+        "abundance", description="Count class abundance"
+    )
+    abundance_parser.set_defaults(func=_abundance)
+    abundance_parser.add_argument(
+        "probabilities", help="Root directory of probabilities"
+    )
+    abundance_parser.add_argument(
+        "--feat", metavar="DIR", help="Root directory of features"
+    )
+    abundance_parser.add_argument(
+        "-t", "--thresholds", metavar="FILE", required=True,
+        help="Probability thresholds file (required)",
+    )
+    abundance_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV-file path (required)",
+    )
+    abundance_parser.add_argument(
+        "-v", "--value-column", metavar="FEATURE", default="biomass_ugl",
+        help="Feature used to aggregate results, default is biomass_ugl",
+    )
+    abundance_parser.add_argument("-a", "--append", action="store_true",
+                                  help="Append to output file if it exists")
+    abundance_parser.add_argument("-f", "--force", action="store_true",
+                                  help="Overwrite output file if it exists")
+    abundance_parser.add_argument(
+        "-exc", "--exclusion_list", metavar="FILE",
+        help="Text file containing a list of sample names to exclude",
+    )
+
+    # class_stats
+    class_stats_parser = subparsers.add_parser(
+        "class_stats", description="Calculate class statistics"
+    )
+    class_stats_parser.set_defaults(func=_class_stats)
+    class_stats_parser.add_argument(
+        "probabilities", help="Root directory of probabilities"
+    )
+    class_stats_parser.add_argument(
+        "--feat", metavar="DIR", help="Root directory of features"
+    )
+    class_stats_parser.add_argument(
+        "-t", "--thresholds", metavar="FILE", required=True,
+        help="Probability thresholds file (required)",
+    )
+    class_stats_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV-file path (required)",
+    )
+    class_stats_parser.add_argument(
+        "--classes", type=_list_of_strings, metavar="list of strings",
+        help="Comma-separated list of classes for which to calculate statistics",
+    )
+    class_stats_parser.add_argument("-a", "--append", action="store_true",
+                                    help="Append to output file if it exists")
+    class_stats_parser.add_argument("-f", "--force", action="store_true",
+                                    help="Overwrite output file if it exists")
+
+    # features_per_prediction
+    fpp_parser = subparsers.add_parser(
+        "features_per_prediction",
+        description="Combine particle features with prediction",
+    )
+    fpp_parser.set_defaults(func=_features_per_prediction)
+    fpp_parser.add_argument("probabilities", help="Root directory of probabilities")
+    fpp_parser.add_argument("--feat", metavar="DIR",
+                            help="Root directory of features")
+    fpp_parser.add_argument(
+        "-t", "--thresholds", metavar="FILE", required=True,
+        help="Probability thresholds file (required)",
+    )
+    fpp_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV-file path (required)",
+    )
+    fpp_parser.add_argument("-a", "--append", action="store_true",
+                            help="Append to output file if it exists")
+    fpp_parser.add_argument("-f", "--force", action="store_true",
+                            help="Overwrite output file if it exists")
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+def _train(args):
+    from .train import loop
+
+    loop.main(args)
+
+
+def _prob(args):
+    from .compute import probability
+
+    probability.call(args)
+
+
+def _feat(args):
+    from .compute import feature
+
+    feature.call(args)
+
+
+def _class(args):
+    from .compute import classification
+
+    classification.main(args)
+
+
+def _size(args):
+    from .compute import size_group
+
+    size_group.call(args)
+
+
+def _abundance(args):
+    from .compute import abundance
+
+    abundance.main(args)
+
+
+def _class_stats(args):
+    from .compute import class_stats
+
+    class_stats.main(args)
+
+
+def _features_per_prediction(args):
+    from .compute import features_per_prediction
+
+    features_per_prediction.main(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""The inference engine: model dir -> one fused jit program per bucket shape.
+
+Replaces the reference's per-sample ``DataLoader`` + ``net_pass`` flow
+(``sykepic/compute/probability.py:118-197``) with a device-resident path:
+
+    packed uint8 canvas --H2D--> [resize+pad+normalize -> CNN -> temperature
+    softmax] (single XLA program) --D2H--> per-ROI probability rows
+
+The temperature hack is kept bit-for-bit: logits are multiplied by
+``ln(1.3)`` before the softmax (``SOFTMAX_EXP``, reference
+``probability.py:18,191-194``).
+
+Recompilation is bounded by the canvas bucketing of
+:mod:`sykepic_tpu.ingest.pack`: one compilation per (canvas shape, batch
+size) pair, cached by jax.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ingest import pack
+from ..models import checkpoint
+from ..ops import preprocess
+from ..train import config as train_config
+from ..utils import logger
+
+SOFTMAX_EXP = 1.3
+
+log = logger.get_logger("engine")
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class Classifier:
+    """A loaded model directory, ready to classify packed ROI batches.
+
+    Parameters
+    ----------
+    model_dir : path
+        Directory with ``config.ini``, ``class_names.txt`` and
+        ``best_state.msgpack`` (or a reference ``best_state.pth``).
+    batch_size : int
+        Device batch size (per bucket shape).
+    dtype : str
+        "float32" (bit-parity softmax CSVs) or "bfloat16" (max MXU
+        throughput; probabilities differ in the last printed decimals).
+    """
+
+    def __init__(
+        self,
+        model_dir,
+        batch_size: int = 256,
+        dtype: str = "float32",
+        buckets=pack.DEFAULT_BUCKETS,
+    ):
+        model_dir = Path(model_dir)
+        self.model_dir = model_dir
+        self.classes = checkpoint.read_class_names(model_dir)
+        self.config = train_config.read_config(model_dir / "config.ini")
+        self.spec = train_config.get_preprocess_spec(self.config)
+        self.batch_size = batch_size
+        self.buckets = buckets
+        compute_dtype = _DTYPES[dtype]
+        self.model, _ = train_config.get_network(
+            self.config, len(self.classes), dtype=compute_dtype
+        )
+        self.variables = checkpoint.load_model_state(model_dir)
+        self._infer = self._build_infer()
+
+    def _build_infer(self):
+        spec = self.spec
+        model = self.model
+
+        @partial(jax.jit, static_argnames=("target_h", "target_w"))
+        def infer(variables, canvas, heights, widths, new_h, new_w, pad_top,
+                  pad_left, border, *, target_h, target_w):
+            x = preprocess.eval_preprocess(
+                canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                border,
+                target_h=target_h,
+                target_w=target_w,
+                num_chans=spec.num_chans,
+                imagenet_normalization=spec.imagenet_normalization,
+            )
+            logits = model.apply(variables, x, train=False)
+            # softmax temperature: logits * ln(1.3) (probability.py:191-194)
+            return jax.nn.softmax(
+                logits.astype(jnp.float32) * math.log(SOFTMAX_EXP), axis=-1
+            )
+
+        return infer
+
+    def infer_packed(self, batch: pack.PackedBatch) -> np.ndarray:
+        """Class probabilities for one packed batch: (B, num_classes)."""
+        new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
+            batch.heights, batch.widths, self.spec.target_h, self.spec.target_w
+        )
+        border = preprocess.border_values(
+            batch.canvas, batch.heights, batch.widths, self.spec.border
+        )
+        probs = self._infer(
+            self.variables,
+            batch.canvas,
+            batch.heights,
+            batch.widths,
+            new_h,
+            new_w,
+            pad_top,
+            pad_left,
+            border,
+            target_h=self.spec.target_h,
+            target_w=self.spec.target_w,
+        )
+        return np.asarray(probs)
+
+    def classify_rois(self, tagged_rois):
+        """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.
+
+        Yields ``(sample_idx, roi_id, probs_row)`` for every real ROI.
+        ROIs from different samples may share device batches; ordering is
+        not guaranteed (sort per sample before writing CSVs).
+        """
+        for batch in pack.pack_rois(
+            tagged_rois, batch_size=self.batch_size, buckets=self.buckets
+        ):
+            probs = self.infer_packed(batch)
+            for i in range(batch.n_valid):
+                yield (
+                    int(batch.sample_idx[i]),
+                    int(batch.roi_ids[i]),
+                    probs[i],
+                )

@@ -1,0 +1,235 @@
+"""Compute class probabilities for raw IFCB data (reference
+``sykepic/compute/probability.py``).
+
+Same contracts as the reference:
+
+- input modes: raw dir / sample list / image dir / image list, with images
+  grouped by sample-name prefix (reference ``probability.py:27-43``)
+- samples with a ``.roi`` over 1 GB are skipped (``:44-53``)
+- per-sample error isolation: faulty raw data logs and continues (``:106-115``)
+- skip-if-CSV-exists idempotency with ``force`` override (``:136-141``)
+- output: ``out_dir/YYYY/MM/DD/<sample>.prob.csv`` with header
+  ``roi,<classes...>`` and probabilities at 5 decimals, roi-ascending
+  (``:200-206``)
+- softmax temperature ``ln(1.3)`` inside the engine (``:18,191-194``)
+
+What changed (TPU-native): no PNG round trip, no DataLoader workers. ROIs
+decode straight from the ``.roi`` payload into packed device batches; the
+whole preprocess+CNN+softmax is one XLA program per bucket shape. ROIs of
+*different* samples ride in the same device batch, so throughput does not
+collapse on many small samples (the reference pays model+DataLoader setup
+per sample).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from tqdm import tqdm
+
+from ..ingest import ifcb
+from ..utils import files, logger
+from .engine import Classifier
+
+FILE_SUFFIX = ".prob"
+MAX_ROI_BYTES = 1e9
+log = logger.get_logger("prob")
+
+
+def call(args):
+    """CLI adapter (argument surface = reference ``probability.py:27-64``)."""
+    if args.image_dir or args.images:
+        samples_as_images = True
+        if args.image_dir:
+            img_paths = sorted(Path(args.image_dir).rglob("*.png"))
+        else:
+            img_paths = sorted(Path(path) for path in args.images)
+        sample_paths = {}
+        for sample, img_path in ((p.name.rpartition("_")[0], p) for p in img_paths):
+            sample_paths.setdefault(sample, []).append(img_path)
+    else:
+        samples_as_images = False
+        if args.raw:
+            sample_paths = files.list_sample_paths(args.raw)
+        else:
+            sample_paths = [Path(path) for path in args.samples]
+        filtered = []
+        for sample_path in sample_paths:
+            if sample_path.with_suffix(".roi").stat().st_size <= MAX_ROI_BYTES:
+                filtered.append(sample_path)
+            else:
+                log.warning(f"{sample_path.name} is over 1G, skipping")
+        sample_paths = filtered
+
+    main(
+        sample_paths,
+        args.model,
+        args.out,
+        args.batch_size,
+        args.num_workers,
+        args.force,
+        progress_bar=True,
+        samples_as_images=samples_as_images,
+    )
+
+
+def main(
+    sample_paths,
+    model_dir,
+    out_dir,
+    batch_size: int = 64,
+    num_workers: int = 2,  # accepted for CLI parity; host feed is threaded
+    force: bool = False,
+    progress_bar: bool = True,
+    samples_as_images: bool = False,
+    classifier: Classifier | None = None,
+):
+    """Classify samples and write one ``.prob.csv`` per sample.
+
+    Returns the set of sample names processed (reference ``:105-115``).
+    """
+    clf = classifier or prepare_model(model_dir, batch_size=max(batch_size, 1))
+
+    if samples_as_images:
+        iterator = (
+            tqdm(sample_paths.items(), desc="Processing samples")
+            if progress_bar
+            else sample_paths.items()
+        )
+        for sample, img_paths in iterator:
+            csv_path = Path(out_dir) / f"{sample}{FILE_SUFFIX}.csv"
+            process_images(img_paths, clf, csv_path, force)
+        return set(sample_paths)
+
+    iterator = (
+        tqdm(sample_paths, desc="Processing samples")
+        if progress_bar
+        else sample_paths
+    )
+    samples_processed = set()
+    for sample_path in iterator:
+        try:
+            samples_processed.add(process_sample(sample_path, clf, out_dir, force))
+        except ValueError:
+            log.exception(f"Faulty raw data for {Path(sample_path).name}")
+        except Exception as e:
+            log.exception(f"Unexpected error for {Path(sample_path).name}:", e)
+    return samples_processed
+
+
+def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32"):
+    """Load the model directory into a ready :class:`Classifier`
+    (reference ``probability.py:118-130``)."""
+    return Classifier(model_dir, batch_size=batch_size, dtype=dtype)
+
+
+def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):
+    """Decode one sample, classify its ROIs, write the CSV.
+
+    Raises ``ValueError`` on faulty raw data (caller isolates per sample).
+    """
+    sample_path = Path(sample_path)
+    sample = sample_path.name
+    csv_path = files.sample_csv_path(sample_path, out_dir, suffix=FILE_SUFFIX)
+    if csv_path.is_file():
+        if force:
+            log.warning(f"{csv_path.name} already exists, overwriting")
+        else:
+            log.warning(f"{csv_path.name} already exists, skipping")
+            return sample
+    log.debug(f"Computing probabilities for {sample}")
+    rois = ifcb.read_sample(sample_path)  # ValueError on truncated data
+    results = sorted(
+        (roi_id, probs)
+        for _, roi_id, probs in clf.classify_rois(
+            (0, rid, img) for rid, img in rois.images()
+        )
+    )
+    probabilities_to_csv(results, clf.classes, csv_path)
+    return sample
+
+
+def process_samples_batched(sample_paths, clf: Classifier, out_dir,
+                            force: bool = False):
+    """High-throughput path: stream ROIs of *all* samples through shared
+    device batches; per-sample decode errors are isolated.
+
+    Returns the set of sample names written.
+    """
+    sample_paths = [Path(p) for p in sample_paths]
+    decoded = []
+    csv_paths = {}
+    for idx, sample_path in enumerate(sample_paths):
+        csv_path = files.sample_csv_path(sample_path, out_dir, FILE_SUFFIX)
+        if csv_path.is_file() and not force:
+            log.warning(f"{csv_path.name} already exists, skipping")
+            continue
+        try:
+            decoded.append((idx, ifcb.read_sample(sample_path)))
+            csv_paths[idx] = csv_path
+        except ValueError:
+            log.exception(f"Faulty raw data for {sample_path.name}")
+        except Exception as e:
+            log.exception(f"Unexpected error for {sample_path.name}:", e)
+
+    results: dict[int, list] = {idx: [] for idx, _ in decoded}
+
+    def roi_stream():
+        for idx, rois in decoded:
+            for rid, img in rois.images():
+                yield idx, rid, img
+
+    for idx, rid, probs in clf.classify_rois(roi_stream()):
+        results[idx].append((rid, probs))
+
+    written = set()
+    for idx, rows in results.items():
+        probabilities_to_csv(sorted(rows), clf.classes, csv_paths[idx])
+        written.add(sample_paths[idx].name)
+    return written
+
+
+def process_images(img_paths, clf: Classifier, csv_path, force: bool = False):
+    """Classify loose PNG images (reference ``probability.py:165-177``)."""
+    csv_path = Path(csv_path)
+    if csv_path.is_file():
+        if force:
+            log.warning(f"{csv_path.name} already exists, overwriting")
+        else:
+            log.warning(f"{csv_path.name} already exists, skipping")
+            return
+    results = sorted(
+        (roi_id, probs)
+        for _, roi_id, probs in clf.classify_rois(_read_images(img_paths))
+    )
+    probabilities_to_csv(results, clf.classes, csv_path)
+
+
+def _read_images(img_paths):
+    import cv2
+
+    for path in img_paths:
+        path = Path(path)
+        roi_id = int(path.stem.split("_")[-1])
+        img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+        if img is None:
+            log.warning(f"Cannot read image {path}")
+            continue
+        if img.ndim == 3:
+            # IFCB images are grayscale; color PNGs are reduced to luma
+            if not (img[..., 0] == img[..., 1]).all():
+                log.warning(f"{path.name} is not grayscale; using luminance")
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        yield 0, roi_id, img
+
+
+def probabilities_to_csv(probabilities, classes, csv_path) -> None:
+    """Exact CSV contract of reference ``probability.py:200-206``."""
+    csv_path = Path(csv_path)
+    csv_path.parent.mkdir(parents=True, exist_ok=True)
+    lines = ["roi," + ",".join(classes)]
+    for roi, probs in probabilities:
+        probs = np.asarray(probs, dtype=np.float64)
+        lines.append(f"{roi}," + ",".join(f"{p:.5f}" for p in probs))
+    csv_path.write_text("\n".join(lines) + "\n")
