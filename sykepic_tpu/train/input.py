@@ -1,0 +1,153 @@
+"""Host-side training input pipeline (replaces torch ``DataLoader`` use in
+reference ``sykepic/train/data.py:150-231``).
+
+Design: worker threads decode PNGs (cv2 releases the GIL), each shuffled
+batch is packed into ONE fixed-canvas uint8 array sized to the smallest
+bucket that fits every image in the batch (bounded set of canvas shapes =>
+bounded XLA recompiles), and a background thread keeps ``prefetch`` batches
+ready so the device never waits on the host. All pixel work (resize, pad,
+augment, normalize) happens on device.
+
+The tail batch is padded to the fixed batch size by *repeating real images*
+(weight 0) rather than zeros, so BatchNorm batch statistics are not polluted
+by black frames; the loss/accuracy mask excludes the duplicates.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ingest import pack
+
+
+@dataclass
+class HostBatch:
+    """One decoded, packed batch ready for device preprocessing."""
+
+    canvas: np.ndarray  # (B, Hc, Wc) uint8
+    heights: np.ndarray  # (B,) int32
+    widths: np.ndarray  # (B,) int32
+    labels: np.ndarray  # (B,) int32
+    weights: np.ndarray  # (B,) float32 -- 0 for padded duplicate slots
+    paths: list  # per-slot source path (for inference mode)
+
+
+def read_image(path) -> np.ndarray:
+    """Decode one image to 2-D uint8 grayscale.
+
+    The reference reads 3-channel BGR and converts to RGB
+    (``data.py:218-223``); IFCB PNGs are grayscale triplicated across
+    channels, so a single-channel read is lossless and 3x cheaper. Channel
+    replication happens on device in the preprocess kernel.
+    """
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise ValueError(f"Cannot read image {path}")
+    return img
+
+
+class BatchLoader:
+    """Iterable over packed host batches of a labeled image list.
+
+    Parameters
+    ----------
+    paths, labels : aligned lists (labels may be None for inference lists)
+    batch_size : fixed device batch size
+    shuffle : reshuffle each epoch (fresh numpy RNG stream seeded once,
+        mirroring torch DataLoader(shuffle=True) behavior)
+    num_threads : PNG-decode worker threads
+    prefetch : batches decoded ahead of the consumer
+    """
+
+    def __init__(
+        self,
+        paths,
+        labels=None,
+        batch_size: int = 256,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_threads: int = 8,
+        prefetch: int = 2,
+        buckets=pack.DEFAULT_BUCKETS,
+    ):
+        self.paths = list(paths)
+        self.labels = None if labels is None else np.asarray(labels, np.int32)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.buckets = buckets
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+
+    def __len__(self) -> int:
+        return (len(self.paths) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.paths)
+
+    def _make_batch(self, idx: np.ndarray) -> HostBatch:
+        n = len(idx)
+        b = self.batch_size
+        # Pad the tail by repeating real slots (weight 0)
+        full = np.concatenate([idx, idx[: b - n]]) if n < b else idx
+        while len(full) < b:  # tiny datasets: repeat until full
+            full = np.concatenate([full, full[: b - len(full)]])
+        paths = [self.paths[i] for i in full]
+        imgs = list(self._pool.map(read_image, paths))
+        max_h = max(img.shape[0] for img in imgs)
+        max_w = max(img.shape[1] for img in imgs)
+        bh, bw = pack.bucket_for(max_h, max_w, self.buckets)
+        canvas = np.zeros((b, bh, bw), np.uint8)
+        heights = np.ones(b, np.int32)
+        widths = np.ones(b, np.int32)
+        for i, img in enumerate(imgs):
+            if img.shape[0] > bh or img.shape[1] > bw:
+                img = pack.shrink_to_fit(img, bh, bw)
+            h, w = img.shape
+            canvas[i, :h, :w] = img
+            heights[i] = h
+            widths[i] = w
+        labels = (
+            self.labels[full]
+            if self.labels is not None
+            else np.zeros(b, np.int32)
+        )
+        weights = np.zeros(b, np.float32)
+        weights[:n] = 1.0
+        return HostBatch(canvas, heights, widths, labels, weights, paths)
+
+    def _index_batches(self):
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    q.put(self._make_batch(idx))
+            finally:
+                q.put(stop)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        thread.join()

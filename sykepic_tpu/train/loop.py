@@ -1,0 +1,447 @@
+"""Training driver: ``sykepic-tpu train config.ini``
+(reference ``sykepic/train/train.py``).
+
+Keeps the reference's contracts:
+
+- INI sections ``[dataset] [model] [image] [train] [lr_warmup]
+  [lr_reduction]`` with identical keys (``train.ini.example``),
+- side modes ``--save-images`` / ``--dist`` / ``--collage`` (reference
+  ``train.py:38-93``),
+- model-dir artifact: ``config.ini`` copy, ``class_names.txt``,
+  ``class_distribution.csv``, best checkpoint, ``train_stats.png`` (+zoomed),
+  ``test_report.txt`` (reference ``train.py:107-198``),
+- best checkpoint on val-accuracy improvement, early stop on val-loss
+  patience, KeyboardInterrupt-tolerant loop that returns the best state
+  (reference ``train.py:297-320``).
+
+What changed (TPU-native): the checkpoint is ``best_state.msgpack`` (flax),
+the train step is one jit-compiled XLA program per unfreeze stage with
+device-side preprocessing/augmentation (:mod:`sykepic_tpu.train.trainer`),
+and ``train_state.msgpack`` adds real mid-training resume, which the
+reference never had (optimizer state was never saved, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+from tqdm import tqdm
+
+from ..models import checkpoint, registry
+from ..utils import logger
+from . import config as config_mod
+from . import data
+from .input import BatchLoader
+from .trainer import LRSchedule, Trainer
+
+log = logger.get_logger("train")
+
+
+def main(args):
+    config = config_mod.read_config(args.config)
+
+    # [dataset] (reference train.py:22-36)
+    dataset = Path(config.get("dataset", "path"))
+    split = tuple(float(i) for i in config.get("dataset", "split").split(","))
+    if (s := sum(split)) != 1.0:
+        raise ValueError(f"Dataset split does not add up to 1.0. Got {s}")
+    if len(split) < 2:
+        raise ValueError("Dataset split needs to cover at least train and validation")
+    test_split = len(split) == 3
+    min_N = config.get("dataset", "min_N")
+    min_N = int(min_N) if min_N else None
+    max_N = config.get("dataset", "max_N")
+    max_N = int(max_N) if max_N else None
+    exclude = [n.strip() for n in config.get("dataset", "exclude").split(",") if n.strip()]
+    random_seed = config.getint("dataset", "random_seed")
+    model_data = data.ModelData(dataset, split, min_N, max_N, exclude, random_seed)
+
+    if getattr(args, "save_images", None):
+        _save_images(args.save_images, model_data, test_split)
+
+    if getattr(args, "dist", None):
+        from ..analyze import plot
+
+        out_file = Path(args.dist)
+        if not out_file.suffix:
+            out_file = out_file.with_suffix(".png")
+        plot.dataset_distribution(model_data, out_file)
+        print(f"[INFO] Distribution plot saved to {out_file}")
+        return
+
+    if oversample_until := config.get("dataset", "oversample_until", fallback=""):
+        model_data.oversample(int(oversample_until), None)
+    elif decay := config.get("dataset", "oversample_with_decay", fallback=""):
+        model_data.oversample(None, float(decay))
+
+    # [image]
+    img_shape = config_mod.get_img_shape(config)
+    batch_size = config.getint("image", "batch_size")
+    num_workers = config.getint("image", "num_workers")
+    spec = config_mod.get_preprocess_spec(config)
+    augment_spec = config_mod.get_augment_spec(config)
+
+    if getattr(args, "collage", None):
+        return _collage(args.collage, model_data, spec, augment_spec, num_workers)
+
+    num_classes = model_data.num_classes
+
+    external_test = config.get("dataset", "external_test", fallback="")
+
+    # [model] (reference train.py:108-119)
+    model_network = config.get("model", "network")
+    model_id = config.get("model", "id")
+    model_dir = Path(config.get("model", "path"))
+    if model_id == "auto":
+        model_id = data.auto_id(model_network, model_dir)
+    model_name = model_network
+    if model_id:
+        model_name += f"_{model_id}"
+    model_dir = model_dir / model_name
+    model_dir.mkdir(parents=True, exist_ok=config.getboolean("model", "exist_ok"))
+    model_data.save(model_dir)
+    shutil.copy(args.config, model_dir / "config.ini")
+
+    # [train]
+    max_epochs = config.getint("train", "max_epochs")
+    early_stop_patience = config.getint("train", "early_stop_patience")
+    lr = config.getfloat("train", "learning_rate")
+    optimizer = config.get("train", "optimizer")
+
+    # Model + (optionally) pretrained base weights
+    model, weights_spec = config_mod.get_network(config, num_classes)
+    variables = registry.init_variables(
+        model, (spec.target_h, spec.target_w, spec.num_chans), seed=random_seed
+    )
+    variables = load_pretrained(variables, weights_spec, model_network)
+
+    # [lr_warmup] / [lr_reduction]
+    warmup = None
+    if config.getboolean("lr_warmup", "use"):
+        warmup = dict(
+            factor_1=config.getfloat("lr_warmup", "factor_1"),
+            factor_2=config.getfloat("lr_warmup", "factor_2"),
+            step_1=config.getint("lr_warmup", "step_1"),
+            step_2=config.getint("lr_warmup", "step_2"),
+            step_3=config.getint("lr_warmup", "step_3"),
+        )
+    reduction = None
+    if config.getboolean("lr_reduction", "use"):
+        reduction = dict(
+            factor=config.getfloat("lr_reduction", "factor"),
+            patience=config.getint("lr_reduction", "patience"),
+        )
+    schedule = LRSchedule(lr, warmup, reduction)
+
+    trainer = Trainer(
+        model,
+        variables,
+        optimizer=optimizer,
+        preprocess_spec=spec,
+        augment_kwargs=_augment_kwargs(augment_spec),
+        seed=random_seed,
+    )
+
+    train_x, train_y = model_data.train_set()
+    train_loader = BatchLoader(
+        train_x, train_y, batch_size, shuffle=True, seed=random_seed,
+        num_threads=max(num_workers, 1),
+    )
+    val_loader = BatchLoader(
+        model_data.val_x, model_data.val_y, batch_size,
+        num_threads=max(num_workers, 1),
+    )
+
+    best_state = train_net(
+        trainer,
+        train_loader,
+        val_loader,
+        schedule,
+        max_epochs,
+        early_stop_patience,
+        model_dir,
+    )
+    best_variables = checkpoint.load_variables(best_state)
+    trainer.params = best_variables["params"]
+    trainer.batch_stats = best_variables.get("batch_stats", {})
+
+    classes = list(model_data.le.classes_)
+    if test_split:
+        test_loader = BatchLoader(
+            model_data.test_x, model_data.test_y, batch_size,
+            num_threads=max(num_workers, 1),
+        )
+        report = test_net(trainer, test_loader, classes)
+        print(report)
+        (model_dir / "test_report.txt").write_text(report)
+    if external_test:
+        x, y = data.external_eval_set(external_test, model_data)
+        loader = BatchLoader(x, y, batch_size, num_threads=max(num_workers, 1))
+        test_name = Path(external_test).name
+        report = test_net(trainer, loader, classes, test_name=test_name)
+        print(report)
+        (model_dir / f"test_report_{test_name}.txt").write_text(report)
+    return model_dir
+
+
+def train_net(
+    trainer: Trainer,
+    train_loader,
+    val_loader,
+    schedule: LRSchedule,
+    max_epochs: int,
+    early_stop_patience: int,
+    model_dir,
+    progress_bar: bool = True,
+    plots: bool = True,
+):
+    """Epoch loop (reference ``train.py:201-320``). Returns the best
+    checkpoint path."""
+    from ..analyze import plot
+
+    model_dir = Path(model_dir)
+    max_val_acc = 0.0
+    min_val_loss = 0.0
+    no_improvement = 0
+    train_accuracies, train_losses = [], []
+    val_accuracies, val_losses = [], []
+    best_state = model_dir / checkpoint.BEST_STATE
+
+    try:
+        for epoch in range(1, max_epochs + 1):
+            print(f"\n----- Epoch {epoch} -----")
+            schedule.start_epoch(epoch)
+
+            # Training phase
+            loss_sum = acc_sum = n_sum = 0.0
+            batches = tqdm(train_loader) if progress_bar else train_loader
+            for batch in batches:
+                ls, cs, n = trainer.train_batch(batch, schedule.stage, schedule.lrs)
+                loss_sum += ls
+                acc_sum += cs
+                n_sum += n
+            train_acc = acc_sum / n_sum
+            train_loss = loss_sum / n_sum
+            train_accuracies.append(train_acc)
+            train_losses.append(train_loss)
+            print(f"[STAT] Train Acc: {train_acc:.3f}, Train Loss: {train_loss:.3f}")
+
+            # Validation phase
+            loss_sum = acc_sum = n_sum = 0.0
+            for batch in val_loader:
+                ls, cs, n, _ = trainer.eval_batch(batch)
+                loss_sum += ls
+                acc_sum += cs
+                n_sum += n
+            val_acc = acc_sum / n_sum
+            val_loss = loss_sum / n_sum
+            val_accuracies.append(val_acc)
+            val_losses.append(val_loss)
+            print(f"[STAT] Val Acc: {val_acc:.3f}, Val Loss: {val_loss:.3f}")
+
+            # Checkpoint + plots (reference train.py:277-300)
+            if plots:
+                plot.plot_stats(
+                    train_accuracies, train_losses, val_accuracies, val_losses,
+                    outfile=model_dir / "train_stats.png",
+                    first_epoch=1, epoch_step=3,
+                )
+                if epoch >= 11:
+                    plot.plot_stats(
+                        train_accuracies[10:], train_losses[10:],
+                        val_accuracies[10:], val_losses[10:],
+                        outfile=model_dir / "train_stats_zoomed.png",
+                        first_epoch=11, epoch_step=2,
+                    )
+            if val_acc > max_val_acc:
+                print("[INFO] Increased accuracy, saving model state")
+                max_val_acc = val_acc
+                checkpoint.save_variables(best_state, trainer.variables)
+            # Mid-training resume state (upgrade over the reference)
+            save_train_state(model_dir, trainer, epoch)
+
+            if val_loss < min_val_loss or epoch == 1:
+                no_improvement = 0
+                min_val_loss = val_loss
+            else:
+                no_improvement += 1
+                print(f"[INFO] No reduction in loss for {no_improvement} epochs")
+            if no_improvement >= early_stop_patience:
+                print("[INFO] Stopping early")
+                break
+            schedule.end_epoch(epoch, val_loss)
+    except KeyboardInterrupt:
+        print("[INFO] Stopping early")
+    except Exception as e:  # reference swallows and returns best (train.py:316-320)
+        log.exception(f"[ERROR] {e}")
+    if not best_state.is_file():
+        # No epoch improved (or first epoch crashed): save current state
+        checkpoint.save_variables(best_state, trainer.variables)
+    return best_state
+
+
+def test_net(trainer: Trainer, loader, classes, test_name=None) -> str:
+    """Accuracy + sklearn classification report (reference ``train.py:323-349``)."""
+    from sklearn.metrics import classification_report
+
+    if test_name:
+        print(f"\n----- Model Evaluation ({test_name}) -----")
+    else:
+        print("\n----- Model Evaluation -----")
+    true_labels: list[int] = []
+    predicted_labels: list[int] = []
+    acc_sum = n_sum = 0.0
+    for batch in loader:
+        ls, cs, n, preds = trainer.eval_batch(batch)
+        acc_sum += cs
+        n_sum += n
+        real = batch.weights > 0
+        true_labels.extend(np.asarray(batch.labels)[real].tolist())
+        predicted_labels.extend(np.asarray(preds)[real].tolist())
+    print(f"[STAT] Test Accuracy: {acc_sum / n_sum:.3f}\n")
+    return classification_report(
+        true_labels,
+        predicted_labels,
+        labels=list(range(len(classes))),
+        target_names=classes,
+        zero_division=0,
+    )
+
+
+def save_train_state(model_dir, trainer: Trainer, epoch: int) -> None:
+    """Persist params + batch_stats + optimizer state for resume."""
+    import jax
+    from flax import serialization
+
+    state = {
+        "params": jax.device_get(trainer.params),
+        "batch_stats": jax.device_get(trainer.batch_stats),
+        "opt_state": serialization.to_state_dict(jax.device_get(trainer.opt_state)),
+        "epoch": epoch,
+    }
+    path = Path(model_dir) / "train_state.msgpack"
+    path.write_bytes(serialization.msgpack_serialize(state))
+
+
+def load_pretrained(variables, weights_spec, network_name: str):
+    """Resolve the ``[model] weights`` option (reference ``config.py:63-70``).
+
+    - empty/None: random init
+    - a path to ``.msgpack``/``.pth``: load and merge matching leaves
+    - a torchvision weights name ("DEFAULT", "IMAGENET1K_V1", ...): try the
+      local torchvision cache; warn and fall back to random init offline.
+    """
+    if not weights_spec:
+        return variables
+    path = Path(str(weights_spec))
+    if path.suffix == ".msgpack" and path.is_file():
+        loaded = checkpoint.load_variables(path)
+        return merge_variables(variables, loaded)
+    if path.suffix == ".pth" and path.is_file():
+        from ..models import convert_torch
+
+        return merge_variables(variables, convert_torch.load_pth(path))
+    try:
+        from ..models import convert_torch
+        import torchvision.models as tvm
+
+        torch_model = getattr(tvm, network_name)(weights=weights_spec)
+        loaded = convert_torch.torch_resnet_to_flax(torch_model.state_dict())
+        return merge_variables(variables, loaded)
+    except Exception as e:
+        log.warning(
+            f"Could not load pretrained weights '{weights_spec}' "
+            f"({e}); training from random init"
+        )
+        return variables
+
+
+def merge_variables(init_vars, loaded_vars):
+    """Copy leaves from ``loaded_vars`` whose path+shape match ``init_vars``
+    (the classification head keeps its fresh init when class counts differ)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    init_flat = flatten_dict(init_vars)
+    loaded_flat = flatten_dict(loaded_vars)
+    merged = {}
+    for path, leaf in init_flat.items():
+        cand = loaded_flat.get(path)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            merged[path] = np.asarray(cand)
+        else:
+            merged[path] = leaf
+    return unflatten_dict(merged)
+
+
+def _augment_kwargs(augment_spec):
+    from ..ops import augment as augment_ops
+
+    if not augment_spec.augmentations:
+        return {}
+    return augment_ops.spec_kwargs(
+        augment_spec.augmentations,
+        augment_spec.zoom_range,
+        augment_spec.brightness_range,
+        augment_spec.max_rotation,
+    )
+
+
+def _save_images(root, model_data, test_split: bool) -> None:
+    """Copy the split image sets to disk (reference ``train.py:38-51``)."""
+    root = Path(root)
+    (root / "train").mkdir(exist_ok=True, parents=True)
+    (root / "val").mkdir(exist_ok=True)
+    for img_path in model_data.train_x:
+        shutil.copy(img_path, root / "train" / img_path.name)
+    for img_path in model_data.val_x:
+        shutil.copy(img_path, root / "val" / img_path.name)
+    if test_split:
+        (root / "test").mkdir(exist_ok=True)
+        for img_path in model_data.test_x:
+            shutil.copy(img_path, root / "test" / img_path.name)
+
+
+def _collage(collage_args, model_data, spec, augment_spec, num_workers):
+    """Save a grid of augmented training images (reference ``train.py:76-93``)."""
+    import jax
+
+    from ..analyze import plot
+    from ..ops import augment as augment_ops
+    from ..ops import preprocess
+
+    height, width, out_file = collage_args
+    height, width = int(height), int(width)
+    out_file = Path(out_file)
+    if not out_file.suffix:
+        out_file = out_file.with_suffix(".png")
+    batch_size = height * width
+    train_x, train_y = model_data.train_set()
+    loader = BatchLoader(
+        train_x, train_y, batch_size, shuffle=True,
+        num_threads=max(num_workers, 1),
+    )
+    batch = next(iter(loader))
+    new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
+        batch.heights, batch.widths, spec.target_h, spec.target_w
+    )
+    border = preprocess.border_values(
+        batch.canvas, batch.heights, batch.widths, spec.border
+    )
+    img = preprocess.resize_pad_batch(
+        batch.canvas, batch.heights, batch.widths, new_h, new_w,
+        pad_top, pad_left, border, spec.target_h, spec.target_w,
+    )
+    kwargs = _augment_kwargs(augment_spec)
+    if kwargs:
+        lim_x, lim_y = augment_ops.translate_limits(
+            batch.heights, batch.widths, new_h, new_w,
+            spec.target_h, spec.target_w,
+        )
+        img = augment_ops.augment_batch(
+            jax.random.PRNGKey(0), img, border, lim_x, lim_y, **kwargs
+        )
+    plot.view_batch(np.asarray(img) / 255.0, h=height, w=width, save=out_file)
+    print(f"[INFO] Image collage saved to {out_file}")
+    return out_file

@@ -1,0 +1,329 @@
+"""Jit-compiled training machinery: staged fine-tuning, 3-group learning
+rates, data-parallel sharding.
+
+Reference semantics being reproduced (``sykepic/train/network.py:75-187``,
+``train.py:122-163``):
+
+- ``freeze(net.base)``: at start only the head trains, *except* BatchNorm
+  affine params which stay trainable everywhere (``network.py:149-172``).
+  Those BN params ride in LR group 0 with the head (they are in the initial
+  ``requires_grad`` set, ``train.py:131-138``).
+- ``LRWarmup`` stages: at ``step_2`` the last base stage (layer4) unfreezes
+  into group 1 at ``head_lr * factor_1``; at ``step_3`` the rest of the base
+  unfreezes into group 2 at ``group1_lr * factor_1``; the head LR decays by
+  ``factor_1`` at ``step_1`` and ``factor_2`` at steps 2 and 3
+  (``network.py:98-130``).
+- ``ReduceLROnPlateau`` on val loss multiplies every group's LR by
+  ``factor`` after ``patience`` non-improving epochs, active only after
+  warmup ``step_3`` (``train.py:155-163,310-312``).
+
+TPU-native design: the whole epoch-varying state is a 3-vector of learning
+rates (a *dynamic* jit input, so LR changes never recompile) plus a static
+``stage`` in {0, 1, 2} that masks gradients of still-frozen groups (3
+compilations total per canvas shape). The optimizer is one optax
+``scale_by_adam`` over all params: masked groups see zero gradients, so
+their moments stay exactly zero until their stage opens — equivalent to the
+reference's "fresh param group" up to Adam's bias-correction counter (the
+reference starts a new torch Adam state per group; training is stochastic,
+bit-parity is not a goal here).
+
+Multi-chip: the step is jit-compiled with batch inputs sharded over the
+``data`` axis of a 1-D device mesh and parameters replicated; XLA inserts
+the gradient all-reduce over ICI (no hand-written collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import augment as augment_ops
+from ..ops import preprocess
+
+G_HEAD, G_TOP, G_REST = 0, 1, 2  # LR groups: head+BN / layer4 / rest of base
+
+
+def label_params(params):
+    """Group-id pytree matching ``params``: head + all BatchNorm -> group 0,
+    ``layer4*`` (the reference's ``base[-2:]``) -> group 1, rest -> group 2."""
+    flat = flatten_dict(params)
+    labels = {}
+    for path in flat:
+        parts = [str(p) for p in path]
+        if parts[0] == "head":
+            g = G_HEAD
+        elif any(p.startswith("bn") or p == "downsample_bn" for p in parts[:-1]) or (
+            len(parts) >= 2 and parts[-2].startswith("bn")
+        ):
+            g = G_HEAD
+        elif parts[0].startswith("layer4"):
+            g = G_TOP
+        else:
+            g = G_REST
+        labels[path] = g
+    return unflatten_dict(labels)
+
+
+def make_optimizer(name: str):
+    """Gradient-direction transform for a torch ``optim`` name
+    (reference ``train.py:132``: ``getattr(optim, name)``)."""
+    name = name.lower()
+    if name == "adam":
+        return optax.scale_by_adam()
+    if name == "adamw":
+        return optax.chain(optax.scale_by_adam(), optax.add_decayed_weights(1e-2))
+    if name == "sgd":
+        return optax.identity()
+    if name == "rmsprop":
+        return optax.scale_by_rms()
+    raise ValueError(f"Unsupported optimizer: {name}")
+
+
+def data_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), ("data",))
+
+
+class Trainer:
+    """Owns model/optimizer state and the compiled train/eval steps."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        optimizer: str = "Adam",
+        preprocess_spec=None,
+        augment_kwargs: dict | None = None,
+        mesh: Mesh | None = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.labels = label_params(self.params)
+        self.tx = make_optimizer(optimizer)
+        self.opt_state = self.tx.init(self.params)
+        self.spec = preprocess_spec
+        self.augment_kwargs = augment_kwargs or {}
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.key = jax.random.PRNGKey(seed)
+        self._steps: dict[Any, Any] = {}
+        self._data_sharding = NamedSharding(self.mesh, P("data"))
+        self._replicated = NamedSharding(self.mesh, P())
+        # Replicate state across the mesh once
+        self.params = jax.device_put(self.params, self._replicated)
+        self.batch_stats = jax.device_put(self.batch_stats, self._replicated)
+        self.opt_state = jax.device_put(self.opt_state, self._replicated)
+
+    # ---------------------------------------------------------- preprocessing
+    def _device_preprocess(self, canvas, heights, widths, new_h, new_w,
+                           pad_top, pad_left, border, lim_x, lim_y, key,
+                           train: bool):
+        """Fused resize+pad [-> augment] -> scale -> normalize, on device."""
+        spec = self.spec
+        img = preprocess.resize_pad_batch(
+            canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
+            spec.target_h, spec.target_w, dtype=jnp.float32,
+        )
+        if train and self.augment_kwargs:
+            img = augment_ops.augment_batch(
+                key, img, border, lim_x, lim_y, **self.augment_kwargs
+            )
+        img = img / 255.0
+        img = jnp.repeat(img[..., None], spec.num_chans, axis=-1)
+        if spec.imagenet_normalization:
+            mean = jnp.asarray(preprocess.IMAGENET_MEAN[: spec.num_chans])
+            std = jnp.asarray(preprocess.IMAGENET_STD[: spec.num_chans])
+            img = (img - mean) / std
+        return img
+
+    # ---------------------------------------------------------------- steps
+    def _build_train_step(self, stage: int):
+        model = self.model
+        tx = self.tx
+        labels = self.labels
+
+        def step(params, batch_stats, opt_state, canvas, heights, widths,
+                 new_h, new_w, pad_top, pad_left, border, lim_x, lim_y,
+                 y, wts, lrs, key):
+            aug_key, drop_key = jax.random.split(key)
+
+            def loss_fn(p):
+                x = self._device_preprocess(
+                    canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                    border, lim_x, lim_y, aug_key, train=True,
+                )
+                logits, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_key},
+                )
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), y
+                )
+                loss = jnp.sum(losses * wts) / jnp.maximum(jnp.sum(wts), 1.0)
+                return loss, (mutated["batch_stats"], logits)
+
+            (loss, (new_bstats, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            # Stage mask: zero the gradients of still-frozen groups so their
+            # Adam moments stay zero (fresh when the group opens)
+            grads = jax.tree_util.tree_map(
+                lambda g, lab: g if lab <= stage else jnp.zeros_like(g),
+                grads,
+                labels,
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u, lab: -lrs[lab] * u, updates, labels
+            )
+            new_params = optax.apply_updates(params, updates)
+            preds = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum((preds == y) * wts)
+            loss_sum = jnp.sum(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), y
+                )
+                * wts
+            )
+            n = jnp.sum(wts)
+            return new_params, new_bstats, new_opt_state, loss_sum, correct, n
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_eval_step(self):
+        model = self.model
+
+        def step(params, batch_stats, canvas, heights, widths, new_h, new_w,
+                 pad_top, pad_left, border, y, wts):
+            x = self._device_preprocess(
+                canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                border, None, None, None, train=False,
+            )
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), y
+            )
+            preds = jnp.argmax(logits, axis=-1)
+            loss_sum = jnp.sum(losses * wts)
+            correct = jnp.sum((preds == y) * wts)
+            return loss_sum, correct, jnp.sum(wts), preds
+
+        return jax.jit(step)
+
+    # ----------------------------------------------------------------- API
+    def _batch_device_args(self, batch):
+        """Geometry + border metadata for a HostBatch, device-sharded."""
+        spec = self.spec
+        new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
+            batch.heights, batch.widths, spec.target_h, spec.target_w
+        )
+        border = preprocess.border_values(
+            batch.canvas, batch.heights, batch.widths, spec.border
+        )
+        lim_x, lim_y = augment_ops.translate_limits(
+            batch.heights, batch.widths, new_h, new_w,
+            spec.target_h, spec.target_w,
+        )
+        arrays = (
+            batch.canvas, batch.heights, batch.widths, new_h, new_w,
+            pad_top, pad_left, border, lim_x, lim_y,
+            batch.labels.astype(np.int32), batch.weights,
+        )
+        return tuple(jax.device_put(a, self._data_sharding) for a in arrays)
+
+    def train_batch(self, batch, stage: int, lrs) -> tuple[float, float, float]:
+        """Run one optimization step. Returns (loss_sum, correct, n)."""
+        cache_key = ("train", stage)
+        if cache_key not in self._steps:
+            self._steps[cache_key] = self._build_train_step(stage)
+        step = self._steps[cache_key]
+        (canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
+         lim_x, lim_y, y, wts) = self._batch_device_args(batch)
+        self.key, sub = jax.random.split(self.key)
+        lrs = jnp.asarray(lrs, jnp.float32)
+        (self.params, self.batch_stats, self.opt_state,
+         loss_sum, correct, n) = step(
+            self.params, self.batch_stats, self.opt_state,
+            canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
+            lim_x, lim_y, y, wts, lrs, sub,
+        )
+        return float(loss_sum), float(correct), float(n)
+
+    def eval_batch(self, batch):
+        """Returns (loss_sum, correct, n, preds ndarray)."""
+        if "eval" not in self._steps:
+            self._steps["eval"] = self._build_eval_step()
+        step = self._steps["eval"]
+        (canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
+         _lim_x, _lim_y, y, wts) = self._batch_device_args(batch)
+        loss_sum, correct, n, preds = step(
+            self.params, self.batch_stats, canvas, heights, widths,
+            new_h, new_w, pad_top, pad_left, border, y, wts,
+        )
+        return float(loss_sum), float(correct), float(n), np.asarray(preds)
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+class LRSchedule:
+    """Host-side LR bookkeeping: warmup stages + plateau reduction.
+
+    ``lrs`` is the 3-vector fed to the jitted step; ``stage`` selects the
+    compiled gradient mask. Mirrors ``LRWarmup.__call__``
+    (``network.py:98-130``) and ``ReduceLROnPlateau`` defaults
+    (``train.py:155-163``: mode=min, rel threshold 1e-4).
+    """
+
+    def __init__(self, lr: float, warmup=None, reduction=None):
+        self.lrs = [lr, 0.0, 0.0]
+        self.stage = 0
+        self.warmup = warmup  # dict(factor_1, factor_2, step_1, step_2, step_3)
+        self.reduction = reduction  # dict(factor, patience)
+        self._best_loss = None
+        self._bad_epochs = 0
+
+    def start_epoch(self, epoch: int) -> None:
+        w = self.warmup
+        if not w:
+            return
+        if epoch == w["step_1"]:
+            self.lrs[0] *= w["factor_1"]
+        elif epoch == w["step_2"]:
+            self.lrs[1] = self.lrs[0] * w["factor_1"]
+            self.lrs[0] *= w["factor_2"]
+            self.stage = 1
+        elif epoch == w["step_3"]:
+            self.lrs[2] = self.lrs[1] * w["factor_1"]
+            self.lrs[0] *= w["factor_2"]
+            self.stage = 2
+
+    def end_epoch(self, epoch: int, val_loss: float) -> None:
+        r = self.reduction
+        if not r:
+            return
+        if self.warmup and epoch <= self.warmup["step_3"]:
+            return  # plateau counting starts after warmup (train.py:310-312)
+        if self._best_loss is None or val_loss < self._best_loss * (1 - 1e-4):
+            self._best_loss = val_loss
+            self._bad_epochs = 0
+        else:
+            self._bad_epochs += 1
+            if self._bad_epochs > r["patience"]:
+                self.lrs = [lr * r["factor"] for lr in self.lrs]
+                self._bad_epochs = 0
