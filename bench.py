@@ -1,0 +1,135 @@
+"""End-to-end benchmark: IFCB ROIs classified per second per chip
+(decode -> device preprocess -> CNN -> temperature softmax -> CSV).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "ROIs/s", "vs_baseline": N}
+
+``vs_baseline`` is value / 10_000 -- the driver-set north-star target of
+10k ROIs/s end-to-end on one TPU v5e chip (BASELINE.json; the reference
+publishes no throughput numbers of its own, BASELINE.md).
+
+Workload: synthetic IFCB samples built from the two real fixture ROIs
+(tests/data/raw/valid), written as genuine .adc/.roi/.hdr triplets so the
+timed region exercises the full production path including file IO and CSV
+output. Model: ResNet18, 50 classes, 180x180 (the reference's production
+config) with a seeded random checkpoint (FLOP-identical to the trained one;
+the reference's .pth is not distributed).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import os
+
+N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 20_000))
+BATCH_SIZE = int(os.environ.get("SYKEPIC_BENCH_BATCH", 512))
+TARGET_RPS = 10_000.0  # north-star, BASELINE.json
+
+
+def build_model_dir(root: Path) -> Path:
+    from sykepic_tpu.models import checkpoint
+    from sykepic_tpu.models.registry import init_variables
+    from sykepic_tpu.train import config as tcfg
+
+    src = REPO / "tests/model/resnet18_ref"
+    d = root / "resnet18_bench"
+    d.mkdir()
+    shutil.copy(src / "config.ini", d / "config.ini")
+    shutil.copy(src / "class_names.txt", d / "class_names.txt")
+    config = tcfg.read_config(d / "config.ini")
+    model, _ = tcfg.get_network(config, 50)
+    shape = tcfg.get_img_shape(config)
+    variables = init_variables(model, (shape[1], shape[2], shape[0]), seed=0)
+    checkpoint.save_variables(d / "best_state.msgpack", variables)
+    return d
+
+
+def build_workload(root: Path, n_rois: int) -> list[Path]:
+    """Synthetic IFCB samples from the real fixture ROIs: 80% small ROI,
+    20% large (matching the fixture's mix of trigger sizes)."""
+    from sykepic_tpu.ingest import ifcb
+
+    fixture = REPO / "tests/data/raw/valid/D20180712T065600_IFCB114"
+    rois = ifcb.read_sample(fixture)
+    images = [img for _, img in rois.images()]
+    small = min(images, key=lambda a: a.size)
+    large = max(images, key=lambda a: a.size)
+
+    per_sample = 500
+    raw_dir = root / "raw"
+    sample_paths = []
+    day = 0
+    for s in range(n_rois // per_sample):
+        name = f"D201807{12 + day:02}T{s % 24:02}{s % 60:02}00_IFCB114"
+        sdir = raw_dir
+        sdir.mkdir(parents=True, exist_ok=True)
+        adc_rows = []
+        roi_bytes = bytearray()
+        start = 0
+        for i in range(per_sample):
+            img = small if (i % 5) else large
+            h, w = img.shape
+            cols = ["0"] * 24
+            cols[15], cols[16], cols[17] = str(w), str(h), str(start)
+            adc_rows.append(",".join(cols))
+            roi_bytes.extend(img.tobytes())
+            start += h * w
+        (sdir / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
+        (sdir / f"{name}.roi").write_bytes(bytes(roi_bytes))
+        (sdir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
+        sample_paths.append(sdir / name)
+    return sample_paths
+
+
+def main() -> None:
+    root = Path(tempfile.mkdtemp(prefix="sykepic_bench_"))
+    try:
+        model_dir = build_model_dir(root)
+        samples = build_workload(root, N_ROIS)
+        n_rois = 500 * len(samples)
+
+        from sykepic_tpu.compute import probability
+
+        clf = probability.prepare_model(
+            model_dir, batch_size=BATCH_SIZE, dtype="bfloat16"
+        )
+        # Warmup: compile the bucket shapes on a copy of the first sample
+        probability.process_samples_batched(samples[:1], clf, root / "warmup")
+
+        out_dir = root / "out"
+        t0 = time.perf_counter()
+        written = probability.process_samples_batched(samples, clf, out_dir)
+        elapsed = time.perf_counter() - t0
+
+        assert len(written) == len(samples), "benchmark run dropped samples"
+        csvs = list(out_dir.glob("**/*.csv"))
+        assert len(csvs) == len(samples)
+
+        rps = n_rois / elapsed
+        print(
+            json.dumps(
+                {
+                    "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+                    "value": round(rps, 1),
+                    "unit": "ROIs/s",
+                    "vs_baseline": round(rps / TARGET_RPS, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

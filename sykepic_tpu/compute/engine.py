@@ -71,7 +71,11 @@ class Classifier:
         self.model, _ = train_config.get_network(
             self.config, len(self.classes), dtype=compute_dtype
         )
-        self.variables = checkpoint.load_model_state(model_dir)
+        # Device-resident weights: the checkpoint loads as host numpy; put it
+        # on device ONCE here, or every infer call would re-upload ~45 MB of
+        # parameters (catastrophic over a tunneled TPU: measured 1.8 s/batch
+        # versus 40 ms with resident weights).
+        self.variables = jax.device_put(checkpoint.load_model_state(model_dir))
         self._infer = self._build_infer()
 
     def _build_infer(self):
@@ -89,6 +93,9 @@ class Classifier:
                 num_chans=spec.num_chans,
                 imagenet_normalization=spec.imagenet_normalization,
             )
+            # Keep XLA from fusing the gather-based resize into the first
+            # conv (measured ~2x slower without the barrier on TPU).
+            x = jax.lax.optimization_barrier(x)
             logits = model.apply(variables, x, train=False)
             # softmax temperature: logits * ln(1.3) (probability.py:191-194)
             return jax.nn.softmax(
@@ -97,15 +104,17 @@ class Classifier:
 
         return infer
 
-    def infer_packed(self, batch: pack.PackedBatch) -> np.ndarray:
-        """Class probabilities for one packed batch: (B, num_classes)."""
+    def dispatch_packed(self, batch: pack.PackedBatch):
+        """Start inference for one packed batch; returns the on-device
+        result WITHOUT blocking (jax dispatch is asynchronous, so host
+        packing of the next batch overlaps device compute)."""
         new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
             batch.heights, batch.widths, self.spec.target_h, self.spec.target_w
         )
         border = preprocess.border_values(
             batch.canvas, batch.heights, batch.widths, self.spec.border
         )
-        probs = self._infer(
+        return self._infer(
             self.variables,
             batch.canvas,
             batch.heights,
@@ -118,7 +127,10 @@ class Classifier:
             target_h=self.spec.target_h,
             target_w=self.spec.target_w,
         )
-        return np.asarray(probs)
+
+    def infer_packed(self, batch: pack.PackedBatch) -> np.ndarray:
+        """Class probabilities for one packed batch: (B, num_classes)."""
+        return np.asarray(self.dispatch_packed(batch))
 
     def classify_rois(self, tagged_rois):
         """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.
@@ -126,14 +138,29 @@ class Classifier:
         Yields ``(sample_idx, roi_id, probs_row)`` for every real ROI.
         ROIs from different samples may share device batches; ordering is
         not guaranteed (sort per sample before writing CSVs).
+
+        Pipelined: up to 3 batches stay in flight on device while the host
+        packs, uploads and drains around them (hides D2H/H2D latency, which
+        dominates over a tunneled TPU).
         """
+        from collections import deque
+
+        in_flight: deque = deque()
         for batch in pack.pack_rois(
             tagged_rois, batch_size=self.batch_size, buckets=self.buckets
         ):
-            probs = self.infer_packed(batch)
-            for i in range(batch.n_valid):
-                yield (
-                    int(batch.sample_idx[i]),
-                    int(batch.roi_ids[i]),
-                    probs[i],
-                )
+            in_flight.append((batch, self.dispatch_packed(batch)))
+            if len(in_flight) >= 3:
+                yield from self._drain(*in_flight.popleft())
+        while in_flight:
+            yield from self._drain(*in_flight.popleft())
+
+    @staticmethod
+    def _drain(batch: pack.PackedBatch, device_probs):
+        probs = np.asarray(device_probs)
+        for i in range(batch.n_valid):
+            yield (
+                int(batch.sample_idx[i]),
+                int(batch.roi_ids[i]),
+                probs[i],
+            )

@@ -41,9 +41,25 @@ def build_model(
 
 
 def init_variables(model, img_shape_hwc, seed: int = 0, batch: int = 1):
-    """Initialize {params, batch_stats} for a model at the given input shape."""
-    x = jnp.zeros((batch, *img_shape_hwc), jnp.float32)
-    return model.init({"params": jax.random.PRNGKey(seed)}, x, train=False)
+    """Initialize {params, batch_stats} for a model at the given input shape.
+
+    Initialization runs pinned to the host CPU backend: compiling the init
+    program on a (possibly tunneled) TPU takes minutes for nothing — the
+    consumer device_puts the variables wherever they belong anyway.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def init():
+        x = jnp.zeros((batch, *img_shape_hwc), jnp.float32)
+        return model.init({"params": jax.random.PRNGKey(seed)}, x, train=False)
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return init()
+    return init()
 
 
 def head_in_features(params) -> int:

@@ -78,12 +78,22 @@ def mode_pixel(img: np.ndarray) -> int:
 
 def mode_pixel_batch(canvas, heights, widths) -> np.ndarray:
     """Per-image mode pixel over the valid (h, w) region of a packed canvas
-    (host, NumPy). Padding is excluded so zero-fill doesn't skew bin 0."""
+    (host, NumPy). Padding is excluded so zero-fill doesn't skew bin 0.
+
+    Vectorized: one flat bincount over (image_index * 256 + pixel) keys with
+    canvas padding masked out (a per-image Python loop costs ~13 ms per
+    512-batch; this runs in ~1 ms).
+    """
     canvas = np.asarray(canvas)
-    out = np.empty(canvas.shape[0], np.uint8)
-    for i in range(canvas.shape[0]):
-        out[i] = mode_pixel(canvas[i, : int(heights[i]), : int(widths[i])])
-    return out
+    b, ch, cw = canvas.shape
+    valid = (np.arange(ch)[None, :, None] < np.asarray(heights)[:, None, None]) & (
+        np.arange(cw)[None, None, :] < np.asarray(widths)[:, None, None]
+    )
+    keys = (
+        np.arange(b, dtype=np.int64)[:, None, None] * 256 + canvas
+    )[valid]
+    hist = np.bincount(keys, minlength=b * 256).reshape(b, 256)
+    return hist.argmax(axis=1).astype(np.uint8)
 
 
 def border_values(canvas, heights, widths, border_mode: str) -> np.ndarray:
@@ -157,6 +167,71 @@ def resize_pad_batch(
     return out.astype(dtype)
 
 
+def _bilinear_weights(size_out: int, pad, n_new, src_size, canvas_size: int):
+    """Per-image bilinear weight matrix ``(B, size_out, canvas_size)``.
+
+    Row ``i`` holds the (at most two) source-tap weights of output pixel
+    ``i`` under OpenCV INTER_LINEAR mapping with edge clamping; rows outside
+    the resized region are garbage and must be masked by the caller.
+    """
+    out_i = jnp.arange(size_out, dtype=jnp.float32)[None, :]  # (1, T)
+    pad = pad.astype(jnp.float32)[:, None]
+    n_new = n_new.astype(jnp.float32)[:, None]
+    src = src_size.astype(jnp.float32)[:, None]
+    f = (out_i - pad + 0.5) * (src / n_new) - 0.5
+    f = jnp.clip(f, 0.0, src - 1.0)  # (B, T)
+    taps = jnp.arange(canvas_size, dtype=jnp.float32)[None, None, :]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(f[:, :, None] - taps))  # (B, T, S)
+    # Kill taps at/after the valid extent so canvas padding never leaks in
+    # (weight at s = src-1 already absorbs the clamped coordinate).
+    w = jnp.where(taps < src[:, :, None], w, 0.0)
+    return w
+
+
+def resize_pad_batch_mxu(
+    canvas: jax.Array,
+    heights: jax.Array,
+    widths: jax.Array,
+    new_h: jax.Array,
+    new_w: jax.Array,
+    pad_top: jax.Array,
+    pad_left: jax.Array,
+    border: jax.Array,
+    target_h: int,
+    target_w: int,
+    dtype=jnp.float32,
+):
+    """Same contract as :func:`resize_pad_batch`, computed as two batched
+    matmuls instead of gathers.
+
+    Bilinear resize is separable: ``out = A_h @ img @ A_w^T`` with banded
+    per-image weight matrices. On TPU this rides the MXU (~6 GFLOP per
+    512-batch — sub-millisecond), where the gather formulation lowers to
+    scalar-core loads (measured ~0.8 s/batch on v5e). Numerics are the same
+    bilinear sum up to float reassociation.
+    """
+    b, ch, cw = canvas.shape
+    a_h = _bilinear_weights(target_h, pad_top, new_h, heights, ch)
+    a_w = _bilinear_weights(target_w, pad_left, new_w, widths, cw)
+    img = canvas.astype(jnp.float32)
+    rows = jnp.einsum("bis,bsw->biw", a_h, img,
+                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("biw,bjw->bij", rows, a_w,
+                     preferred_element_type=jnp.float32)
+    out_i = jax.lax.broadcasted_iota(jnp.int32, (target_h, target_w), 0)[None]
+    out_j = jax.lax.broadcasted_iota(jnp.int32, (target_h, target_w), 1)[None]
+    pt = pad_top[:, None, None]
+    pl = pad_left[:, None, None]
+    inside = (
+        (out_i >= pt)
+        & (out_i < pt + new_h[:, None, None])
+        & (out_j >= pl)
+        & (out_j < pl + new_w[:, None, None])
+    )
+    out = jnp.where(inside, out, border[:, None, None].astype(jnp.float32))
+    return out.astype(dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -193,7 +268,7 @@ def eval_preprocess(
     dtype -- NHWC because that is the native TPU conv layout (the reference's
     NCHW is a torch convention, not a contract).
     """
-    img = resize_pad_batch(
+    img = resize_pad_batch_mxu(
         canvas,
         heights,
         widths,

@@ -129,7 +129,7 @@ class Trainer:
                            train: bool):
         """Fused resize+pad [-> augment] -> scale -> normalize, on device."""
         spec = self.spec
-        img = preprocess.resize_pad_batch(
+        img = preprocess.resize_pad_batch_mxu(
             canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
             spec.target_h, spec.target_w, dtype=jnp.float32,
         )
