@@ -225,10 +225,26 @@ def _read_images(img_paths):
 
 
 def probabilities_to_csv(probabilities, classes, csv_path) -> None:
-    """Exact CSV contract of reference ``probability.py:200-206``."""
+    """Exact CSV contract of reference ``probability.py:200-206``.
+
+    The row body is formatted by the native C++ helper when available
+    (5-decimal formatting of a whole probability tree is a measured host
+    hot spot); the Python fallback produces identical bytes.
+    """
     csv_path = Path(csv_path)
     csv_path.parent.mkdir(parents=True, exist_ok=True)
-    lines = ["roi," + ",".join(classes)]
+    header = "roi," + ",".join(classes) + "\n"
+    probabilities = list(probabilities)
+    if probabilities:
+        from ..ingest import native
+
+        roi_ids = np.asarray([r for r, _ in probabilities], np.int64)
+        probs = np.asarray([p for _, p in probabilities], np.float64)
+        body = native.format_probs(roi_ids, probs)
+        if body is not None:
+            csv_path.write_bytes(header.encode() + body)
+            return
+    lines = [header.rstrip("\n")]
     for roi, probs in probabilities:
         probs = np.asarray(probs, dtype=np.float64)
         lines.append(f"{roi}," + ",".join(f"{p:.5f}" for p in probs))

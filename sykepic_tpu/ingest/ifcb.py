@@ -47,6 +47,11 @@ def parse_adc(adc_path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     corresponds to 1-based ROI number ``i + 1``.
     """
     raw = Path(adc_path).read_bytes()
+    from . import native
+
+    parsed = native.adc_parse(raw)
+    if parsed is not None:
+        return parsed
     lines = raw.splitlines()
     n = len(lines)
     widths = np.zeros(n, dtype=np.int64)
