@@ -21,14 +21,15 @@ Public subpackages mirror the reference's layer map (SURVEY.md section 1):
 
 - :mod:`sykepic_tpu.utils`    -- logging, file layout helpers
 - :mod:`sykepic_tpu.ingest`   -- IFCB raw decoding + ragged-ROI batching
+  (:mod:`sykepic_tpu.ingest.native` holds the C++ hot-path helpers)
 - :mod:`sykepic_tpu.ops`      -- device preprocessing / augmentation kernels
 - :mod:`sykepic_tpu.models`   -- Flax CNN backbones + configurable head
-- :mod:`sykepic_tpu.features` -- blob segmentation + biovolume/geometry features
-- :mod:`sykepic_tpu.compute`  -- inference + CSV post-processing pipelines
-- :mod:`sykepic_tpu.train`    -- dataset handling and the training loop
+- :mod:`sykepic_tpu.compute`  -- inference engine, feature extraction
+  (:mod:`sykepic_tpu.compute.features`) and CSV post-processing pipelines
+- :mod:`sykepic_tpu.train`    -- dataset handling, host input pipeline and
+  the jit-compiled training loop
 - :mod:`sykepic_tpu.analyze`  -- threshold evaluation, frequency, plotting
 - :mod:`sykepic_tpu.parallel` -- mesh/sharding helpers
-- :mod:`sykepic_tpu.runtime`  -- host-side async input pipeline
 """
 
 __version__ = "0.1.0"

@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import augment as augment_ops
 from ..ops import preprocess
+from ..parallel import data_mesh  # noqa: F401  (canonical home; re-exported)
 
 G_HEAD, G_TOP, G_REST = 0, 1, 2  # LR groups: head+BN / layer4 / rest of base
 
@@ -84,12 +85,6 @@ def make_optimizer(name: str):
     if name == "rmsprop":
         return optax.scale_by_rms()
     raise ValueError(f"Unsupported optimizer: {name}")
-
-
-def data_mesh(devices=None) -> Mesh:
-    """1-D data-parallel mesh over the available devices."""
-    devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.array(devices), ("data",))
 
 
 class Trainer:
