@@ -21,8 +21,15 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Canvas side lengths, multiples of 128 to line up with TPU lane tiling.
+# Canvas shapes, smallest-first. Sides are multiples of 8/64/128 to line up
+# with TPU sublane/lane tiling; the small shapes exist because host->device
+# bytes are the measured bottleneck over a tunneled TPU (typical IFCB ROIs
+# are ~40x60 px -- a (48, 64) slot carries 2.7x fewer padding bytes than the
+# old (64, 128) minimum).
 DEFAULT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (32, 64),
+    (48, 64),
+    (64, 64),
     (64, 128),
     (128, 128),
     (128, 256),

@@ -144,6 +144,16 @@ def main(args):
         seed=random_seed,
     )
 
+    # Mid-training resume (upgrade over the reference, which never saved
+    # optimizer state): `[train] resume = yes` + an existing
+    # train_state.msgpack in the model dir continues from the saved epoch.
+    start_epoch = 1
+    if config.getboolean("train", "resume", fallback=False):
+        resumed = load_train_state(model_dir, trainer)
+        if resumed:
+            start_epoch = resumed + 1
+            print(f"[INFO] Resuming training from epoch {start_epoch}")
+
     train_x, train_y = model_data.train_set()
     train_loader = BatchLoader(
         train_x, train_y, batch_size, shuffle=True, seed=random_seed,
@@ -162,6 +172,7 @@ def main(args):
         max_epochs,
         early_stop_patience,
         model_dir,
+        start_epoch=start_epoch,
     )
     best_variables = checkpoint.load_variables(best_state)
     trainer.params = best_variables["params"]
@@ -196,6 +207,7 @@ def train_net(
     model_dir,
     progress_bar: bool = True,
     plots: bool = True,
+    start_epoch: int = 1,
 ):
     """Epoch loop (reference ``train.py:201-320``). Returns the best
     checkpoint path."""
@@ -210,7 +222,10 @@ def train_net(
     best_state = model_dir / checkpoint.BEST_STATE
 
     try:
-        for epoch in range(1, max_epochs + 1):
+        # replay LR-warmup stage transitions skipped by a resume
+        for epoch in range(1, start_epoch):
+            schedule.start_epoch(epoch)
+        for epoch in range(start_epoch, max_epochs + 1):
             print(f"\n----- Epoch {epoch} -----")
             schedule.start_epoch(epoch)
 
@@ -262,7 +277,7 @@ def train_net(
             # Mid-training resume state (upgrade over the reference)
             save_train_state(model_dir, trainer, epoch)
 
-            if val_loss < min_val_loss or epoch == 1:
+            if val_loss < min_val_loss or epoch == start_epoch:
                 no_improvement = 0
                 min_val_loss = val_loss
             else:
@@ -308,6 +323,26 @@ def test_net(trainer: Trainer, loader, classes, test_name=None) -> str:
         target_names=classes,
         zero_division=0,
     )
+
+
+def load_train_state(model_dir, trainer: Trainer):
+    """Restore params/batch_stats/optimizer state from
+    ``train_state.msgpack``; returns the saved epoch or None."""
+    import jax
+    from flax import serialization
+
+    path = Path(model_dir) / "train_state.msgpack"
+    if not path.is_file():
+        return None
+    state = serialization.msgpack_restore(path.read_bytes())
+    trainer.params = jax.device_put(state["params"], trainer._replicated)
+    trainer.batch_stats = jax.device_put(state["batch_stats"], trainer._replicated)
+    trainer.opt_state = jax.device_put(
+        serialization.from_state_dict(trainer.tx.init(trainer.params),
+                                      state["opt_state"]),
+        trainer._replicated,
+    )
+    return int(state["epoch"])
 
 
 def save_train_state(model_dir, trainer: Trainer, epoch: int) -> None:

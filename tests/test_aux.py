@@ -1,0 +1,89 @@
+"""Tests for auxiliary subsystems: profiling timers, dataset curation,
+train-state resume round trip, file helpers."""
+
+import numpy as np
+
+from sykepic_tpu.train import dataset as dataset_mod
+from sykepic_tpu.utils import files, profiling
+
+
+def test_stage_timer():
+    timer = profiling.StageTimer(enabled=True)
+    with timer.stage("a"):
+        pass
+    with timer.stage("a"):
+        pass
+    with timer.stage("b"):
+        pass
+    assert timer.counts["a"] == 2
+    assert "a" in timer.summary() and "ms/call" in timer.summary()
+    disabled = profiling.StageTimer(enabled=False)
+    with disabled.stage("x"):
+        pass
+    assert not disabled.totals
+
+
+def test_create_dataset(tmp_path):
+    import cv2
+
+    src = tmp_path / "src"
+    for name, n in (("A", 5), ("B", 2), ("skip", 3)):
+        d = src / name
+        d.mkdir(parents=True)
+        for i in range(n):
+            cv2.imwrite(str(d / f"x{i}.png"), np.zeros((4, 4), np.uint8))
+    copied = dataset_mod.create_dataset(
+        src, tmp_path / "dst", min_N=3, exclude=("skip",)
+    )
+    assert copied == {"A": 5}
+    out = sorted(p.name for p in (tmp_path / "dst" / "A").iterdir())
+    assert out == [f"A_{i}.png" for i in range(5)]
+
+
+def test_train_state_resume_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from sykepic_tpu.models.registry import build_model, init_variables
+    from sykepic_tpu.train.config import PreprocessSpec
+    from sykepic_tpu.train.input import HostBatch
+    from sykepic_tpu.train.loop import load_train_state, save_train_state
+    from sykepic_tpu.train.trainer import Trainer
+
+    model = build_model("resnet18", num_classes=3, head=(8,))
+    variables = init_variables(model, (32, 32, 3))
+    spec = PreprocessSpec(32, 32, 3, border="black")
+
+    def make_trainer():
+        return Trainer(model, init_variables(model, (32, 32, 3)),
+                       preprocess_spec=spec)
+
+    t1 = Trainer(model, variables, preprocess_spec=spec)
+    batch = HostBatch(
+        canvas=np.random.default_rng(0).integers(0, 255, (8, 32, 64), np.uint8),
+        heights=np.full(8, 30, np.int32),
+        widths=np.full(8, 20, np.int32),
+        labels=np.arange(8, dtype=np.int32) % 3,
+        weights=np.ones(8, np.float32),
+        paths=[None] * 8,
+    )
+    t1.train_batch(batch, stage=0, lrs=(1e-3, 0, 0))
+    save_train_state(tmp_path, t1, epoch=5)
+
+    t2 = make_trainer()
+    epoch = load_train_state(tmp_path, t2)
+    assert epoch == 5
+    import jax
+
+    a = jax.tree_util.tree_leaves(t1.params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # missing state returns None
+    assert load_train_state(tmp_path / "nope", t2) is None
+
+
+def test_sample_csv_path_layout(tmp_path):
+    out = files.sample_csv_path(
+        "raw/D20180712T065600_IFCB114", tmp_path, suffix=".prob"
+    )
+    assert out.as_posix().endswith("2018/07/12/D20180712T065600_IFCB114.prob.csv")

@@ -108,16 +108,23 @@ def test_pack_rois_buckets_and_padding():
     rois = ifcb.read_sample(VALID)
     tagged = [(0, rid, img) for rid, img in rois.images()]
     batches = list(pack.pack_rois(tagged, batch_size=4))
-    # 42x56 -> (64,128) bucket; 53x128 -> (64,128) bucket too
-    assert len(batches) == 1
-    b = batches[0]
-    assert b.canvas.shape == (4, 64, 128)
-    assert b.n_valid == 2
-    assert b.roi_ids.tolist() == [2, 3, 0, 0]
-    np.testing.assert_array_equal(b.canvas[0, :42, :56], rois.image(0))
-    np.testing.assert_array_equal(b.canvas[1, :53, :128], rois.image(1))
-    assert b.heights.tolist() == [42, 53, 1, 1]
-    assert b.widths.tolist() == [56, 128, 1, 1]
+    # 42x56 -> (48,64) bucket; 53x128 -> (64,128) bucket
+    assert len(batches) == 2
+    by_shape = {b.canvas.shape[1:]: b for b in batches}
+    small = by_shape[(48, 64)]
+    large = by_shape[(64, 128)]
+    assert small.n_valid == 1 and large.n_valid == 1
+    assert small.roi_ids.tolist() == [2, 0, 0, 0]
+    assert large.roi_ids.tolist() == [3, 0, 0, 0]
+    np.testing.assert_array_equal(small.canvas[0, :42, :56], rois.image(0))
+    np.testing.assert_array_equal(large.canvas[0, :53, :128], rois.image(1))
+    assert small.heights.tolist() == [42, 1, 1, 1]
+    assert large.widths.tolist() == [128, 1, 1, 1]
+
+    # a single forced bucket keeps both ROIs in one batch
+    one = list(pack.pack_rois(tagged, batch_size=4, buckets=((64, 128),)))
+    assert len(one) == 1
+    assert one[0].n_valid == 2
 
 
 def test_pack_oversized_roi_shrinks():

@@ -46,7 +46,8 @@ def reference_eval_transform(img: np.ndarray, target: int) -> np.ndarray:
 def packed_fixture():
     rois = ifcb.read_sample(VALID)
     tagged = [(0, rid, img) for rid, img in rois.images()]
-    (batch,) = pack.pack_rois(tagged, batch_size=4)
+    # force one canvas shape so both fixture ROIs share a batch
+    (batch,) = pack.pack_rois(tagged, batch_size=4, buckets=((64, 128),))
     return rois, batch
 
 
