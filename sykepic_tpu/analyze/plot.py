@@ -132,6 +132,22 @@ def plot_stats(
     plt.close()
 
 
+def plot_img(img, title="", save=None):
+    """Show/save a single image (reference ``plot.py:158-171``)."""
+    plt = _plt()
+    plt.axis("off")
+    if title:
+        plt.title(title)
+    img = np.asarray(img)
+    if img.ndim == 2 or img.shape[-1] == 1:
+        plt.imshow(img.reshape(img.shape[0], img.shape[1]), cmap="gray")
+    else:
+        plt.imshow(img[..., ::-1])  # BGR -> RGB
+    if save:
+        plt.savefig(save, bbox_inches="tight")
+    plt.close()
+
+
 def dataset_distribution(data, save=None, size=(8.4, 12)):
     """Horizontal bar chart of class sizes (reference ``plot.py:127-155``).
 
