@@ -32,7 +32,7 @@ sys.path.insert(0, str(REPO))
 
 import os
 
-N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 20_000))
+N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 50_000))
 BATCH_SIZE = int(os.environ.get("SYKEPIC_BENCH_BATCH", 512))
 TARGET_RPS = 10_000.0  # north-star, BASELINE.json
 

