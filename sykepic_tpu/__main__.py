@@ -119,6 +119,42 @@ def main(argv=None):
         help="Force overwrite of previous features",
     )
 
+    # pipeline (fused prob+feat single pass -- no reference equivalent)
+    pipeline_parser = subparsers.add_parser(
+        "pipeline",
+        description="Fused single pass: probabilities AND features from one "
+        "decode (TPU classifies while host threads extract features)",
+    )
+    pipeline_parser.set_defaults(func=_pipeline)
+    pipeline_raw = pipeline_parser.add_mutually_exclusive_group(required=True)
+    pipeline_raw.add_argument(
+        "-r", "--raw", metavar="DIR", help="Root directory of raw IFCB data"
+    )
+    pipeline_raw.add_argument(
+        "-s", "--samples", nargs="+", metavar="SAMPLE PATH",
+        help="One or more sample paths (raw file without suffix)",
+    )
+    pipeline_parser.add_argument("-m", "--model", required=True,
+                                 help="Model directory")
+    pipeline_parser.add_argument("-o", "--out", required=True,
+                                 help="Probability output directory")
+    pipeline_parser.add_argument(
+        "--feat-out", metavar="DIR",
+        help="Feature output directory (defaults to --out)",
+    )
+    pipeline_parser.add_argument(
+        "-b", "--batch-size", type=int, default=256, metavar="INT",
+        help="Default is 256",
+    )
+    pipeline_parser.add_argument(
+        "-w", "--num-workers", type=int, default=8, metavar="INT",
+        help="Feature-extraction threads, default is 8",
+    )
+    pipeline_parser.add_argument(
+        "-f", "--force", action="store_true",
+        help="Force overwrite of previous outputs",
+    )
+
     # class
     class_parser = subparsers.add_parser(
         "class",
@@ -299,6 +335,12 @@ def _feat(args):
     from .compute import feature
 
     feature.call(args)
+
+
+def _pipeline(args):
+    from .compute import pipeline
+
+    pipeline.call(args)
 
 
 def _class(args):
