@@ -167,18 +167,20 @@ def resize_pad_batch(
     return out.astype(dtype)
 
 
-def _bilinear_weights(size_out: int, pad, n_new, src_size, canvas_size: int):
+def _bilinear_weights(q, pad, n_new, src_size, canvas_size: int):
     """Per-image bilinear weight matrix ``(B, size_out, canvas_size)``.
 
-    Row ``i`` holds the (at most two) source-tap weights of output pixel
-    ``i`` under OpenCV INTER_LINEAR mapping with edge clamping; rows outside
-    the resized region are garbage and must be masked by the caller.
+    ``q`` is the (B, size_out) output->padded-square coordinate per output
+    pixel (plain iota for a pure resize; an affine of it when flip/translate/
+    zoom augmentations are folded in). Row ``i`` holds the (at most two)
+    source-tap weights under OpenCV INTER_LINEAR mapping with edge clamping;
+    rows outside the resized region are garbage and must be masked by the
+    caller.
     """
-    out_i = jnp.arange(size_out, dtype=jnp.float32)[None, :]  # (1, T)
     pad = pad.astype(jnp.float32)[:, None]
     n_new = n_new.astype(jnp.float32)[:, None]
     src = src_size.astype(jnp.float32)[:, None]
-    f = (out_i - pad + 0.5) * (src / n_new) - 0.5
+    f = (q - pad + 0.5) * (src / n_new) - 0.5
     f = jnp.clip(f, 0.0, src - 1.0)  # (B, T)
     taps = jnp.arange(canvas_size, dtype=jnp.float32)[None, None, :]
     w = jnp.maximum(0.0, 1.0 - jnp.abs(f[:, :, None] - taps))  # (B, T, S)
@@ -186,6 +188,16 @@ def _bilinear_weights(size_out: int, pad, n_new, src_size, canvas_size: int):
     # (weight at s = src-1 already absorbs the clamped coordinate).
     w = jnp.where(taps < src[:, :, None], w, 0.0)
     return w
+
+
+def _axis_coords(size_out: int, batch: int, affine):
+    """(B, size_out) output coordinate per axis: iota, or ``a*i + b`` when an
+    augmentation affine ``(a, b)`` is folded in."""
+    out_i = jnp.arange(size_out, dtype=jnp.float32)[None, :]
+    if affine is None:
+        return jnp.broadcast_to(out_i, (batch, size_out))
+    a, b = affine
+    return a.astype(jnp.float32)[:, None] * out_i + b.astype(jnp.float32)[:, None]
 
 
 def resize_pad_batch_mxu(
@@ -200,6 +212,8 @@ def resize_pad_batch_mxu(
     target_h: int,
     target_w: int,
     dtype=jnp.float32,
+    affine_y=None,
+    affine_x=None,
 ):
     """Same contract as :func:`resize_pad_batch`, computed as two batched
     matmuls instead of gathers.
@@ -211,22 +225,24 @@ def resize_pad_batch_mxu(
     bilinear sum up to float reassociation.
     """
     b, ch, cw = canvas.shape
-    a_h = _bilinear_weights(target_h, pad_top, new_h, heights, ch)
-    a_w = _bilinear_weights(target_w, pad_left, new_w, widths, cw)
+    q_y = _axis_coords(target_h, b, affine_y)  # (B, target_h)
+    q_x = _axis_coords(target_w, b, affine_x)  # (B, target_w)
+    a_h = _bilinear_weights(q_y, pad_top, new_h, heights, ch)
+    a_w = _bilinear_weights(q_x, pad_left, new_w, widths, cw)
     img = canvas.astype(jnp.float32)
     rows = jnp.einsum("bis,bsw->biw", a_h, img,
                       preferred_element_type=jnp.float32)
     out = jnp.einsum("biw,bjw->bij", rows, a_w,
                      preferred_element_type=jnp.float32)
-    out_i = jax.lax.broadcasted_iota(jnp.int32, (target_h, target_w), 0)[None]
-    out_j = jax.lax.broadcasted_iota(jnp.int32, (target_h, target_w), 1)[None]
-    pt = pad_top[:, None, None]
-    pl = pad_left[:, None, None]
+    pt = pad_top[:, None, None].astype(jnp.float32)
+    pl = pad_left[:, None, None].astype(jnp.float32)
+    qi = q_y[:, :, None]
+    qj = q_x[:, None, :]
     inside = (
-        (out_i >= pt)
-        & (out_i < pt + new_h[:, None, None])
-        & (out_j >= pl)
-        & (out_j < pl + new_w[:, None, None])
+        (qi >= pt)
+        & (qi < pt + new_h[:, None, None])
+        & (qj >= pl)
+        & (qj < pl + new_w[:, None, None])
     )
     out = jnp.where(inside, out, border[:, None, None].astype(jnp.float32))
     return out.astype(dtype)

@@ -122,16 +122,39 @@ class Trainer:
     def _device_preprocess(self, canvas, heights, widths, new_h, new_w,
                            pad_top, pad_left, border, lim_x, lim_y, key,
                            train: bool):
-        """Fused resize+pad [-> augment] -> scale -> normalize, on device."""
+        """Fused resize+pad [-> augment] -> scale -> normalize, on device.
+
+        Rotation-free augmentations fold into the resize einsums
+        (separable affines); rotation falls back to the gather warp.
+        """
         spec = self.spec
-        img = preprocess.resize_pad_batch_mxu(
-            canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
-            spec.target_h, spec.target_w, dtype=jnp.float32,
-        )
-        if train and self.augment_kwargs:
-            img = augment_ops.augment_batch(
-                key, img, border, lim_x, lim_y, **self.augment_kwargs
+        kw = self.augment_kwargs if (train and self.augment_kwargs) else {}
+        if kw and not kw.get("rotate"):
+            aff_y, aff_x, bright = augment_ops.separable_params(
+                key, canvas.shape[0], lim_x, lim_y,
+                spec.target_h, spec.target_w,
+                flip=kw.get("flip", False),
+                translate=kw.get("translate", False),
+                zoom=kw.get("zoom", False),
+                brightness=kw.get("brightness", False),
+                zoom_range=kw.get("zoom_range", (1.0, 1.0)),
+                brightness_range=kw.get("brightness_range", (1.0, 1.0)),
             )
+            img = preprocess.resize_pad_batch_mxu(
+                canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                border, spec.target_h, spec.target_w, dtype=jnp.float32,
+                affine_y=aff_y, affine_x=aff_x,
+            )
+            img = augment_ops.apply_brightness(img, bright)
+        else:
+            img = preprocess.resize_pad_batch_mxu(
+                canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                border, spec.target_h, spec.target_w, dtype=jnp.float32,
+            )
+            if kw:
+                img = augment_ops.augment_batch(
+                    key, img, border, lim_x, lim_y, **kw
+                )
         img = img / 255.0
         img = jnp.repeat(img[..., None], spec.num_chans, axis=-1)
         if spec.imagenet_normalization:
