@@ -110,8 +110,15 @@ def main(args):
     lr = config.getfloat("train", "learning_rate")
     optimizer = config.get("train", "optimizer")
 
-    # Model + (optionally) pretrained base weights
-    model, weights_spec = config_mod.get_network(config, num_classes)
+    # Model + (optionally) pretrained base weights. `[train] dtype` picks
+    # the compute dtype (bfloat16 = native MXU throughput; params stay f32).
+    import jax.numpy as jnp
+
+    dtype_name = config.get("train", "dtype", fallback="float32")
+    compute_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    model, weights_spec = config_mod.get_network(
+        config, num_classes, dtype=compute_dtype
+    )
     variables = registry.init_variables(
         model, (spec.target_h, spec.target_w, spec.num_chans), seed=random_seed
     )
