@@ -101,11 +101,17 @@ class Classifier:
         self._infer = self._build_infer()
 
     def _build_infer(self):
+        # Weights ride in the jit closure as device-resident captured
+        # constants rather than call arguments: a Classifier's weights never
+        # change, and dropping ~120 parameter leaves from every dispatch
+        # saves ~5 ms/batch of host-side argument marshaling (measured
+        # 31.6 vs 36.6 ms/batch end-to-end on the tunneled v5e).
         spec = self.spec
         model = self.model
+        variables = self.variables
 
         @partial(jax.jit, static_argnames=("target_h", "target_w"))
-        def infer(variables, canvas, heights, widths, new_h, new_w, pad_top,
+        def infer(canvas, heights, widths, new_h, new_w, pad_top,
                   pad_left, border, *, target_h, target_w):
             x = preprocess.eval_preprocess(
                 canvas, heights, widths, new_h, new_w, pad_top, pad_left,
@@ -143,7 +149,6 @@ class Classifier:
         if self._data_sharding is not None:
             args = tuple(jax.device_put(a, self._data_sharding) for a in args)
         return self._infer(
-            self.variables,
             *args,
             target_h=self.spec.target_h,
             target_w=self.spec.target_w,

@@ -102,20 +102,12 @@ def main(
             process_images(img_paths, clf, csv_path, force)
         return set(sample_paths)
 
-    iterator = (
-        tqdm(sample_paths, desc="Processing samples")
-        if progress_bar
-        else sample_paths
+    # High-throughput default: ROIs of all samples share device batches
+    # (per-sample error isolation preserved inside). The reference instead
+    # pays DataLoader+model setup per sample (probability.py:133-162).
+    return process_samples_batched(
+        sample_paths, clf, out_dir, force, progress_bar=progress_bar
     )
-    samples_processed = set()
-    for sample_path in iterator:
-        try:
-            samples_processed.add(process_sample(sample_path, clf, out_dir, force))
-        except ValueError:
-            log.exception(f"Faulty raw data for {Path(sample_path).name}")
-        except Exception as e:
-            log.exception(f"Unexpected error for {Path(sample_path).name}:", e)
-    return samples_processed
 
 
 def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32"):
@@ -151,19 +143,27 @@ def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):
 
 
 def process_samples_batched(sample_paths, clf: Classifier, out_dir,
-                            force: bool = False):
+                            force: bool = False, progress_bar: bool = False):
     """High-throughput path: stream ROIs of *all* samples through shared
     device batches; per-sample decode errors are isolated.
 
-    Returns the set of sample names written.
+    Returns the set of sample names processed (written or skipped-existing,
+    matching the reference's accounting, ``probability.py:105-115``).
     """
     sample_paths = [Path(p) for p in sample_paths]
     decoded = []
     csv_paths = {}
-    for idx, sample_path in enumerate(sample_paths):
+    skipped = set()
+    paths_iter = (
+        tqdm(list(enumerate(sample_paths)), desc="Decoding samples")
+        if progress_bar
+        else enumerate(sample_paths)
+    )
+    for idx, sample_path in paths_iter:
         csv_path = files.sample_csv_path(sample_path, out_dir, FILE_SUFFIX)
         if csv_path.is_file() and not force:
             log.warning(f"{csv_path.name} already exists, skipping")
+            skipped.add(sample_path.name)
             continue
         try:
             decoded.append((idx, ifcb.read_sample(sample_path)))
@@ -187,7 +187,7 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
     for idx, rows in results.items():
         probabilities_to_csv(sorted(rows), clf.classes, csv_paths[idx])
         written.add(sample_paths[idx].name)
-    return written
+    return written | skipped
 
 
 def process_images(img_paths, clf: Classifier, csv_path, force: bool = False):
