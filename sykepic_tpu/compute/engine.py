@@ -109,6 +109,10 @@ class Classifier:
         spec = self.spec
         model = self.model
         variables = self.variables
+        # Pallas resize kernel on real accelerators; the einsum fallback on
+        # CPU (pallas TPU kernels need interpret mode there, and the tests
+        # cover both formulations producing identical values).
+        use_pallas = jax.default_backend() != "cpu"
 
         @partial(jax.jit, static_argnames=("target_h", "target_w"))
         def infer(canvas, heights, widths, new_h, new_w, pad_top,
@@ -120,6 +124,7 @@ class Classifier:
                 target_w=target_w,
                 num_chans=spec.num_chans,
                 imagenet_normalization=spec.imagenet_normalization,
+                use_pallas=use_pallas,
             )
             # Keep XLA from fusing the gather-based resize into the first
             # conv (measured ~2x slower without the barrier on TPU).

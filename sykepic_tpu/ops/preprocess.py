@@ -256,6 +256,7 @@ def resize_pad_batch_mxu(
         "num_chans",
         "imagenet_normalization",
         "dtype",
+        "use_pallas",
     ),
 )
 def eval_preprocess(
@@ -273,6 +274,7 @@ def eval_preprocess(
     num_chans: int = 3,
     imagenet_normalization: bool = False,
     dtype=jnp.float32,
+    use_pallas: bool = False,
 ):
     """Fused eval-path preprocessing (reference eval transform = Resize +
     ToTensor [+ Normalize], ``train/config.py:31-58``).
@@ -284,19 +286,30 @@ def eval_preprocess(
     dtype -- NHWC because that is the native TPU conv layout (the reference's
     NCHW is a torch convention, not a contract).
     """
-    img = resize_pad_batch_mxu(
-        canvas,
-        heights,
-        widths,
-        new_h,
-        new_w,
-        pad_top,
-        pad_left,
-        border,
-        target_h,
-        target_w,
-        dtype=jnp.float32,
-    )
+    if use_pallas:
+        # Fused Pallas kernel: same math, compiles ~50x faster than the
+        # einsum XLA program on the tunneled TPU and skips the HBM
+        # round-trips of the materialized weight tensors.
+        from . import pallas_preprocess
+
+        img = pallas_preprocess.resize_pad_batch_pallas(
+            canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+            border, target_h, target_w, dtype=jnp.float32,
+        )
+    else:
+        img = resize_pad_batch_mxu(
+            canvas,
+            heights,
+            widths,
+            new_h,
+            new_w,
+            pad_top,
+            pad_left,
+            border,
+            target_h,
+            target_w,
+            dtype=jnp.float32,
+        )
     img = img / 255.0
     img = jnp.repeat(img[..., None], num_chans, axis=-1)
     if imagenet_normalization:
