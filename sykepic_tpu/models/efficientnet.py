@@ -1,0 +1,158 @@
+"""Flax EfficientNet family (torchvision ``efficientnet_b0``-compatible
+topology) — widens the model registry beyond ResNets.
+
+The reference's ``TorchVisionNet`` nominally accepts any torchvision model
+name (``sykepic/train/network.py:48``: ``getattr(models, name)(...)``; its
+example config even names ``efficientnet_b0``), though only ResNets were
+used in production. This implementation follows the torchvision topology
+(MBConv with expansion, depthwise conv, squeeze-excitation, SiLU,
+stochastic-depth-free eval path) so the same ``base`` + MLP ``head``
+contract and the gradual-unfreeze grouping apply: the last stage
+(``layer-group 7``+) plays the role of ResNet's ``layer4`` for LR group 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .resnet import Head
+
+# (expand_ratio, channels, repeats, stride, kernel)  -- EfficientNet-B0
+B0_CONFIG = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+
+class SqueezeExcite(nn.Module):
+    channels: int
+    squeeze: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="fc1")(s)
+        s = nn.silu(s)
+        s = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="fc2")(s)
+        return x * nn.sigmoid(s)
+
+
+class MBConv(nn.Module):
+    in_ch: int
+    out_ch: int
+    expand: int
+    stride: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        mid = self.in_ch * self.expand
+        residual = x
+        y = x
+        if self.expand != 1:
+            y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(y)
+            y = norm(name="expand_bn")(y)
+            y = nn.silu(y)
+        pad = self.kernel // 2
+        y = nn.Conv(
+            mid,
+            (self.kernel, self.kernel),
+            (self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=mid,
+            use_bias=False,
+            dtype=self.dtype,
+            name="dw_conv",
+        )(y)
+        y = norm(name="dw_bn")(y)
+        y = nn.silu(y)
+        y = SqueezeExcite(mid, max(1, self.in_ch // 4), dtype=self.dtype,
+                          name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(y)
+        y = norm(name="project_bn")(y)
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            y = y + residual
+        return y
+
+
+class EfficientNet(nn.Module):
+    """EfficientNet backbone + the shared MLP :class:`Head`."""
+
+    num_classes: int
+    config: Sequence = B0_CONFIG
+    stem_ch: int = 32
+    head_ch: int = 1280
+    head: Sequence[int] = (256, 128)
+    dropout: Sequence = ()
+    last_activation: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        x = nn.Conv(self.stem_ch, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        x = norm(name="stem_bn")(x)
+        x = nn.silu(x)
+        in_ch = self.stem_ch
+        for gi, (expand, out_ch, repeats, stride, kernel) in enumerate(self.config):
+            for r in range(repeats):
+                x = MBConv(
+                    in_ch=in_ch,
+                    out_ch=out_ch,
+                    expand=expand,
+                    stride=stride if r == 0 else 1,
+                    kernel=kernel,
+                    dtype=self.dtype,
+                    # layer-group naming keeps the trainer's stage labeling
+                    # meaningful (last groups ~ ResNet layer4)
+                    name=f"layer{gi + 1}_{r}",
+                )(x, train=train)
+                in_ch = out_ch
+        x = nn.Conv(self.head_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="head_conv")(x)
+        x = norm(name="head_bn")(x)
+        x = nn.silu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        if features_only:
+            return x
+        x = Head(
+            sizes=self.head,
+            num_classes=self.num_classes,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="head",
+        )(x, train=train)
+        if self.last_activation:
+            x = getattr(nn, self.last_activation)(x)
+        return x
+
+
+def efficientnet_b0(**kw) -> EfficientNet:
+    return EfficientNet(**kw)

@@ -8,13 +8,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import resnet
+from . import efficientnet, resnet
 
 MODEL_REGISTRY = {
     "resnet18": resnet.resnet18,
     "resnet34": resnet.resnet34,
     "resnet50": resnet.resnet50,
     "resnet101": resnet.resnet101,
+    "efficientnet_b0": efficientnet.efficientnet_b0,
 }
 
 

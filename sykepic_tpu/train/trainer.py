@@ -53,18 +53,30 @@ G_HEAD, G_TOP, G_REST = 0, 1, 2  # LR groups: head+BN / layer4 / rest of base
 
 def label_params(params):
     """Group-id pytree matching ``params``: head + all BatchNorm -> group 0,
-    ``layer4*`` (the reference's ``base[-2:]``) -> group 1, rest -> group 2."""
+    the LAST backbone stage (ResNet ``layer4*``; EfficientNet's final
+    layer-group + head_conv — the reference's ``base[-2:]``) -> group 1,
+    rest -> group 2."""
     flat = flatten_dict(params)
+    # highest layer-group index present = the "last sequential part"
+    top = 0
+    for path in flat:
+        name = str(path[0])
+        if name.startswith("layer"):
+            try:
+                top = max(top, int(name[5:].split("_")[0]))
+            except ValueError:
+                pass
     labels = {}
     for path in flat:
         parts = [str(p) for p in path]
+        is_bn = any(
+            p.startswith("bn") or p.endswith("_bn") for p in parts[:-1]
+        )
         if parts[0] == "head":
             g = G_HEAD
-        elif any(p.startswith("bn") or p == "downsample_bn" for p in parts[:-1]) or (
-            len(parts) >= 2 and parts[-2].startswith("bn")
-        ):
+        elif is_bn:
             g = G_HEAD
-        elif parts[0].startswith("layer4"):
+        elif parts[0].startswith(f"layer{top}") or parts[0] == "head_conv":
             g = G_TOP
         else:
             g = G_REST
