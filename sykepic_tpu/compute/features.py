@@ -59,19 +59,28 @@ def otsu_threshold(img: np.ndarray) -> int:
     return int(np.argmax(var))
 
 
-def segment_roi(roi: np.ndarray, min_blob_area: int = MIN_BLOB_AREA) -> np.ndarray:
-    """Binary blob mask of one ROI (2-D uint8 grayscale)."""
+def _segment_labeled(roi: np.ndarray, min_blob_area: int = MIN_BLOB_AREA):
+    """One labeling pass: returns ``(mask, labels, kept_sizes_by_label)``
+    where ``kept_sizes_by_label[l]`` is 0 for dropped labels."""
     roi = np.asarray(roi, np.uint8)
     mask = roi <= otsu_threshold(roi)
     mask = ndi.binary_fill_holes(mask)
     labels, n = ndi.label(mask)
     if n == 0:
-        return mask
-    sizes = ndi.sum(mask, labels, range(1, n + 1))
-    keep = [i + 1 for i, s in enumerate(sizes) if s >= min_blob_area]
-    if not keep:  # tiny object: keep the largest speck rather than nothing
-        keep = [1 + int(np.argmax(sizes))]
-    return np.isin(labels, keep)
+        return mask, labels, np.zeros(1, np.int64)
+    sizes = np.bincount(labels.ravel())
+    sizes[0] = 0
+    keep = sizes >= min_blob_area
+    if not keep.any():  # tiny object: keep the largest speck
+        keep[int(np.argmax(sizes))] = True
+    mask = keep[labels]
+    sizes = np.where(keep, sizes, 0)
+    return mask, labels, sizes
+
+
+def segment_roi(roi: np.ndarray, min_blob_area: int = MIN_BLOB_AREA) -> np.ndarray:
+    """Binary blob mask of one ROI (2-D uint8 grayscale)."""
+    return _segment_labeled(roi, min_blob_area)[0]
 
 
 def ellipse_properties(mask: np.ndarray):
@@ -131,9 +140,8 @@ def compute_features(roi: np.ndarray):
     ...])`` with at least Biovolume / Area / MajorAxisLength /
     MinorAxisLength.
     """
-    mask = segment_roi(roi)
-    labels, n = ndi.label(mask)
-    if n == 0:
+    mask, labels, sizes = _segment_labeled(roi)
+    if not sizes.any():
         features = [
             ("Area", 0),
             ("Biovolume", 0.0),
@@ -143,13 +151,16 @@ def compute_features(roi: np.ndarray):
             ("NumBlobs", 0),
         ]
         return mask, features
-    sizes = ndi.sum(mask, labels, range(1, n + 1))
-    area = int(mask.sum())
-    biovolume = 0.0
-    for i in range(1, n + 1):
-        biovolume += blob_volume(labels == i)
-    largest = labels == (1 + int(np.argmax(sizes)))
+    area = int(sizes.sum())
+    # Blobs are disjoint (separated by background), so the EDT of the whole
+    # mask equals each blob's own EDT — one transform gives the summed
+    # distance-map volume of every blob at once.
+    biovolume = distmap_volume(mask)
+    largest_label = int(np.argmax(sizes))
+    sl = ndi.find_objects(labels, max_label=largest_label)[largest_label - 1]
+    largest = labels[sl] == largest_label
     major, minor, ecc, _ = ellipse_properties(largest)
+    n = int((sizes > 0).sum())
     features = [
         ("Area", area),
         ("Biovolume", biovolume),
