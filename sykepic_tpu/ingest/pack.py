@@ -77,6 +77,22 @@ def shrink_to_fit(img: np.ndarray, max_h: int, max_w: int) -> np.ndarray:
         return img[np.ix_(ys, xs)]
 
 
+# Cap per-batch canvas memory: a full batch of (1024, 1024) slots at
+# batch_size 512 would be a 0.5 GB host allocation (and H2D transfer).
+# Large-ROI buckets get proportionally smaller (power-of-two) batch sizes;
+# each (bucket, batch) pair still compiles exactly once.
+MAX_CANVAS_BYTES = 64 * 1024 * 1024
+
+
+def effective_batch_size(batch_size: int, bucket: tuple[int, int],
+                         max_bytes: int = MAX_CANVAS_BYTES) -> int:
+    slot = bucket[0] * bucket[1]
+    b = batch_size
+    while b > 1 and b * slot > max_bytes:
+        b //= 2
+    return max(b, 1)
+
+
 def pack_rois(
     rois,
     batch_size: int = 256,
@@ -105,12 +121,16 @@ def pack_rois(
             img = shrink_to_fit(img, bh, bw)
         group = groups.setdefault((bh, bw), [])
         group.append((sample_idx, roi_id, img))
-        if len(group) == batch_size:
-            yield _emit(group, bh, bw, batch_size, pad_to_batch)
+        if len(group) == effective_batch_size(batch_size, (bh, bw)):
+            yield _emit(group, bh, bw, len(group), pad_to_batch)
             groups[(bh, bw)] = []
     for (bh, bw), group in groups.items():
         if group:
-            yield _emit(group, bh, bw, batch_size, pad_to_batch)
+            yield _emit(
+                group, bh, bw,
+                effective_batch_size(batch_size, (bh, bw)),
+                pad_to_batch,
+            )
 
 
 def _emit(group, bh, bw, batch_size, pad_to_batch) -> PackedBatch:
