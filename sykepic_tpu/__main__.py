@@ -23,6 +23,11 @@ def main(argv=None):
         prog="sykepic-tpu",
         description="TPU-native plankton image classification (syke-pic rebuild)",
     )
+    from . import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
+    )
     subparsers = parser.add_subparsers(
         title="available sub-commands",
         required=True,

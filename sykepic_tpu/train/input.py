@@ -76,6 +76,7 @@ class BatchLoader:
         num_threads: int = 8,
         prefetch: int = 2,
         buckets=pack.DEFAULT_BUCKETS,
+        cache_bytes: int = 2 * 1024**3,
     ):
         self.paths = list(paths)
         self.labels = None if labels is None else np.asarray(labels, np.int32)
@@ -86,6 +87,11 @@ class BatchLoader:
         self.prefetch = prefetch
         self.buckets = buckets
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        # Decoded-image cache: plankton training sets are tiny (~3 KB/ROI,
+        # tens of MB total), so epochs 2+ skip PNG decoding entirely. The
+        # cache stops growing at cache_bytes (0 disables it).
+        self._cache: dict[int, np.ndarray] = {}
+        self._cache_budget = cache_bytes
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -102,7 +108,17 @@ class BatchLoader:
         while len(full) < b:  # tiny datasets: repeat until full
             full = np.concatenate([full, full[: b - len(full)]])
         paths = [self.paths[i] for i in full]
-        imgs = list(self._pool.map(read_image, paths))
+        imgs = [self._cache.get(int(i)) for i in full]
+        missing = [k for k, img in enumerate(imgs) if img is None]
+        if missing:
+            decoded = list(
+                self._pool.map(read_image, [paths[k] for k in missing])
+            )
+            for k, img in zip(missing, decoded):
+                imgs[k] = img
+                if self._cache_budget > 0:
+                    self._cache[int(full[k])] = img
+                    self._cache_budget -= img.nbytes
         max_h = max(img.shape[0] for img in imgs)
         max_w = max(img.shape[1] for img in imgs)
         bh, bw = pack.bucket_for(max_h, max_w, self.buckets)
