@@ -151,32 +151,35 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
     matching the reference's accounting, ``probability.py:105-115``).
     """
     sample_paths = [Path(p) for p in sample_paths]
-    decoded = []
     csv_paths = {}
     skipped = set()
-    paths_iter = (
-        tqdm(list(enumerate(sample_paths)), desc="Decoding samples")
-        if progress_bar
-        else enumerate(sample_paths)
-    )
-    for idx, sample_path in paths_iter:
+    todo = []
+    for idx, sample_path in enumerate(sample_paths):
         csv_path = files.sample_csv_path(sample_path, out_dir, FILE_SUFFIX)
         if csv_path.is_file() and not force:
             log.warning(f"{csv_path.name} already exists, skipping")
             skipped.add(sample_path.name)
             continue
-        try:
-            decoded.append((idx, ifcb.read_sample(sample_path)))
-            csv_paths[idx] = csv_path
-        except ValueError:
-            log.exception(f"Faulty raw data for {sample_path.name}")
-        except Exception as e:
-            log.exception(f"Unexpected error for {sample_path.name}:", e)
+        csv_paths[idx] = csv_path
+        todo.append(idx)
 
-    results: dict[int, list] = {idx: [] for idx, _ in decoded}
+    results: dict[int, list] = {}
 
     def roi_stream():
-        for idx, rois in decoded:
+        # Lazy per-sample decode: memory stays bounded by the in-flight
+        # device batches, not the archive size; decode errors are isolated
+        # per sample (reference probability.py:106-115).
+        iterator = tqdm(todo, desc="Processing samples") if progress_bar else todo
+        for idx in iterator:
+            try:
+                rois = ifcb.read_sample(sample_paths[idx])
+            except ValueError:
+                log.exception(f"Faulty raw data for {sample_paths[idx].name}")
+                continue
+            except Exception as e:
+                log.exception(f"Unexpected error for {sample_paths[idx].name}:", e)
+                continue
+            results.setdefault(idx, [])
             for rid, img in rois.images():
                 yield idx, rid, img
 

@@ -181,9 +181,13 @@ def main(args):
         model_dir,
         start_epoch=start_epoch,
     )
+    import jax
+
     best_variables = checkpoint.load_variables(best_state)
-    trainer.params = best_variables["params"]
-    trainer.batch_stats = best_variables.get("batch_stats", {})
+    trainer.params = jax.device_put(best_variables["params"], trainer._replicated)
+    trainer.batch_stats = jax.device_put(
+        best_variables.get("batch_stats", {}), trainer._replicated
+    )
 
     classes = list(model_data.le.classes_)
     if test_split:
