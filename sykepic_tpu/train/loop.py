@@ -240,7 +240,8 @@ def train_net(
             print(f"\n----- Epoch {epoch} -----")
             schedule.start_epoch(epoch)
 
-            # Training phase
+            # Training phase. Metrics stay device scalars until the epoch
+            # ends so per-step host syncs never stall the async pipeline.
             loss_sum = acc_sum = n_sum = 0.0
             batches = tqdm(train_loader) if progress_bar else train_loader
             for batch in batches:
@@ -248,8 +249,8 @@ def train_net(
                 loss_sum += ls
                 acc_sum += cs
                 n_sum += n
-            train_acc = acc_sum / n_sum
-            train_loss = loss_sum / n_sum
+            train_acc = float(acc_sum) / float(n_sum)
+            train_loss = float(loss_sum) / float(n_sum)
             train_accuracies.append(train_acc)
             train_losses.append(train_loss)
             print(f"[STAT] Train Acc: {train_acc:.3f}, Train Loss: {train_loss:.3f}")
@@ -261,8 +262,8 @@ def train_net(
                 loss_sum += ls
                 acc_sum += cs
                 n_sum += n
-            val_acc = acc_sum / n_sum
-            val_loss = loss_sum / n_sum
+            val_acc = float(acc_sum) / float(n_sum)
+            val_loss = float(loss_sum) / float(n_sum)
             val_accuracies.append(val_acc)
             val_losses.append(val_loss)
             print(f"[STAT] Val Acc: {val_acc:.3f}, Val Loss: {val_loss:.3f}")

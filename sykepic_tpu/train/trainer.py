@@ -275,8 +275,12 @@ class Trainer:
         )
         return tuple(jax.device_put(a, self._data_sharding) for a in arrays)
 
-    def train_batch(self, batch, stage: int, lrs) -> tuple[float, float, float]:
-        """Run one optimization step. Returns (loss_sum, correct, n)."""
+    def train_batch(self, batch, stage: int, lrs):
+        """Run one optimization step. Returns (loss_sum, correct, n) as
+        DEVICE scalars: converting them per step would synchronize the
+        pipeline and stall async dispatch — accumulate on device and
+        convert once per epoch (``float()`` accepts the scalars directly).
+        """
         cache_key = ("train", stage)
         if cache_key not in self._steps:
             self._steps[cache_key] = self._build_train_step(stage)
@@ -291,7 +295,7 @@ class Trainer:
             canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
             lim_x, lim_y, y, wts, lrs, sub,
         )
-        return float(loss_sum), float(correct), float(n)
+        return loss_sum, correct, n
 
     def eval_batch(self, batch):
         """Returns (loss_sum, correct, n, preds ndarray)."""
@@ -300,11 +304,10 @@ class Trainer:
         step = self._steps["eval"]
         (canvas, heights, widths, new_h, new_w, pad_top, pad_left, border,
          _lim_x, _lim_y, y, wts) = self._batch_device_args(batch)
-        loss_sum, correct, n, preds = step(
+        return step(
             self.params, self.batch_stats, canvas, heights, widths,
             new_h, new_w, pad_top, pad_left, border, y, wts,
         )
-        return float(loss_sum), float(correct), float(n), np.asarray(preds)
 
     @property
     def variables(self):

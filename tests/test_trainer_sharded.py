@@ -48,9 +48,10 @@ def test_sharded_step_matches_single_device(stage):
 
     (loss1, acc1, n1), t1 = run(data_mesh(jax.devices()[:1]))
     (loss8, acc8, n8), t8 = run(data_mesh())
-    assert n1 == n8 == 16
-    assert acc1 == acc8
-    assert loss1 == pytest.approx(loss8, rel=1e-4)
+    # metrics come back as device scalars (sharded differently per mesh)
+    assert float(n1) == float(n8) == 16
+    assert float(acc1) == float(acc8)
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-4)
     # updated parameters agree across the two shardings. Float
     # reassociation of the sharded BatchNorm statistics perturbs gradients
     # by O(1e-5) after one step; semantic bugs (missing grad all-reduce,
