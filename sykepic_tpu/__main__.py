@@ -160,6 +160,38 @@ def main(argv=None):
         help="Force overwrite of previous outputs",
     )
 
+    # watch (continuous monitoring daemon -- no reference equivalent)
+    watch_parser = subparsers.add_parser(
+        "watch",
+        description="Poll a raw directory and process new IFCB samples as "
+        "they arrive (fused probabilities + features)",
+    )
+    watch_parser.set_defaults(func=_watch)
+    watch_parser.add_argument(
+        "-r", "--raw", required=True, metavar="DIR",
+        help="Root directory of raw IFCB data",
+    )
+    watch_parser.add_argument("-m", "--model", required=True,
+                              help="Model directory")
+    watch_parser.add_argument("-o", "--out", required=True,
+                              help="Probability output directory")
+    watch_parser.add_argument(
+        "--feat-out", metavar="DIR",
+        help="Feature output directory (defaults to --out)",
+    )
+    watch_parser.add_argument(
+        "-b", "--batch-size", type=int, default=256, metavar="INT",
+        help="Default is 256",
+    )
+    watch_parser.add_argument(
+        "-i", "--interval", type=float, default=30.0, metavar="SECONDS",
+        help="Poll interval, default 30 s",
+    )
+    watch_parser.add_argument(
+        "--settle", type=float, default=60.0, metavar="SECONDS",
+        help="Process a sample only after its .roi has been idle this long",
+    )
+
     # class
     class_parser = subparsers.add_parser(
         "class",
@@ -346,6 +378,12 @@ def _pipeline(args):
     from .compute import pipeline
 
     pipeline.call(args)
+
+
+def _watch(args):
+    from .compute import watch
+
+    watch.call(args)
 
 
 def _class(args):

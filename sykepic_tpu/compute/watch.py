@@ -1,0 +1,93 @@
+"""Continuous monitoring mode: ``sykepic-tpu watch`` polls a raw directory
+and processes new IFCB samples as the instrument writes them (fused
+classify+features per sample).
+
+The reference is batch-only (run ``sykepic prob``/``feat`` by hand or cron);
+this daemon is the deployment shape the pipeline actually runs in at a
+monitoring station: the model stays loaded (no per-invocation JAX/compile
+cost), outputs are idempotent (existing CSVs skip), and a sample is only
+picked up once its ``.roi`` stops growing (the instrument writes for ~20
+minutes per sample).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from ..utils import files, logger
+from . import pipeline, probability
+
+log = logger.get_logger("watch")
+
+
+def call(args):
+    clf = probability.prepare_model(args.model, batch_size=args.batch_size)
+    run(
+        args.raw,
+        clf,
+        args.out,
+        feat_out_dir=args.feat_out or args.out,
+        interval=args.interval,
+        settle_seconds=args.settle,
+        max_cycles=None,
+    )
+
+
+def find_ready_samples(raw_dir, settle_seconds: float = 60.0):
+    """Sample paths whose raw triplet is complete and whose ``.roi`` has not
+    been modified for ``settle_seconds`` (still being written otherwise)."""
+    now = time.time()
+    ready = []
+    for sample_path in files.list_sample_paths(raw_dir):
+        roi = sample_path.with_suffix(".roi")
+        adc = sample_path.with_suffix(".adc")
+        hdr = sample_path.with_suffix(".hdr")
+        if not (adc.is_file() and hdr.is_file()):
+            continue
+        try:
+            mtime = roi.stat().st_mtime
+        except FileNotFoundError:
+            continue
+        if now - mtime >= settle_seconds:
+            ready.append(sample_path)
+    return sorted(ready)
+
+
+def run(
+    raw_dir,
+    clf,
+    prob_out_dir,
+    feat_out_dir=None,
+    interval: float = 30.0,
+    settle_seconds: float = 60.0,
+    max_cycles: int | None = None,
+    sleep=time.sleep,
+):
+    """Poll loop. ``max_cycles``/``sleep`` are injectable for tests.
+
+    Returns the set of sample names processed over the run.
+    """
+    feat_out_dir = feat_out_dir or prob_out_dir
+    done: set[str] = set()
+    cycles = 0
+    while True:
+        try:
+            ready = [
+                p for p in find_ready_samples(raw_dir, settle_seconds)
+                if p.name not in done
+            ]
+            if ready:
+                log.info(f"Processing {len(ready)} new sample(s)")
+                processed = pipeline.main(
+                    ready, clf, prob_out_dir, feat_out_dir=feat_out_dir
+                )
+                done |= processed
+                # samples that existed on disk already count as handled
+                done |= {p.name for p in ready}
+        except Exception:
+            log.exception("watch cycle failed; continuing")
+        cycles += 1
+        if max_cycles is not None and cycles >= max_cycles:
+            return done
+        sleep(interval)

@@ -1,0 +1,77 @@
+"""Tests for the continuous monitoring daemon (compute/watch.py)."""
+
+import os
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+
+from sykepic_tpu.compute import probability, watch
+
+SRC = Path("tests/data/raw/valid")
+SAMPLE = "D20180712T065600_IFCB114"
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    from sykepic_tpu.models import checkpoint
+    from sykepic_tpu.models.registry import init_variables
+    from sykepic_tpu.train import config as tcfg
+
+    src = Path("tests/model/resnet18_ref")
+    d = tmp_path_factory.mktemp("model") / "resnet18_tpu"
+    d.mkdir()
+    shutil.copy(src / "config.ini", d / "config.ini")
+    shutil.copy(src / "class_names.txt", d / "class_names.txt")
+    config = tcfg.read_config(d / "config.ini")
+    model, _ = tcfg.get_network(config, 50)
+    shape = tcfg.get_img_shape(config)
+    variables = init_variables(model, (shape[1], shape[2], shape[0]), seed=0)
+    checkpoint.save_variables(d / "best_state.msgpack", variables)
+    return d
+
+
+def copy_sample(raw_dir, old=True):
+    raw_dir.mkdir(parents=True, exist_ok=True)
+    for f in SRC.iterdir():
+        dst = raw_dir / f.name
+        shutil.copy(f, dst)
+        if old:  # make the sample look settled
+            past = time.time() - 3600
+            os.utime(dst, (past, past))
+
+
+def test_settle_filter(tmp_path):
+    raw = tmp_path / "raw"
+    copy_sample(raw, old=False)  # just written -> not ready
+    assert watch.find_ready_samples(raw, settle_seconds=60) == []
+    copy_sample(raw, old=True)
+    ready = watch.find_ready_samples(raw, settle_seconds=60)
+    assert [p.name for p in ready] == [SAMPLE]
+
+
+def test_watch_processes_new_samples_once(tmp_path, model_dir):
+    raw = tmp_path / "raw"
+    copy_sample(raw, old=True)
+    clf = probability.prepare_model(model_dir, batch_size=4)
+
+    sleeps = []
+    done = watch.run(
+        raw, clf, tmp_path / "out", interval=0.0, settle_seconds=1,
+        max_cycles=3, sleep=sleeps.append,
+    )
+    assert done == {SAMPLE}
+    prob_csvs = list((tmp_path / "out").glob("**/*.prob.csv"))
+    feat_csvs = list((tmp_path / "out").glob("**/*.feat.csv"))
+    assert len(prob_csvs) == 1 and len(feat_csvs) == 1
+    assert len(sleeps) == 2  # slept between cycles, not after the last
+    mtime = prob_csvs[0].stat().st_mtime_ns
+
+    # a second run over the same tree reprocesses nothing
+    done2 = watch.run(
+        raw, clf, tmp_path / "out", interval=0.0, settle_seconds=1,
+        max_cycles=1, sleep=lambda s: None,
+    )
+    assert prob_csvs[0].stat().st_mtime_ns == mtime
+    assert done2 == {SAMPLE}  # seen again, skipped via existing CSVs
