@@ -13,7 +13,6 @@ minutes per sample).
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 from ..utils import files, logger
 from . import pipeline, probability

@@ -26,7 +26,7 @@ unfreezing schedule addresses them (reference ``network.py:98-130``:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -34,7 +34,6 @@ the gradient all-reduce over ICI (no hand-written collectives).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
