@@ -117,6 +117,9 @@ class Classifier:
         @partial(jax.jit, static_argnames=("target_h", "target_w"))
         def infer(canvas, heights, widths, new_h, new_w, pad_top,
                   pad_left, border, *, target_h, target_w):
+            # canvas shape is static under trace: giant slots would not fit
+            # the per-program VMEM working set, so they take the einsum path
+            slot_ok = canvas.shape[1] * canvas.shape[2] <= 512 * 512
             x = preprocess.eval_preprocess(
                 canvas, heights, widths, new_h, new_w, pad_top, pad_left,
                 border,
@@ -124,7 +127,7 @@ class Classifier:
                 target_w=target_w,
                 num_chans=spec.num_chans,
                 imagenet_normalization=spec.imagenet_normalization,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas and slot_ok,
             )
             # Keep XLA from fusing the gather-based resize into the first
             # conv (measured ~2x slower without the barrier on TPU).
