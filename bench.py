@@ -30,6 +30,10 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+from sykepic_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
 import os
 
 N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 50_000))

@@ -19,6 +19,9 @@ def _list_of_strings(arg):
 
 def main(argv=None):
     logger.setup()
+    from .utils import jaxcache
+
+    jaxcache.enable()
     parser = ArgumentParser(
         prog="sykepic-tpu",
         description="TPU-native plankton image classification (syke-pic rebuild)",
