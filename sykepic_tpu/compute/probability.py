@@ -164,6 +164,7 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
         todo.append(idx)
 
     results: dict[int, list] = {}
+    expected: dict[int, int] = {}
 
     def roi_stream():
         # Lazy per-sample decode: memory stays bounded by the in-flight
@@ -180,16 +181,34 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
                 log.exception(f"Unexpected error for {sample_paths[idx].name}:", e)
                 continue
             results.setdefault(idx, [])
+            expected[idx] = len(rois)
             for rid, img in rois.images():
                 yield idx, rid, img
 
-    for idx, rid, probs in clf.classify_rois(roi_stream()):
-        results[idx].append((rid, probs))
+    # CSV writes overlap classification: a sample flushes on a writer
+    # thread the moment its last ROI drains from the device.
+    from concurrent.futures import ThreadPoolExecutor
 
     written = set()
-    for idx, rows in results.items():
-        probabilities_to_csv(sorted(rows), clf.classes, csv_paths[idx])
-        written.add(sample_paths[idx].name)
+    flushed: set[int] = set()  # only the main thread mutates this
+    with ThreadPoolExecutor(max_workers=2) as writer:
+        futures = []
+
+        def flush(idx):
+            probabilities_to_csv(sorted(results[idx]), clf.classes,
+                                 csv_paths[idx])
+            return sample_paths[idx].name
+
+        for idx, rid, probs in clf.classify_rois(roi_stream()):
+            results[idx].append((rid, probs))
+            if len(results[idx]) == expected[idx]:
+                flushed.add(idx)
+                futures.append(writer.submit(flush, idx))
+        # zero-ROI samples and any stragglers
+        for idx in results:
+            if idx not in flushed:
+                futures.append(writer.submit(flush, idx))
+        written = {f.result() for f in futures}
     return written | skipped
 
 
