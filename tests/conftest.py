@@ -23,6 +23,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: repeated suite runs skip XLA compilation
+from sykepic_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
