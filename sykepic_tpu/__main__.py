@@ -162,6 +162,11 @@ def main(argv=None):
         "-f", "--force", action="store_true",
         help="Force overwrite of previous outputs",
     )
+    pipeline_parser.add_argument(
+        "--device-features", action="store_true",
+        help="Extract geometry features ON DEVICE in the classification "
+        "batch stream (chamfer-EDT biovolume; version tpu-dev-v1)",
+    )
 
     # watch (continuous monitoring daemon -- no reference equivalent)
     watch_parser = subparsers.add_parser(

@@ -206,3 +206,65 @@ class Classifier:
                 int(batch.roi_ids[i]),
                 probs[i],
             )
+
+    def classify_and_feature_rois(self, tagged_rois):
+        """Fully on-chip fused pass: each packed batch runs classification
+        AND geometry feature extraction (area / biovolume / axes, see
+        :mod:`sykepic_tpu.ops.features_device`) on device, sharing one
+        canvas upload. Yields ``(sample_idx, roi_id, probs_row,
+        (area, biovolume_px, major, minor))``.
+        """
+        from collections import deque
+
+        from ..ops import features_device
+
+        in_flight: deque = deque()
+
+        def drain(batch, device_probs, device_feats):
+            probs = np.asarray(device_probs)
+            feats = [np.asarray(f) for f in device_feats]
+            for i in range(batch.n_valid):
+                yield (
+                    int(batch.sample_idx[i]),
+                    int(batch.roi_ids[i]),
+                    probs[i],
+                    (
+                        float(feats[0][i]), float(feats[1][i]),
+                        float(feats[2][i]), float(feats[3][i]),
+                    ),
+                )
+
+        for batch in pack.pack_rois(
+            tagged_rois, batch_size=self.batch_size, buckets=self.buckets
+        ):
+            # geometry/border metadata from host arrays (cheap), canvas
+            # uploaded ONCE and shared by both device programs
+            new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
+                batch.heights, batch.widths,
+                self.spec.target_h, self.spec.target_w,
+            )
+            border = preprocess.border_values(
+                batch.canvas, batch.heights, batch.widths, self.spec.border
+            )
+            canvas = jax.device_put(batch.canvas)
+            heights = jax.device_put(batch.heights)
+            widths = jax.device_put(batch.widths)
+            device_probs = self._infer(
+                canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                border,
+                target_h=self.spec.target_h, target_w=self.spec.target_w,
+            )
+            device_feats = features_device.device_features(
+                canvas, heights, widths
+            )
+            try:
+                device_probs.copy_to_host_async()
+                for f in device_feats:
+                    f.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - older jax
+                pass
+            in_flight.append((batch, device_probs, device_feats))
+            if len(in_flight) >= 4:
+                yield from drain(*in_flight.popleft())
+        while in_flight:
+            yield from drain(*in_flight.popleft())

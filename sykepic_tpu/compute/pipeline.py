@@ -43,6 +43,7 @@ def call(args):
         feat_out_dir=args.feat_out or args.out,
         force=args.force,
         feature_threads=args.num_workers,
+        device_features=getattr(args, "device_features", False),
     )
 
 
@@ -53,11 +54,26 @@ def main(
     feat_out_dir=None,
     force: bool = False,
     feature_threads: int = 8,
+    device_features: bool = False,
 ):
-    """Single pass: decode once -> TPU classify + host features in parallel.
+    """Single pass: decode once -> TPU classify + features.
+
+    ``device_features=False`` (default): geometry features run on host CPU
+    threads concurrently with TPU classification, producing the host
+    reference values (``# version=tpu-v1``).
+    ``device_features=True``: features compute ON DEVICE in the same batch
+    stream as classification (``sykepic_tpu.ops.features_device``) — the
+    sample -> probabilities + features pass never leaves the chip. Values
+    carry ``# version=tpu-dev-v1`` (chamfer-EDT biovolume, whole-mask axes;
+    see the module docstring for the documented deviations).
 
     Returns the set of sample names fully processed.
     """
+    if device_features:
+        return _main_device_features(
+            sample_paths, clf, prob_out_dir, feat_out_dir or prob_out_dir,
+            force,
+        )
     feat_out_dir = feat_out_dir or prob_out_dir
     decoded = []
     prob_csvs = {}
@@ -131,4 +147,74 @@ def main(
         written.add(names[idx])
     if feat_done != written:
         log.warning(f"feature/probability sample mismatch: {feat_done ^ written}")
+    return written
+
+
+def _main_device_features(sample_paths, clf, prob_out_dir, feat_out_dir,
+                          force):
+    """Fused on-chip pass: one ROI stream, two device programs per batch."""
+    decoded = []
+    prob_csvs = {}
+    feat_csvs = {}
+    volumes = {}
+    for idx, sample_path in enumerate(Path(p) for p in sample_paths):
+        prob_csv = files.sample_csv_path(sample_path, prob_out_dir,
+                                         probability.FILE_SUFFIX)
+        feat_csv = files.sample_csv_path(sample_path, feat_out_dir,
+                                         feature_native.FILE_SUFFIX)
+        if prob_csv.is_file() and feat_csv.is_file() and not force:
+            log.warning(f"{sample_path.name} outputs exist, skipping")
+            continue
+        try:
+            rois = ifcb.read_sample(sample_path)
+            volumes[idx] = ifcb.sample_volume(sample_path.with_suffix(".hdr"))
+        except ValueError:
+            log.exception(f"Faulty raw data for {sample_path.name}")
+            continue
+        except Exception as e:
+            log.exception(f"Unexpected error for {sample_path.name}:", e)
+            continue
+        decoded.append((idx, sample_path, rois))
+        prob_csvs[idx] = prob_csv
+        feat_csvs[idx] = feat_csv
+
+    prob_rows: dict[int, list] = {idx: [] for idx, *_ in decoded}
+    feat_rows: dict[int, list] = {idx: [] for idx, *_ in decoded}
+
+    def roi_stream():
+        for idx, _, rois in decoded:
+            for rid, img in rois.images():
+                yield idx, rid, img
+
+    from .units import biovolume_to_biomass
+
+    for idx, rid, probs, feats in clf.classify_and_feature_rois(roi_stream()):
+        prob_rows[idx].append((rid, probs))
+        area, biovol_px, major, minor = feats
+        biovol_um3 = feature_native.pixels_to_um3(biovol_px)
+        feat_rows[idx].append(
+            (
+                rid, biovol_px, biovol_um3,
+                biovolume_to_biomass(biovol_um3, volumes[idx]),
+                int(area), major, minor,
+            )
+        )
+
+    written = set()
+    for idx, sample_path, _ in decoded:
+        probability.probabilities_to_csv(
+            sorted(prob_rows[idx]), clf.classes, prob_csvs[idx]
+        )
+        csv_path = Path(feat_csvs[idx])
+        csv_path.parent.mkdir(parents=True, exist_ok=True)
+        lines = [
+            "# version=tpu-dev-v1",
+            f"# volume_ml={volumes[idx]}",
+            feature_native.CSV_COLUMNS,
+        ]
+        lines.extend(
+            ",".join(map(str, row)) for row in sorted(feat_rows[idx])
+        )
+        csv_path.write_text("\n".join(lines) + "\n")
+        written.add(sample_path.name)
     return written

@@ -57,3 +57,40 @@ def test_skip_if_exists(tmp_path, model_dir):
     mtime = prob_csv.stat().st_mtime_ns
     assert pipeline.main([sample], clf, tmp_path) == set()
     assert prob_csv.stat().st_mtime_ns == mtime
+
+
+def test_device_features_mode(tmp_path, model_dir):
+    """Fused on-chip mode: prob CSV identical to host mode; feat values
+    track the host reference within the documented deviations."""
+    import pandas as pd
+
+    from sykepic_tpu.compute import pipeline, probability
+
+    sample = Path("tests/data/raw/valid/D20180712T065600_IFCB114")
+    clf = probability.prepare_model(model_dir, batch_size=4)
+
+    pipeline.main([sample], clf, tmp_path / "host")
+    pipeline.main([sample], clf, tmp_path / "dev", device_features=True)
+
+    host_prob = next((tmp_path / "host").glob("**/*.prob.csv")).read_bytes()
+    dev_prob = next((tmp_path / "dev").glob("**/*.prob.csv")).read_bytes()
+    assert host_prob == dev_prob
+
+    host_feat = pd.read_csv(
+        next((tmp_path / "host").glob("**/*.feat.csv")), comment="#",
+        index_col=0,
+    )
+    dev_feat_path = next((tmp_path / "dev").glob("**/*.feat.csv"))
+    assert dev_feat_path.read_text().startswith("# version=tpu-dev-v1")
+    dev_feat = pd.read_csv(dev_feat_path, comment="#", index_col=0)
+    assert list(dev_feat.index) == list(host_feat.index)
+    for roi in dev_feat.index:
+        assert dev_feat.loc[roi, "area"] == pytest.approx(
+            host_feat.loc[roi, "area"], rel=0.15
+        )
+        assert dev_feat.loc[roi, "biovolume_px"] == pytest.approx(
+            host_feat.loc[roi, "biovolume_px"], rel=0.15
+        )
+        assert dev_feat.loc[roi, "biomass_ugl"] == pytest.approx(
+            host_feat.loc[roi, "biomass_ugl"], rel=0.15
+        )
