@@ -246,9 +246,14 @@ class Classifier:
             border = preprocess.border_values(
                 batch.canvas, batch.heights, batch.widths, self.spec.border
             )
-            canvas = jax.device_put(batch.canvas)
-            heights = jax.device_put(batch.heights)
-            widths = jax.device_put(batch.widths)
+            put = (
+                (lambda a: jax.device_put(a, self._data_sharding))
+                if self._data_sharding is not None
+                else jax.device_put
+            )
+            canvas = put(batch.canvas)
+            heights = put(batch.heights)
+            widths = put(batch.widths)
             device_probs = self._infer(
                 canvas, heights, widths, new_h, new_w, pad_top, pad_left,
                 border,

@@ -56,3 +56,20 @@ def test_sharded_matches_single_device(model_dir):
 def test_mesh_batch_divisibility(model_dir):
     with pytest.raises(ValueError):
         Classifier(model_dir, batch_size=6, mesh=data_mesh())
+
+
+def test_sharded_fused_features(model_dir):
+    """classify_and_feature_rois under a mesh matches single-device."""
+    rois = list(
+        ifcb.read_sample("tests/data/raw/valid/D20180712T065600_IFCB114").images()
+    )
+    tagged = [(0, rid, img) for rid, img in rois]
+    single = Classifier(model_dir, batch_size=8)
+    sharded = Classifier(model_dir, batch_size=8, mesh=data_mesh())
+    out_s = {r[1]: r for r in single.classify_and_feature_rois(iter(tagged))}
+    out_m = {r[1]: r for r in sharded.classify_and_feature_rois(iter(tagged))}
+    assert out_s.keys() == out_m.keys()
+    for rid in out_s:
+        np.testing.assert_allclose(out_m[rid][2], out_s[rid][2],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out_m[rid][3], out_s[rid][3], rtol=1e-4)
