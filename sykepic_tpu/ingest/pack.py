@@ -85,12 +85,17 @@ MAX_CANVAS_BYTES = 64 * 1024 * 1024
 
 
 def effective_batch_size(batch_size: int, bucket: tuple[int, int],
-                         max_bytes: int = MAX_CANVAS_BYTES) -> int:
+                         max_bytes: int = MAX_CANVAS_BYTES,
+                         multiple: int = 1) -> int:
+    """Batch size for a bucket under the canvas-memory cap, rounded up to
+    ``multiple`` (a data-parallel mesh needs every batch divisible by its
+    device count)."""
     slot = bucket[0] * bucket[1]
     b = batch_size
     while b > 1 and b * slot > max_bytes:
         b //= 2
-    return max(b, 1)
+    b = max(b, 1, multiple)
+    return ((b + multiple - 1) // multiple) * multiple
 
 
 def pack_rois(
@@ -98,6 +103,7 @@ def pack_rois(
     batch_size: int = 256,
     buckets=DEFAULT_BUCKETS,
     pad_to_batch: bool = True,
+    batch_multiple: int = 1,
 ):
     """Group ROIs by bucket and pack them into :class:`PackedBatch` es.
 
@@ -121,14 +127,16 @@ def pack_rois(
             img = shrink_to_fit(img, bh, bw)
         group = groups.setdefault((bh, bw), [])
         group.append((sample_idx, roi_id, img))
-        if len(group) == effective_batch_size(batch_size, (bh, bw)):
+        if len(group) == effective_batch_size(batch_size, (bh, bw),
+                                              multiple=batch_multiple):
             yield _emit(group, bh, bw, len(group), pad_to_batch)
             groups[(bh, bw)] = []
     for (bh, bw), group in groups.items():
         if group:
             yield _emit(
                 group, bh, bw,
-                effective_batch_size(batch_size, (bh, bw)),
+                effective_batch_size(batch_size, (bh, bw),
+                                     multiple=batch_multiple),
                 pad_to_batch,
             )
 

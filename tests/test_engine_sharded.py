@@ -33,15 +33,25 @@ def model_dir(tmp_path_factory):
     return d
 
 
-def test_sharded_matches_single_device(model_dir):
-    assert jax.device_count() >= 8
-    rois = list(
-        ifcb.read_sample("tests/data/raw/valid/D20180712T065600_IFCB114").images()
-    )
-    tagged = [(0, rid, img) for rid, img in rois]
+@pytest.fixture(scope="module")
+def tagged():
+    rois = ifcb.read_sample(
+        "tests/data/raw/valid/D20180712T065600_IFCB114"
+    ).images()
+    return [(0, rid, img) for rid, img in rois]
 
-    single = Classifier(model_dir, batch_size=8)
-    sharded = Classifier(model_dir, batch_size=8, mesh=data_mesh())
+
+@pytest.fixture(scope="module")
+def classifiers(model_dir):
+    return (
+        Classifier(model_dir, batch_size=8),
+        Classifier(model_dir, batch_size=8, mesh=data_mesh()),
+    )
+
+
+def test_sharded_matches_single_device(classifiers, tagged):
+    assert jax.device_count() >= 8
+    single, sharded = classifiers
     assert sharded.mesh.size == 8
 
     out_single = {rid: p for _, rid, p in single.classify_rois(iter(tagged))}
@@ -58,14 +68,9 @@ def test_mesh_batch_divisibility(model_dir):
         Classifier(model_dir, batch_size=6, mesh=data_mesh())
 
 
-def test_sharded_fused_features(model_dir):
+def test_sharded_fused_features(classifiers, tagged):
     """classify_and_feature_rois under a mesh matches single-device."""
-    rois = list(
-        ifcb.read_sample("tests/data/raw/valid/D20180712T065600_IFCB114").images()
-    )
-    tagged = [(0, rid, img) for rid, img in rois]
-    single = Classifier(model_dir, batch_size=8)
-    sharded = Classifier(model_dir, batch_size=8, mesh=data_mesh())
+    single, sharded = classifiers
     out_s = {r[1]: r for r in single.classify_and_feature_rois(iter(tagged))}
     out_m = {r[1]: r for r in sharded.classify_and_feature_rois(iter(tagged))}
     assert out_s.keys() == out_m.keys()

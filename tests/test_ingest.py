@@ -140,3 +140,11 @@ def test_sample_csv_path():
 
     p = files.sample_csv_path(VALID, "/out", suffix=".prob")
     assert str(p) == "/out/2018/07/12/D20180712T065600_IFCB114.prob.csv"
+
+
+def test_effective_batch_size_mesh_multiple():
+    # canvas-memory halving must stay divisible by a mesh's device count
+    assert pack.effective_batch_size(72, (1024, 1024), multiple=8) == 40
+    assert pack.effective_batch_size(512, (1024, 1024), multiple=8) == 64
+    assert pack.effective_batch_size(4, (1024, 1024), multiple=8) == 8
+    assert pack.effective_batch_size(512, (48, 64), multiple=8) == 512
