@@ -233,16 +233,13 @@ class Classifier:
 
         def drain(batch, device_probs, device_feats):
             probs = np.asarray(device_probs)
-            feats = [np.asarray(f) for f in device_feats]
+            feats = np.asarray(device_feats)  # (B, 4): area, biovol, maj, min
             for i in range(batch.n_valid):
                 yield (
                     int(batch.sample_idx[i]),
                     int(batch.roi_ids[i]),
                     probs[i],
-                    (
-                        float(feats[0][i]), float(feats[1][i]),
-                        float(feats[2][i]), float(feats[3][i]),
-                    ),
+                    tuple(float(v) for v in feats[i]),
                 )
 
         for batch in pack.pack_rois(
@@ -272,8 +269,7 @@ class Classifier:
             )
             try:
                 device_probs.copy_to_host_async()
-                for f in device_feats:
-                    f.copy_to_host_async()
+                device_feats.copy_to_host_async()
             except AttributeError:  # pragma: no cover - older jax
                 pass
             in_flight.append((batch, device_probs, device_feats))

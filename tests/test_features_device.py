@@ -52,12 +52,12 @@ def test_device_features_track_host_on_fixture():
     rois = ifcb.read_sample("tests/data/raw/valid/D20180712T065600_IFCB114")
     tagged = [(0, rid, img) for rid, img in rois.images()]
     (batch,) = pack.pack_rois(tagged, batch_size=2, buckets=((64, 128),))
-    area, biovol, major, minor = (
-        np.asarray(a)
-        for a in features_device.device_features(
+    stacked = np.asarray(
+        features_device.device_features(
             batch.canvas, batch.heights, batch.widths
         )
     )
+    area, biovol, major, minor = stacked.T
     for i, (rid, img) in enumerate(rois.images()):
         _, host = host_features.compute_features(img)
         host = dict(host)
