@@ -127,7 +127,11 @@ class Classifier:
                 target_h=target_h,
                 target_w=target_w,
                 num_chans=spec.num_chans,
-                imagenet_normalization=spec.imagenet_normalization,
+                # The reference appends ImageNet Normalize ONLY to the train
+                # transform (config.py:52-56); its eval/inference pixels are
+                # never normalized, so neither are ours (parity with
+                # reference-trained checkpoints).
+                imagenet_normalization=False,
                 use_pallas=use_pallas and slot_ok,
             )
             # Keep XLA from fusing the gather-based resize into the first

@@ -277,7 +277,9 @@ def eval_preprocess(
     use_pallas: bool = False,
 ):
     """Fused eval-path preprocessing (reference eval transform = Resize +
-    ToTensor [+ Normalize], ``train/config.py:31-58``).
+    ToTensor, ``train/config.py:31-58``; NOTE the reference appends ImageNet
+    Normalize only to the TRAIN transform, so pass
+    ``imagenet_normalization=False`` for reference-parity inference).
 
     ``border`` is the per-image fill value, precomputed on the host by
     :func:`border_values` (mode pixel / white / black).

@@ -151,19 +151,49 @@ class BatchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
+        errors: list[BaseException] = []
+
+        def offer(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx in self._index_batches():
-                    q.put(self._make_batch(idx))
+                    if cancel.is_set():
+                        break
+                    if not offer(self._make_batch(idx)):
+                        break
+            except BaseException as e:  # surfaced to the consumer below
+                errors.append(e)
             finally:
-                q.put(stop)
+                offer(stop)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            # abandoning the iterator (exception in the consumer) must not
+            # leave the producer blocked on a full queue forever
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10)
+        if errors:
+            raise RuntimeError(
+                f"BatchLoader producer failed: {errors[0]!r}"
+            ) from errors[0]

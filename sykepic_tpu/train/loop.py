@@ -77,7 +77,6 @@ def main(args):
         model_data.oversample(None, float(decay))
 
     # [image]
-    img_shape = config_mod.get_img_shape(config)
     batch_size = config.getint("image", "batch_size")
     num_workers = config.getint("image", "num_workers")
     spec = config_mod.get_preprocess_spec(config)
@@ -94,13 +93,29 @@ def main(args):
     model_network = config.get("model", "network")
     model_id = config.get("model", "id")
     model_dir = Path(config.get("model", "path"))
+    resume_requested = config.getboolean("train", "resume", fallback=False)
     if model_id == "auto":
-        model_id = data.auto_id(model_network, model_dir)
+        next_id = data.auto_id(model_network, model_dir)
+        if resume_requested and next_id > 1:
+            # resume targets the LATEST existing auto dir when it holds a
+            # train state; otherwise `auto` would allocate a fresh empty
+            # dir and the resume request would silently do nothing
+            latest = model_dir / f"{model_network}_{next_id - 1}"
+            if (latest / "train_state.msgpack").is_file():
+                model_id = next_id - 1
+            else:
+                model_id = next_id
+        else:
+            model_id = next_id
     model_name = model_network
     if model_id:
         model_name += f"_{model_id}"
     model_dir = model_dir / model_name
-    model_dir.mkdir(parents=True, exist_ok=config.getboolean("model", "exist_ok"))
+    model_dir.mkdir(
+        parents=True,
+        exist_ok=config.getboolean("model", "exist_ok")
+        or (resume_requested and model_dir.is_dir()),
+    )
     model_data.save(model_dir)
     shutil.copy(args.config, model_dir / "config.ini")
 
@@ -153,13 +168,20 @@ def main(args):
 
     # Mid-training resume (upgrade over the reference, which never saved
     # optimizer state): `[train] resume = yes` + an existing
-    # train_state.msgpack in the model dir continues from the saved epoch.
+    # train_state.msgpack in the model dir continues from the saved epoch
+    # with optimizer, LR-schedule and best-metric bookkeeping restored.
     start_epoch = 1
-    if config.getboolean("train", "resume", fallback=False):
+    resume_metrics = None
+    if resume_requested:
         resumed = load_train_state(model_dir, trainer)
         if resumed:
-            start_epoch = resumed + 1
+            start_epoch = int(resumed["epoch"]) + 1
+            schedule.restore(resumed.get("schedule"))
+            resume_metrics = resumed.get("metrics")
             print(f"[INFO] Resuming training from epoch {start_epoch}")
+        else:
+            print("[WARNING] resume requested but no train_state.msgpack "
+                  f"in {model_dir}; starting fresh")
 
     train_x, train_y = model_data.train_set()
     train_loader = BatchLoader(
@@ -180,6 +202,7 @@ def main(args):
         early_stop_patience,
         model_dir,
         start_epoch=start_epoch,
+        resume_metrics=resume_metrics,
     )
     import jax
 
@@ -219,23 +242,29 @@ def train_net(
     progress_bar: bool = True,
     plots: bool = True,
     start_epoch: int = 1,
+    resume_metrics: dict | None = None,
 ):
     """Epoch loop (reference ``train.py:201-320``). Returns the best
     checkpoint path."""
     from ..analyze import plot
 
     model_dir = Path(model_dir)
-    max_val_acc = 0.0
-    min_val_loss = 0.0
-    no_improvement = 0
+    # On resume the best-checkpoint/early-stop bookkeeping continues where
+    # it left off; otherwise epoch 1 after a crash would overwrite a better
+    # pre-crash best_state.msgpack.
+    resume_metrics = resume_metrics or {}
+    max_val_acc = float(resume_metrics.get("max_val_acc", 0.0))
+    min_val_loss = float(resume_metrics.get("min_val_loss", 0.0))
+    no_improvement = int(resume_metrics.get("no_improvement", 0))
     train_accuracies, train_losses = [], []
     val_accuracies, val_losses = [], []
     best_state = model_dir / checkpoint.BEST_STATE
 
     try:
-        # replay LR-warmup stage transitions skipped by a resume
-        for epoch in range(1, start_epoch):
-            schedule.start_epoch(epoch)
+        if start_epoch > 1 and not resume_metrics:
+            # legacy train_state without schedule info: replay warmup
+            for epoch in range(1, start_epoch):
+                schedule.start_epoch(epoch)
         for epoch in range(start_epoch, max_epochs + 1):
             print(f"\n----- Epoch {epoch} -----")
             schedule.start_epoch(epoch)
@@ -286,19 +315,31 @@ def train_net(
                 print("[INFO] Increased accuracy, saving model state")
                 max_val_acc = val_acc
                 checkpoint.save_variables(best_state, trainer.variables)
-            # Mid-training resume state (upgrade over the reference)
-            save_train_state(model_dir, trainer, epoch)
 
-            if val_loss < min_val_loss or epoch == start_epoch:
+            if val_loss < min_val_loss or (epoch == start_epoch
+                                           and not resume_metrics):
                 no_improvement = 0
                 min_val_loss = val_loss
             else:
                 no_improvement += 1
                 print(f"[INFO] No reduction in loss for {no_improvement} epochs")
-            if no_improvement >= early_stop_patience:
+            early_stop = no_improvement >= early_stop_patience
+            if not early_stop:
+                schedule.end_epoch(epoch, val_loss)
+            # Mid-training resume state (upgrade over the reference):
+            # params + optimizer + LR schedule + best-metric bookkeeping
+            save_train_state(
+                model_dir, trainer, epoch,
+                metrics={
+                    "max_val_acc": max_val_acc,
+                    "min_val_loss": min_val_loss,
+                    "no_improvement": no_improvement,
+                },
+                schedule=schedule,
+            )
+            if early_stop:
                 print("[INFO] Stopping early")
                 break
-            schedule.end_epoch(epoch, val_loss)
     except KeyboardInterrupt:
         print("[INFO] Stopping early")
     except Exception as e:  # reference swallows and returns best (train.py:316-320)
@@ -339,7 +380,8 @@ def test_net(trainer: Trainer, loader, classes, test_name=None) -> str:
 
 def load_train_state(model_dir, trainer: Trainer):
     """Restore params/batch_stats/optimizer state from
-    ``train_state.msgpack``; returns the saved epoch or None."""
+    ``train_state.msgpack``. Returns the saved state dict (with ``epoch``,
+    ``metrics`` and ``schedule`` entries) or None."""
     import jax
     from flax import serialization
 
@@ -354,11 +396,13 @@ def load_train_state(model_dir, trainer: Trainer):
                                       state["opt_state"]),
         trainer._replicated,
     )
-    return int(state["epoch"])
+    return state
 
 
-def save_train_state(model_dir, trainer: Trainer, epoch: int) -> None:
-    """Persist params + batch_stats + optimizer state for resume."""
+def save_train_state(model_dir, trainer: Trainer, epoch: int,
+                     metrics: dict | None = None, schedule=None) -> None:
+    """Persist params + batch_stats + optimizer state + training
+    bookkeeping for resume."""
     import jax
     from flax import serialization
 
@@ -367,6 +411,8 @@ def save_train_state(model_dir, trainer: Trainer, epoch: int) -> None:
         "batch_stats": jax.device_get(trainer.batch_stats),
         "opt_state": serialization.to_state_dict(jax.device_get(trainer.opt_state)),
         "epoch": epoch,
+        "metrics": dict(metrics or {}),
+        "schedule": schedule.snapshot() if schedule is not None else {},
     }
     path = Path(model_dir) / "train_state.msgpack"
     path.write_bytes(serialization.msgpack_serialize(state))
@@ -383,10 +429,15 @@ def load_pretrained(variables, weights_spec, network_name: str):
     if not weights_spec:
         return variables
     path = Path(str(weights_spec))
-    if path.suffix == ".msgpack" and path.is_file():
-        loaded = checkpoint.load_variables(path)
-        return merge_variables(variables, loaded)
-    if path.suffix == ".pth" and path.is_file():
+    if path.suffix in (".msgpack", ".pth"):
+        # a checkpoint path must exist: silently training a multi-hour run
+        # from random init because of a typo is unacceptable
+        if not path.is_file():
+            raise FileNotFoundError(
+                f"[model] weights checkpoint not found: {path}"
+            )
+        if path.suffix == ".msgpack":
+            return merge_variables(variables, checkpoint.load_variables(path))
         from ..models import convert_torch
 
         return merge_variables(variables, convert_torch.load_pth(path))

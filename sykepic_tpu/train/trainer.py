@@ -94,7 +94,9 @@ def make_optimizer(name: str):
     if name == "sgd":
         return optax.identity()
     if name == "rmsprop":
-        return optax.scale_by_rms()
+        # torch RMSprop defaults: alpha=0.99, eps=1e-8 (the reference gets
+        # these via getattr(torch.optim, name))
+        return optax.scale_by_rms(decay=0.99, eps=1e-8)
     raise ValueError(f"Unsupported optimizer: {name}")
 
 
@@ -168,7 +170,12 @@ class Trainer:
                 )
         img = img / 255.0
         img = jnp.repeat(img[..., None], spec.num_chans, axis=-1)
-        if spec.imagenet_normalization:
+        # ImageNet normalization applies to the TRAIN path only: the
+        # reference appends Normalize solely to train_transform
+        # (config.py:52-56), so its eval/val/test/inference pixels are
+        # unnormalized — replicated here (including the train/eval skew)
+        # for checkpoint compatibility.
+        if train and spec.imagenet_normalization:
             mean = jnp.asarray(preprocess.IMAGENET_MEAN[: spec.num_chans])
             std = jnp.asarray(preprocess.IMAGENET_STD[: spec.num_chans])
             img = (img - mean) / std
@@ -359,3 +366,22 @@ class LRSchedule:
             if self._bad_epochs > r["patience"]:
                 self.lrs = [lr * r["factor"] for lr in self.lrs]
                 self._bad_epochs = 0
+
+    def snapshot(self) -> dict:
+        """Serializable state for mid-training resume."""
+        return {
+            "lrs": list(self.lrs),
+            "stage": self.stage,
+            "best_loss": self._best_loss,
+            "bad_epochs": self._bad_epochs,
+        }
+
+    def restore(self, state: dict | None) -> None:
+        """Restore a :meth:`snapshot` (no-op on None)."""
+        if not state:
+            return
+        self.lrs = [float(lr) for lr in state["lrs"]]
+        self.stage = int(state["stage"])
+        best = state.get("best_loss")
+        self._best_loss = None if best is None else float(best)
+        self._bad_epochs = int(state.get("bad_epochs", 0))

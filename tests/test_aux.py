@@ -67,11 +67,23 @@ def test_train_state_resume_roundtrip(tmp_path):
         paths=[None] * 8,
     )
     t1.train_batch(batch, stage=0, lrs=(1e-3, 0, 0))
-    save_train_state(tmp_path, t1, epoch=5)
+    from sykepic_tpu.train.trainer import LRSchedule
+
+    sched = LRSchedule(0.01, warmup=dict(factor_1=0.1, factor_2=0.5,
+                                         step_1=1, step_2=2, step_3=3))
+    sched.start_epoch(1)
+    save_train_state(tmp_path, t1, epoch=5,
+                     metrics={"max_val_acc": 0.9, "min_val_loss": 0.2,
+                              "no_improvement": 1},
+                     schedule=sched)
 
     t2 = make_trainer()
-    epoch = load_train_state(tmp_path, t2)
-    assert epoch == 5
+    state = load_train_state(tmp_path, t2)
+    assert int(state["epoch"]) == 5
+    assert state["metrics"]["max_val_acc"] == 0.9
+    sched2 = LRSchedule(0.01)
+    sched2.restore(state["schedule"])
+    assert sched2.lrs == sched.lrs and sched2.stage == sched.stage
     import jax
 
     a = jax.tree_util.tree_leaves(t1.params)
@@ -87,3 +99,36 @@ def test_sample_csv_path_layout(tmp_path):
         "raw/D20180712T065600_IFCB114", tmp_path, suffix=".prob"
     )
     assert out.as_posix().endswith("2018/07/12/D20180712T065600_IFCB114.prob.csv")
+
+
+def test_batchloader_producer_error_propagates(tmp_path):
+    import cv2
+
+    from sykepic_tpu.train.input import BatchLoader
+
+    good = tmp_path / "good.png"
+    cv2.imwrite(str(good), np.zeros((8, 8), np.uint8))
+    bad = tmp_path / "missing.png"  # never written
+    loader = BatchLoader([good, bad], [0, 1], batch_size=2)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(loader)
+
+
+def test_batchloader_abandoned_iterator_no_hang(tmp_path):
+    import cv2
+
+    from sykepic_tpu.train.input import BatchLoader
+
+    paths = []
+    for i in range(64):
+        p = tmp_path / f"x{i}.png"
+        cv2.imwrite(str(p), np.zeros((8, 8), np.uint8))
+        paths.append(p)
+    loader = BatchLoader(paths, list(range(64)), batch_size=4, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer abandons mid-epoch; must not deadlock
+    # a fresh epoch over the same loader still works
+    assert len(list(loader)) == 16

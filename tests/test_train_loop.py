@@ -156,3 +156,38 @@ def test_collage_and_dist_modes(trained_model_dir, tmp_path):
     )
     loop.main(args)
     assert (tmp_path / "dist.png").is_file()
+
+
+def test_resume_continues_in_same_dir(trained_model_dir, tmp_path):
+    """resume=yes + id=auto picks up the latest auto dir, restores the
+    bookkeeping and does NOT clobber a better best checkpoint."""
+    import configparser
+
+    cfg = configparser.ConfigParser()
+    cfg.read(trained_model_dir / "config.ini")
+    cfg.set("train", "resume", "yes")
+    cfg.set("train", "max_epochs", "3")  # one more epoch past the saved 2
+    resumed_ini = tmp_path / "resume.ini"
+    with open(resumed_ini, "w") as fh:
+        cfg.write(fh)
+
+    from flax import serialization
+
+    state_path = trained_model_dir / "train_state.msgpack"
+    before = serialization.msgpack_restore(state_path.read_bytes())
+    assert int(before["epoch"]) == 2
+    # fake a high historical best so the resumed (worse) epoch must not
+    # overwrite best_state.msgpack
+    best = trained_model_dir / "best_state.msgpack"
+    marker = best.read_bytes()
+    before["metrics"]["max_val_acc"] = 1.0
+    state_path.write_bytes(serialization.msgpack_serialize(before))
+
+    args = SimpleNamespace(
+        config=str(resumed_ini), collage=None, dist=None, save_images=None
+    )
+    out_dir = loop.main(args)
+    assert out_dir == trained_model_dir  # reused, not a new auto dir
+    after = serialization.msgpack_restore(state_path.read_bytes())
+    assert int(after["epoch"]) == 3
+    assert best.read_bytes() == marker  # best checkpoint untouched
