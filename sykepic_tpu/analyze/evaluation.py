@@ -117,9 +117,12 @@ def results_as_df(
         c[key] += 1
 
     if grid is None:
-        # single threshold per class: prediction already thresholded upstream
+        # single threshold per class: prediction already thresholded
+        # upstream. A plain-argmax fallback prediction can name a class
+        # absent from the thresholds file; treat it as threshold 0 instead
+        # of crashing (the reference raises KeyError here).
         for p, a, cf in zip(preds, actual, conf):
-            t = thres_dict[p] if isinstance(thres_dict, dict) else thres_dict
+            t = thres_dict.get(p, 0.0) if isinstance(thres_dict, dict) else thres_dict
             pred_eff = p if cf >= t else empty
             for name, result in classification_result(pred_eff, a, empty):
                 bump(name, t, result)

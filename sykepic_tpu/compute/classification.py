@@ -91,13 +91,17 @@ def main(args):
 
 
 def match_prob_feat(probs, feats):
-    """Pair prob and feat CSVs by sample stem (reference ``:65-73``)."""
+    """Pair prob and feat CSVs by sample stem (reference ``:65-73``).
+
+    The reference's mismatched-count branch is an O(N*M) cross-product; a
+    stem index gives the identical (feat-sorted) pairing in O(N+M).
+    """
     if len(probs) != len(feats):
+        by_stem = {p.with_suffix("").stem: p for p in sorted(probs)}
         return [
-            (p, f)
+            (by_stem[stem], f)
             for f in sorted(feats)
-            for p in sorted(probs)
-            if p.with_suffix("").stem == f.with_suffix("").stem
+            if (stem := f.with_suffix("").stem) in by_stem
         ]
     return list(zip(sorted(probs), sorted(feats)))
 

@@ -135,7 +135,7 @@ def main(bin, sample_paths, out_dir, parallel):
             with open(out_csv, "w") as fh:
                 fh.write(f"# version={VERSION}\n# volume_ml={volume_ml}\n")
                 frame.to_csv(fh, index=False)
-        processed.add(sample_path.stem)
+            processed.add(sample_path.stem)
     return processed
 
 

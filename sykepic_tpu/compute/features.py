@@ -15,12 +15,13 @@ Sosik 2012):
 - **Area** = total pixels over all kept blobs (ifcb-analysis convention).
 - **Axis lengths** = MATLAB ``regionprops`` ellipse-of-equal-second-moments
   of the LARGEST blob, including the +1/12 pixel-extent correction.
-- **Biovolume** (pixel^3): per blob, a distance-map estimator. Elongated
-  blobs (eccentricity > 0.8) use the solid-of-revolution along the major
-  axis, ``V = sum_x pi/4 * w(x)^2`` (exact for bodies of revolution);
-  compact blobs use the sphere-calibrated distance-map sum ``V = 4 *
-  sum(D)`` (exact for digital spheres). This mirrors the ifcb-analysis
-  biovolume selection logic.
+- **Biovolume** (pixel^3): the SSC distance-map estimator ``V = pi *
+  sum(D)`` over all blob pixels (one exact EDT of the whole mask — blobs
+  are disjoint, so per-blob sums equal the global sum). Exact for
+  tube-like bodies, which dominate plankton morphology.
+  :func:`sor_volume` (solid of revolution about the major axis) is
+  available for explicitly axisymmetric work but is not in the default
+  path.
 
 Numerical parity note: because the upstream algorithm is not available,
 values agree with the reference fixtures approximately (areas within ~15%,
@@ -36,7 +37,6 @@ import numpy as np
 from scipy import ndimage as ndi
 
 MIN_BLOB_AREA = 15
-SOR_ECCENTRICITY = 0.8
 
 
 def otsu_threshold(img: np.ndarray) -> int:
@@ -125,12 +125,6 @@ def distmap_volume(mask: np.ndarray) -> float:
     (Sieracki, Reichenbach & Webb 1989; Moberg & Sosik 2012 lineage)."""
     d = ndi.distance_transform_edt(mask)
     return float(np.pi * d.sum())
-
-
-def blob_volume(mask: np.ndarray) -> float:
-    """Biovolume of a single blob (distance-map estimator; ``sor_volume``
-    is available for explicitly axisymmetric work)."""
-    return distmap_volume(mask)
 
 
 def compute_features(roi: np.ndarray):

@@ -19,6 +19,8 @@ from ..ingest import ifcb
 from ..utils import files, logger
 from . import feature_native, probability
 from .engine import Classifier
+from .features import compute_features
+from .units import biovolume_to_biomass
 
 log = logger.get_logger("pipeline")
 
@@ -75,88 +77,98 @@ def main(
             force,
         )
     feat_out_dir = feat_out_dir or prob_out_dir
-    decoded = []
-    prob_csvs = {}
-    feat_jobs = []
-    for idx, sample_path in enumerate(Path(p) for p in sample_paths):
-        prob_csv = files.sample_csv_path(sample_path, prob_out_dir,
-                                         probability.FILE_SUFFIX)
-        feat_csv = files.sample_csv_path(sample_path, feat_out_dir,
-                                         feature_native.FILE_SUFFIX)
-        if prob_csv.is_file() and feat_csv.is_file() and not force:
-            log.warning(f"{sample_path.name} outputs exist, skipping")
-            continue
+    todo, prob_csvs, feat_csvs = _plan(sample_paths, prob_out_dir,
+                                       feat_out_dir, force)
+
+    results: dict[int, list] = {}
+    expected: dict[int, int] = {}
+    names: dict[int, str] = {}
+
+    import threading
+
+    # Feature jobs hold their sample's decoded payload; bound the backlog so
+    # memory stays O(threads), not O(archive) (classification usually runs
+    # faster than host feature extraction).
+    backlog = threading.BoundedSemaphore(max(2 * feature_threads, 4))
+
+    def feature_worker(rois, volume_ml, feat_csv, name):
         try:
-            rois = ifcb.read_sample(sample_path)
-            volume_ml = ifcb.sample_volume(sample_path.with_suffix(".hdr"))
-        except ValueError:
-            log.exception(f"Faulty raw data for {sample_path.name}")
-            continue
-        except Exception as e:
-            log.exception(f"Unexpected error for {sample_path.name}:", e)
-            continue
-        decoded.append((idx, sample_path, rois, volume_ml))
-        prob_csvs[idx] = prob_csv
-        feat_jobs.append((idx, sample_path, rois, volume_ml, feat_csv))
-
-    results: dict[int, list] = {idx: [] for idx, *_ in decoded}
-
-    def feature_worker(job):
-        idx, sample_path, rois, volume_ml, feat_csv = job
-        roi_features = []
-        for roi_id, img in rois.images():
-            from .features import compute_features
-
-            _, feats = compute_features(img)
-            feats = dict(feats)
-            biovol_px = feats["Biovolume"]
-            biovol_um3 = feature_native.pixels_to_um3(biovol_px)
-            from .units import biovolume_to_biomass
-
-            roi_features.append(
-                (
-                    roi_id,
-                    biovol_px,
-                    biovol_um3,
-                    biovolume_to_biomass(biovol_um3, volume_ml),
-                    feats["Area"],
-                    feats["MajorAxisLength"],
-                    feats["MinorAxisLength"],
+            roi_features = []
+            for roi_id, img in rois.images():
+                feats = dict(compute_features(img)[1])
+                biovol_px = feats["Biovolume"]
+                biovol_um3 = feature_native.pixels_to_um3(biovol_px)
+                roi_features.append(
+                    (
+                        roi_id, biovol_px, biovol_um3,
+                        biovolume_to_biomass(biovol_um3, volume_ml),
+                        feats["Area"], feats["MajorAxisLength"],
+                        feats["MinorAxisLength"],
+                    )
                 )
-            )
-        feature_native.features_to_csv(volume_ml, roi_features, feat_csv)
-        return sample_path.name
+            feature_native.features_to_csv(volume_ml, roi_features, feat_csv)
+            return name
+        finally:
+            backlog.release()
 
-    def roi_stream():
-        for idx, _, rois, _ in decoded:
-            for rid, img in rois.images():
-                yield idx, rid, img
-
-    # TPU classification streams in the foreground; features ride the pool
+    written = set()
     with ThreadPoolExecutor(max_workers=max(feature_threads, 1)) as pool:
-        feat_futures = [pool.submit(feature_worker, job) for job in feat_jobs]
+        feat_futures = []
+
+        def roi_stream():
+            # lazy per-sample decode: memory stays bounded by the in-flight
+            # device batches plus the feature backlog
+            for idx, sample_path in todo:
+                try:
+                    rois = ifcb.read_sample(sample_path)
+                    volume_ml = ifcb.sample_volume(
+                        sample_path.with_suffix(".hdr")
+                    )
+                except ValueError:
+                    log.exception(f"Faulty raw data for {sample_path.name}")
+                    continue
+                except Exception:
+                    log.exception(f"Unexpected error for {sample_path.name}")
+                    continue
+                results.setdefault(idx, [])
+                expected[idx] = len(rois)
+                names[idx] = sample_path.name
+                backlog.acquire()
+                feat_futures.append(
+                    pool.submit(feature_worker, rois, volume_ml,
+                                feat_csvs[idx], sample_path.name)
+                )
+                for rid, img in rois.images():
+                    yield idx, rid, img
+
+        def flush(idx):
+            probability.probabilities_to_csv(
+                sorted(results.pop(idx)), clf.classes, prob_csvs[idx]
+            )
+            written.add(names[idx])
+
+        flushed = set()
         for idx, rid, probs in clf.classify_rois(roi_stream()):
             results[idx].append((rid, probs))
+            if len(results[idx]) == expected[idx]:
+                flushed.add(idx)
+                flush(idx)
+        for idx in list(results):  # zero-ROI samples
+            if idx not in flushed:
+                flush(idx)
         feat_done = {f.result() for f in feat_futures}
 
-    names = {idx: sample_path.name for idx, sample_path, _, _ in decoded}
-    written = set()
-    for idx, rows in results.items():
-        probability.probabilities_to_csv(sorted(rows), clf.classes,
-                                         prob_csvs[idx])
-        written.add(names[idx])
     if feat_done != written:
         log.warning(f"feature/probability sample mismatch: {feat_done ^ written}")
     return written
 
 
-def _main_device_features(sample_paths, clf, prob_out_dir, feat_out_dir,
-                          force):
-    """Fused on-chip pass: one ROI stream, two device programs per batch."""
-    decoded = []
+def _plan(sample_paths, prob_out_dir, feat_out_dir, force):
+    """(todo, prob_csvs, feat_csvs): samples needing work and their output
+    paths — no decoding happens here."""
+    todo = []
     prob_csvs = {}
     feat_csvs = {}
-    volumes = {}
     for idx, sample_path in enumerate(Path(p) for p in sample_paths):
         prob_csv = files.sample_csv_path(sample_path, prob_out_dir,
                                          probability.FILE_SUFFIX)
@@ -165,29 +177,64 @@ def _main_device_features(sample_paths, clf, prob_out_dir, feat_out_dir,
         if prob_csv.is_file() and feat_csv.is_file() and not force:
             log.warning(f"{sample_path.name} outputs exist, skipping")
             continue
-        try:
-            rois = ifcb.read_sample(sample_path)
-            volumes[idx] = ifcb.sample_volume(sample_path.with_suffix(".hdr"))
-        except ValueError:
-            log.exception(f"Faulty raw data for {sample_path.name}")
-            continue
-        except Exception as e:
-            log.exception(f"Unexpected error for {sample_path.name}:", e)
-            continue
-        decoded.append((idx, sample_path, rois))
+        todo.append((idx, sample_path))
         prob_csvs[idx] = prob_csv
         feat_csvs[idx] = feat_csv
+    return todo, prob_csvs, feat_csvs
 
-    prob_rows: dict[int, list] = {idx: [] for idx, *_ in decoded}
-    feat_rows: dict[int, list] = {idx: [] for idx, *_ in decoded}
+
+def _main_device_features(sample_paths, clf, prob_out_dir, feat_out_dir,
+                          force):
+    """Fused on-chip pass: one ROI stream, two device programs per batch."""
+    todo, prob_csvs, feat_csvs = _plan(sample_paths, prob_out_dir,
+                                       feat_out_dir, force)
+
+    prob_rows: dict[int, list] = {}
+    feat_rows: dict[int, list] = {}
+    expected: dict[int, int] = {}
+    names: dict[int, str] = {}
+    volumes: dict[int, float] = {}
 
     def roi_stream():
-        for idx, _, rois in decoded:
+        for idx, sample_path in todo:
+            try:
+                rois = ifcb.read_sample(sample_path)
+                volumes[idx] = ifcb.sample_volume(
+                    sample_path.with_suffix(".hdr")
+                )
+            except ValueError:
+                log.exception(f"Faulty raw data for {sample_path.name}")
+                continue
+            except Exception:
+                log.exception(f"Unexpected error for {sample_path.name}")
+                continue
+            prob_rows.setdefault(idx, [])
+            feat_rows.setdefault(idx, [])
+            expected[idx] = len(rois)
+            names[idx] = sample_path.name
             for rid, img in rois.images():
                 yield idx, rid, img
 
-    from .units import biovolume_to_biomass
+    written = set()
 
+    def flush(idx):
+        probability.probabilities_to_csv(
+            sorted(prob_rows.pop(idx)), clf.classes, prob_csvs[idx]
+        )
+        csv_path = Path(feat_csvs[idx])
+        csv_path.parent.mkdir(parents=True, exist_ok=True)
+        lines = [
+            "# version=tpu-dev-v1",
+            f"# volume_ml={volumes[idx]}",
+            feature_native.CSV_COLUMNS,
+        ]
+        lines.extend(
+            ",".join(map(str, row)) for row in sorted(feat_rows.pop(idx))
+        )
+        csv_path.write_text("\n".join(lines) + "\n")
+        written.add(names[idx])
+
+    flushed = set()
     for idx, rid, probs, feats in clf.classify_and_feature_rois(roi_stream()):
         prob_rows[idx].append((rid, probs))
         area, biovol_px, major, minor = feats
@@ -199,22 +246,10 @@ def _main_device_features(sample_paths, clf, prob_out_dir, feat_out_dir,
                 int(area), major, minor,
             )
         )
-
-    written = set()
-    for idx, sample_path, _ in decoded:
-        probability.probabilities_to_csv(
-            sorted(prob_rows[idx]), clf.classes, prob_csvs[idx]
-        )
-        csv_path = Path(feat_csvs[idx])
-        csv_path.parent.mkdir(parents=True, exist_ok=True)
-        lines = [
-            "# version=tpu-dev-v1",
-            f"# volume_ml={volumes[idx]}",
-            feature_native.CSV_COLUMNS,
-        ]
-        lines.extend(
-            ",".join(map(str, row)) for row in sorted(feat_rows[idx])
-        )
-        csv_path.write_text("\n".join(lines) + "\n")
-        written.add(sample_path.name)
+        if len(prob_rows[idx]) == expected[idx]:
+            flushed.add(idx)
+            flush(idx)
+    for idx in list(prob_rows):
+        if idx not in flushed:
+            flush(idx)
     return written

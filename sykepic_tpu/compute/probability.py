@@ -177,8 +177,8 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
             except ValueError:
                 log.exception(f"Faulty raw data for {sample_paths[idx].name}")
                 continue
-            except Exception as e:
-                log.exception(f"Unexpected error for {sample_paths[idx].name}:", e)
+            except Exception:
+                log.exception(f"Unexpected error for {sample_paths[idx].name}")
                 continue
             results.setdefault(idx, [])
             expected[idx] = len(rois)

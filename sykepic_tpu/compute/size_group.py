@@ -102,7 +102,10 @@ def size_table(
     for csv in iterator:
         sample = Path(csv).with_suffix("").stem
         if sample.endswith("_biovol"):
-            sample = sample.split("_")[0]
+            # the reference's split("_")[0] (size_group.py:84-85) truncates
+            # at the FIRST underscore, dropping the instrument id; strip
+            # only the suffix
+            sample = sample[: -len("_biovol")]
         sums, volume_ml = bin_feature_csv(
             csv, groups, size_column, value_column, px_to_um3
         )

@@ -124,6 +124,13 @@ def read_sample(sample_path, validate: bool = True) -> SampleRois:
                 f"{sample_path.name}: adc references {int(ends.max())} bytes "
                 f"but .roi holds only {roi_data.size}"
             )
+        # negative start bytes would slice from the END of the payload --
+        # silently wrong pixels, or a lazy reshape error that escapes the
+        # per-sample isolation the callers rely on
+        if int(starts.min(initial=0)) < 0:
+            raise ValueError(
+                f"{sample_path.name}: adc contains a negative ROI start byte"
+            )
     return SampleRois(
         sample=sample_path.name,
         roi_ids=roi_ids,

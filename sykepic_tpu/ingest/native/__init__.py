@@ -47,13 +47,6 @@ def lib():
         ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
         ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
     ]
-    handle.pack_canvas.restype = None
-    handle.pack_canvas.argtypes = [
-        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,
-        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
-        ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
-        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong, ctypes.c_longlong,
-    ]
     handle.format_probs.restype = ctypes.c_longlong
     handle.format_probs.argtypes = [
         ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_double),
@@ -82,25 +75,6 @@ def adc_parse(raw: bytes):
     if got < 0:
         return None
     return widths[:got], heights[:got], starts[:got]
-
-
-def pack_canvas(roi_data, starts, heights, widths, canvas) -> bool:
-    """Fill canvas slots from the flat ROI payload. False if unavailable."""
-    handle = lib()
-    if handle is None:
-        return False
-    roi_data = np.ascontiguousarray(roi_data, np.uint8)
-    starts = np.ascontiguousarray(starts, np.int64)
-    heights = np.ascontiguousarray(heights, np.int64)
-    widths = np.ascontiguousarray(widths, np.int64)
-    handle.pack_canvas(
-        roi_data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        roi_data.size, _ll_ptr(starts), _ll_ptr(heights), _ll_ptr(widths),
-        len(starts),
-        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        canvas.shape[1], canvas.shape[2],
-    )
-    return True
 
 
 def format_probs(roi_ids, probs):

@@ -1,11 +1,10 @@
 // Native hot-path helpers for the IFCB ingest/runtime layer.
 //
 // The reference is pure Python and pays for it on the host side (ADC CSV
-// parsing with per-line str.split, per-ROI Python-loop packing, and a
-// million snprintf-equivalent format calls per probability CSV tree). These
-// are the measured host bottlenecks of the TPU pipeline once device compute
-// is fast, so they live in C++ (loaded via ctypes; pure-NumPy fallbacks
-// remain in the Python layer).
+// parsing with per-line str.split and a million snprintf-equivalent format
+// calls per probability CSV tree). These are the measured host bottlenecks
+// of the TPU pipeline once device compute is fast, so they live in C++
+// (loaded via ctypes; pure-NumPy fallbacks remain in the Python layer).
 //
 // Build: `make` in this directory -> libifcb_native.so
 
@@ -88,25 +87,6 @@ long long adc_parse(const char* buf, long long len, long long* widths,
         ++row;
     }
     return row;
-}
-
-// Copy n ROIs (flat uint8 payload slices of h*w bytes) into the top-left
-// corner of fixed (ch, cw) canvas slots.
-void pack_canvas(const unsigned char* roi, long long roi_len,
-                 const long long* starts, const long long* heights,
-                 const long long* widths, long long n, unsigned char* canvas,
-                 long long ch, long long cw) {
-    const long long slot = ch * cw;
-    for (long long k = 0; k < n; ++k) {
-        const long long h = heights[k] < ch ? heights[k] : ch;
-        const long long w = widths[k] < cw ? widths[k] : cw;
-        const unsigned char* src = roi + starts[k];
-        if (starts[k] + heights[k] * widths[k] > roi_len) continue;  // guarded upstream
-        unsigned char* dst = canvas + k * slot;
-        for (long long r = 0; r < h; ++r) {
-            memcpy(dst + r * cw, src + r * widths[k], (size_t)w);
-        }
-    }
 }
 
 // Format probability CSV rows: "<roi>,<p0>,...,<pC-1>\n" with 5-decimal

@@ -73,28 +73,6 @@ def test_format_probs_matches_python():
     assert body.splitlines() == expected_lines
 
 
-def test_pack_canvas_matches_numpy():
-    rng = np.random.default_rng(1)
-    n = 16
-    ch, cw = 64, 128
-    heights = rng.integers(1, ch + 1, n).astype(np.int64)
-    widths = rng.integers(1, cw + 1, n).astype(np.int64)
-    sizes = heights * widths
-    starts = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)
-    payload = rng.integers(0, 256, int(sizes.sum())).astype(np.uint8)
-
-    ref = np.zeros((n, ch, cw), np.uint8)
-    for i in range(n):
-        img = payload[starts[i] : starts[i] + sizes[i]].reshape(
-            heights[i], widths[i]
-        )
-        ref[i, : heights[i], : widths[i]] = img
-
-    out = np.zeros((n, ch, cw), np.uint8)
-    assert native.pack_canvas(payload, starts, heights, widths, out)
-    np.testing.assert_array_equal(out, ref)
-
-
 def test_probabilities_to_csv_native_path(tmp_path):
     """End-to-end CSV writer must be byte-identical whichever path runs."""
     from sykepic_tpu.compute import probability
