@@ -60,8 +60,13 @@ def load_model_state(model_dir, template=None):
     torch_ckpt = model_dir / TORCH_STATE
     if torch_ckpt.is_file():
         from . import convert_torch
+        from flax import serialization
 
-        return convert_torch.load_pth(torch_ckpt)
+        tree = convert_torch.load_pth(torch_ckpt)
+        if template is not None:
+            # same strict shape/structure validation as the native path
+            return serialization.from_state_dict(template, tree)
+        return tree
     raise FileNotFoundError(
         f"No {BEST_STATE} or {TORCH_STATE} in {model_dir}"
     )

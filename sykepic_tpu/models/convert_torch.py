@@ -44,6 +44,14 @@ def _to_numpy(t):
         return np.asarray(t)
 
 
+def _put(tree, path, leaf):
+    """Insert ``leaf`` at ``path`` (key tuple) of a nested dict tree."""
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
 def normalize_state_dict(state_dict: dict) -> dict:
     """Rewrite reference ``base.N.*`` / ``head.K.*`` keys into torchvision
     naming (``conv1.*`` / ``layerX.Y.*`` / ``head.K.*`` kept as-is)."""
@@ -67,12 +75,6 @@ def torch_resnet_to_flax(state_dict: dict) -> dict:
     params: dict = {}
     stats: dict = {}
 
-    def put(tree, path, leaf):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = leaf
-
     head_linears = []  # (torch_index, weight, bias)
     for key, value in sd.items():
         if key.endswith("num_batches_tracked"):
@@ -88,7 +90,7 @@ def torch_resnet_to_flax(state_dict: dict) -> dict:
                 head_linears.append((idx, v))
             continue
         if parts[0] == "conv1":
-            put(params, ("conv1", "kernel"), v.transpose(2, 3, 1, 0))
+            _put(params, ("conv1", "kernel"), v.transpose(2, 3, 1, 0))
         elif parts[0] == "bn1":
             _put_bn(params, stats, ("bn1",), parts[-1], v)
         elif parts[0].startswith("layer"):
@@ -97,12 +99,12 @@ def torch_resnet_to_flax(state_dict: dict) -> dict:
             mod = f"{stage}_{block}"
             sub = parts[2]
             if sub.startswith("conv"):
-                put(params, (mod, sub, "kernel"), v.transpose(2, 3, 1, 0))
+                _put(params, (mod, sub, "kernel"), v.transpose(2, 3, 1, 0))
             elif sub.startswith("bn"):
                 _put_bn(params, stats, (mod, sub), parts[-1], v)
             elif sub == "downsample":
                 if parts[3] == "0":
-                    put(
+                    _put(
                         params,
                         (mod, "downsample_conv", "kernel"),
                         v.transpose(2, 3, 1, 0),
@@ -132,20 +134,14 @@ def torch_resnet_to_flax(state_dict: dict) -> dict:
 
 
 def _put_bn(params, stats, path, leaf_name, v):
-    def put(tree, path, leaf):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = leaf
-
     if leaf_name == "weight":
-        put(params, (*path, "scale"), v)
+        _put(params, (*path, "scale"), v)
     elif leaf_name == "bias":
-        put(params, (*path, "bias"), v)
+        _put(params, (*path, "bias"), v)
     elif leaf_name == "running_mean":
-        put(stats, (*path, "mean"), v)
+        _put(stats, (*path, "mean"), v)
     elif leaf_name == "running_var":
-        put(stats, (*path, "var"), v)
+        _put(stats, (*path, "var"), v)
     else:
         raise KeyError(f"Unhandled bn leaf {leaf_name}")
 

@@ -106,6 +106,14 @@ def chamfer_distance(mask, iterations: int):
         return jnp.where(mask, cand, 0.0)
 
     d = jax.lax.fori_loop(0, iterations, body, d)
+    # Safety clamp: pixels the fixed relaxation never reached (degenerate
+    # masks, e.g. serpentine cavities needing more sweeps) still hold the
+    # sentinel — cap them at each image's largest relaxed distance instead
+    # of letting 1e6 values corrupt the biovolume sum.
+    relaxed = d < big / 2.0
+    per_image_max = jnp.max(jnp.where(relaxed, d, 0.0), axis=(1, 2),
+                            keepdims=True)
+    d = jnp.where(relaxed, d, per_image_max)
     return d / 3.0
 
 
@@ -143,15 +151,18 @@ def device_features(canvas, heights, widths, fill_iters: int | None = None,
     packed uint8 canvas batch, entirely on device.
 
     Iteration counts must cover the worst case for the canvas shape: the
-    flood fill can need ``ch + cw`` steps (a serpentine cavity), the chamfer
-    relaxation needs the maximum blob half-thickness, bounded by
-    ``min(ch, cw) / 2 + 1``.
+    flood fill can need ``ch + cw`` steps (a serpentine cavity); the chamfer
+    relaxation propagates one pixel per sweep, and a blob spanning the full
+    valid height of a wide bucket puts background up to ``max(ch, cw) / 2``
+    away, so the bound uses the LARGER side (truly degenerate masks are
+    additionally handled by the sentinel clamp in
+    :func:`chamfer_distance`).
     """
     b, ch, cw = canvas.shape
     if fill_iters is None:
         fill_iters = ch + cw
     if edt_iters is None:
-        edt_iters = min(ch, cw) // 2 + 2
+        edt_iters = max(ch, cw) // 2 + 2
     t, valid = batched_otsu(canvas, heights, widths)
     mask = (canvas.astype(jnp.int32) <= t[:, None, None]) & valid
     mask = fill_holes(mask, fill_iters)

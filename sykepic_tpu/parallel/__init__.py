@@ -8,9 +8,11 @@ pick a mesh, annotate shardings, let XLA insert the collectives over ICI.
   shard over it, parameters replicate (used by both the inference engine and
   the trainer).
 - :func:`data_model_mesh` -- 2-D ``("data", "model")`` mesh for optional
-  tensor-parallel sharding of wide kernels (see ``__graft_entry__``).
+  tensor-parallel sharding of wide kernels (used by
+  ``__graft_entry__.dryrun_multichip``).
 - :func:`shard_batch` / :func:`replicate` -- NamedSharding device_put
-  helpers.
+  helpers for library users (the engine/trainer inline their own puts so
+  their single-program-per-shape guarantees stay local).
 """
 
 from __future__ import annotations

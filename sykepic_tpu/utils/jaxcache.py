@@ -18,8 +18,10 @@ def enable(cache_dir=None) -> Path | None:
     """Configure jax's compilation cache (idempotent). Returns the dir or
     None when disabled. Must run before the first compilation."""
     env = os.environ.get("SYKEPIC_COMPILE_CACHE", "")
-    if env == "0":
+    if env.lower() in ("0", "false", "no", "off"):
         return None
+    if env.lower() in ("", "1", "true", "yes", "on"):
+        env = ""  # plain enable spellings mean "use the default dir"
     cache_dir = Path(cache_dir or (env if env else DEFAULT_DIR))
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)

@@ -132,3 +132,27 @@ def test_batchloader_abandoned_iterator_no_hang(tmp_path):
     it.close()  # consumer abandons mid-epoch; must not deadlock
     # a fresh epoch over the same loader still works
     assert len(list(loader)) == 16
+
+
+def test_parallel_helpers():
+    import jax
+
+    from sykepic_tpu import parallel
+
+    mesh = parallel.data_mesh()
+    assert mesh.axis_names == ("data",) and mesh.size == 8
+    mesh2 = parallel.data_model_mesh(model_parallel=2)
+    assert mesh2.axis_names == ("data", "model")
+    assert mesh2.devices.shape == (4, 2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parallel.data_model_mesh(model_parallel=3)
+
+    x = np.arange(16.0).reshape(16, 1)
+    sharded = parallel.shard_batch(mesh, x)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec("data")
+    a, b = parallel.shard_batch(mesh, x, x + 1)
+    np.testing.assert_array_equal(np.asarray(b), x + 1)
+    rep = parallel.replicate(mesh, {"w": x})
+    assert rep["w"].sharding.spec == jax.sharding.PartitionSpec()
