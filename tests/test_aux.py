@@ -156,3 +156,18 @@ def test_parallel_helpers():
     np.testing.assert_array_equal(np.asarray(b), x + 1)
     rep = parallel.replicate(mesh, {"w": x})
     assert rep["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_jaxcache_env_spellings(tmp_path, monkeypatch):
+    from sykepic_tpu.utils import jaxcache
+
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", "0")
+    assert jaxcache.enable() is None
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", "off")
+    assert jaxcache.enable() is None
+    # plain enable spellings use the default dir, not a dir named "1"
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", "1")
+    assert jaxcache.enable(cache_dir=tmp_path / "cache") == tmp_path / "cache"
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", str(tmp_path / "explicit"))
+    assert jaxcache.enable() == tmp_path / "explicit"
+    assert (tmp_path / "explicit").is_dir()
