@@ -3,33 +3,50 @@ batch goes from pixels to (area, biovolume, major/minor axis) without
 leaving the chip.
 
 This is the TPU-native counterpart of :mod:`sykepic_tpu.compute.features`
-(the host reference implementation used for CSV outputs). Everything is
-fixed-iteration vectorized ops — no data-dependent control flow:
+(the host reference implementation used for CSV outputs) and tracks the
+same calibrated ifcb-analysis-lineage pipeline:
 
-- per-image Otsu threshold: 256-bin histogram via one-hot sums + cumulative
-  between-class variance (VPU),
-- hole filling: background flood fill from the canvas border as
-  ``(ch+cw)`` iterations of 3x3 dilation constrained to non-mask pixels
-  (a ``lax.fori_loop`` of cheap max-pools); holes = non-background,
-- distance transform: chamfer 3-4 approximation of the Euclidean EDT via
-  fixed min-plus sweeps (error <4% on plankton-scale blobs; the host path
-  uses the exact EDT),
-- area / biovolume (pi * sum D) / MATLAB-style ellipse axes from masked
-  moment sums.
+- per-image **phase congruency** (Kovesi phasecong3-style ``M + m``) via
+  batched ``jnp.fft`` — the log-Gabor/spread filter bank depends only on
+  the static canvas shape and folds into the compiled program,
+- **hysteresis threshold** (0.2 / 0.08) as a bounded flood of the strong
+  mask through the weak mask (``lax.fori_loop`` of 3x3 max-pools),
+- **morphological consolidation**: dilate by a radius-2 disk, fill holes
+  (background flood from the valid-region border), erode back twice with
+  MATLAB border semantics (out-of-image counts as foreground),
+- union with the **dark mask** (``img <= 0.7 * otsu``; per-image Otsu via
+  one-hot histograms) and a re-fill,
+- **largest blob**: flood from each image's distance-map argmax (the
+  deepest interior pixel) — equals the host's largest-area blob whenever
+  the largest blob is also the thickest, which holds for plankton ROIs,
+- area / biovolume ``sum(4D - 2)`` / MATLAB-style ellipse axes from masked
+  moment sums; the distance transform is a chamfer 3-4 approximation of
+  the exact EDT (error <4% on plankton-scale blobs).
 
-Deviation from the host path (documented): no small-blob removal or
-largest-blob selection (connected-component labeling is latency-bound
-serial work); axes are computed over ALL blob pixels. For typical
-single-organism ROIs the results track the host implementation closely
-(see tests/test_features_device.py tolerances).
+Deviations from the host path (documented, tested in
+tests/test_features_device.py): the FFT window is the padded slot, not the
+exact ROI (padding is filled with the per-ROI mean so the spectrum stays
+close); chamfer vs exact EDT; thickest- vs largest-blob selection.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+from ..compute.features import DARK_OTSU_SCALE, HYST_HIGH, HYST_LOW
+
+# Euclidean disk of radius 2 offsets (matches compute.features.DISK2)
+_DISK2_OFFSETS = [
+    (dy, dx)
+    for dy in range(-2, 3)
+    for dx in range(-2, 3)
+    if dy * dy + dx * dx <= 4
+]
 
 
 def batched_otsu(canvas, heights, widths):
@@ -62,29 +79,73 @@ def _dilate3(x):
     )
 
 
-def fill_holes(mask, iterations: int):
-    """Flood-fill background from the border; anything unreachable is a
-    hole and joins the mask. ``mask``: (B, H, W) bool."""
+def _flood(seed, within, iterations: int):
+    """Grow ``seed`` through ``within`` by 8-connected steps (bool arrays)."""
+    within_f = within.astype(jnp.float32)
+    state = seed.astype(jnp.float32) * within_f
+
+    def body(_, s):
+        return jnp.minimum(_dilate3(s), 1.0) * within_f
+
+    state = jax.lax.fori_loop(0, iterations, body, state)
+    return state > 0.5
+
+
+def _shift(mask_f, dy: int, dx: int, pad_value: float):
+    padded = jnp.pad(mask_f, ((0, 0), (2, 2), (2, 2)), constant_values=pad_value)
+    return jax.lax.dynamic_slice(padded, (0, 2 + dy, 2 + dx), mask_f.shape)
+
+
+def dilate_disk2(mask, valid):
+    """Radius-2 disk dilation confined to the valid region."""
+    m = mask.astype(jnp.float32)
+    out = jnp.zeros_like(m)
+    for dy, dx in _DISK2_OFFSETS:
+        out = jnp.maximum(out, _shift(m, dy, dx, 0.0))
+    return (out > 0.5) & valid
+
+
+def erode_disk2(mask, valid, iterations: int = 1):
+    """Radius-2 disk erosion with MATLAB border semantics: everything
+    outside the valid region counts as foreground (imerode pads with 1)."""
+    m = (mask | ~valid).astype(jnp.float32)
+    for _ in range(iterations):
+        acc = jnp.ones_like(m)
+        for dy, dx in _DISK2_OFFSETS:
+            acc = jnp.minimum(acc, _shift(m, dy, dx, 1.0))
+        m = acc
+    return (m > 0.5) & valid
+
+
+def fill_holes(mask, valid, iterations: int):
+    """Fill holes within the valid region: flood background from the
+    valid-region border; valid pixels unreachable through ``~mask`` are
+    holes and join the mask."""
     b, h, w = mask.shape
-    free = (~mask).astype(jnp.float32)
-    border = jnp.zeros((b, h, w), jnp.float32)
-    border = border.at[:, 0, :].set(1.0).at[:, -1, :].set(1.0)
-    border = border.at[:, :, 0].set(1.0).at[:, :, -1].set(1.0)
-    bg = border * free
+    free = jnp.asarray(~mask, jnp.float32)
+    invalid = jnp.asarray(~valid, jnp.float32)
+    # seeds: the invalid region plus the canvas border (so the flood starts
+    # even when the canvas has no padding)
+    border = np.zeros((1, h, w), np.float32)
+    border[:, 0, :] = border[:, -1, :] = 1.0
+    border[:, :, 0] = border[:, :, -1] = 1.0
+    free_or_invalid = jnp.maximum(free, invalid)
+    bg = jnp.minimum(invalid + border, 1.0) * free_or_invalid
 
     def body(_, bg):
-        return jnp.minimum(_dilate3(bg), 1.0) * free
+        return jnp.minimum(_dilate3(bg), 1.0) * free_or_invalid
 
     bg = jax.lax.fori_loop(0, iterations, body, bg)
-    return mask | (bg < 0.5)
+    return (mask | (bg < 0.5)) & valid
 
 
 def chamfer_distance(mask, iterations: int):
     """Chamfer 3-4 distance-to-background (scaled back by 1/3), computed as
-    fixed min-plus relaxation sweeps. ``mask``: (B, H, W) bool."""
+    fixed min-plus relaxation sweeps. ``mask``: (B, H, W) bool. Padding and
+    out-of-image pixels are background EXCEPT where the mask touches the
+    canvas edge (handled by the caller keeping masks inside ``valid``)."""
     big = jnp.float32(1e6)
     d = jnp.where(mask, big, 0.0)
-    h, w = mask.shape[1], mask.shape[2]
 
     def body(_, d):
         # pad with `big` so canvas borders never see phantom background
@@ -117,6 +178,107 @@ def chamfer_distance(mask, iterations: int):
     return d / 3.0
 
 
+# ---------------------------------------------------------------------------
+# Batched phase congruency (shape-static filter bank, jnp.fft)
+# ---------------------------------------------------------------------------
+
+def _pc_filter_bank(rows: int, cols: int, nscale=4, norient=6, minWaveLength=3,
+                    mult=2.1, sigmaOnf=0.55):
+    """Precompute the (nscale*norient, rows, cols) log-Gabor*spread bank and
+    per-orientation angles as NumPy constants (static shapes)."""
+    if cols % 2:
+        xvals = np.arange(-(cols - 1) / 2.0, ((cols - 1) / 2.0) + 1) / (cols - 1)
+    else:
+        xvals = np.arange(-cols / 2.0, cols / 2.0) / cols
+    if rows % 2:
+        yvals = np.arange(-(rows - 1) / 2.0, ((rows - 1) / 2.0) + 1) / (rows - 1)
+    else:
+        yvals = np.arange(-rows / 2.0, rows / 2.0) / rows
+    x, y = np.meshgrid(xvals, yvals)
+    radius = np.fft.ifftshift(np.sqrt(x**2 + y**2))
+    theta = np.fft.ifftshift(np.arctan2(-y, x))
+    radius[0, 0] = 1.0
+    lp = np.fft.ifftshift(1.0 / (1.0 + (np.sqrt(x**2 + y**2) / 0.45) ** 30))
+    gabors = []
+    for s in range(nscale):
+        fo = 1.0 / (minWaveLength * mult**s)
+        lg = np.exp(-(np.log(radius / fo)) ** 2 / (2 * np.log(sigmaOnf) ** 2))
+        lg *= lp
+        lg[0, 0] = 0.0
+        gabors.append(lg)
+    spreads = []
+    for o in range(norient):
+        angl = o * np.pi / norient
+        ds = np.sin(theta) * np.cos(angl) - np.cos(theta) * np.sin(angl)
+        dc = np.cos(theta) * np.cos(angl) + np.sin(theta) * np.sin(angl)
+        dtheta = np.minimum(np.abs(np.arctan2(ds, dc)) * norient / 2.0, np.pi)
+        spreads.append((np.cos(dtheta) + 1) / 2.0)
+    bank = np.stack([g * sp for sp in spreads for g in gabors])  # (O*S, H, W)
+    return bank.astype(np.float32)
+
+
+def _masked_median(values, valid):
+    """Per-image median over the valid region. values/valid: (B, H, W)."""
+    b = values.shape[0]
+    flat = jnp.where(valid, values, jnp.inf).reshape(b, -1)
+    srt = jnp.sort(flat, axis=1)
+    n = valid.reshape(b, -1).sum(axis=1)
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    vlo = jnp.take_along_axis(srt, lo[:, None], axis=1)[:, 0]
+    vhi = jnp.take_along_axis(srt, hi[:, None], axis=1)[:, 0]
+    return (vlo + vhi) / 2.0
+
+
+def phasecong_Mm_batched(x, valid, nscale=4, norient=6, mult=2.1,
+                         k=2.0, cutOff=0.5, g=10.0):
+    """Batched ``M + m`` phase congruency of (B, H, W) float images.
+    Mirrors ``compute.features.phasecong_Mm`` (median noise estimate taken
+    over the valid region)."""
+    b, rows, cols = x.shape
+    bank = jnp.asarray(_pc_filter_bank(rows, cols, nscale=nscale,
+                                       norient=norient, mult=mult))
+    # subtract the per-image mean before the FFT: the log-Gabor bank zeroes
+    # the DC bin anyway, and removing the ~1e5-magnitude DC term keeps the
+    # complex64 rounding error ~50x smaller than on the raw image
+    x = x - x.mean(axis=(1, 2), keepdims=True)
+    IM = jnp.fft.fft2(x.astype(jnp.complex64))  # (B, H, W)
+    # responses: (B, O*S, H, W) — batched inverse FFTs of filtered spectra
+    filtered = IM[:, None] * bank[None]
+    eo = jnp.fft.ifft2(filtered)
+    eo = eo.reshape(b, norient, nscale, rows, cols)
+    an = jnp.abs(eo)
+    sumAn = an.sum(axis=2)                      # (B, O, H, W)
+    sumE = jnp.real(eo).sum(axis=2)
+    sumO = jnp.imag(eo).sum(axis=2)
+    epsilon = 1e-4
+    x_energy = jnp.sqrt(sumE**2 + sumO**2) + epsilon
+    mean_e = sumE / x_energy
+    mean_o = sumO / x_energy
+    e = jnp.real(eo)
+    o_ = jnp.imag(eo)
+    energy = (e * mean_e[:, :, None] + o_ * mean_o[:, :, None]
+              - jnp.abs(e * mean_o[:, :, None] - o_ * mean_e[:, :, None])).sum(axis=2)
+    # noise threshold from the smallest-scale amplitude (per image+orient)
+    an0 = an[:, :, 0]
+    tau = jax.vmap(lambda v: _masked_median(v, valid), in_axes=1, out_axes=1)(an0)
+    tau = tau / np.sqrt(np.log(4))  # Rayleigh median -> scale estimate
+    total_tau = tau * (1 - (1 / mult) ** nscale) / (1 - (1 / mult))
+    noise_t = total_tau * (np.sqrt(np.pi / 2) + k * np.sqrt((4 - np.pi) / 2))
+    energy = jnp.maximum(energy - noise_t[:, :, None, None], 0.0)
+    maxAn = an.max(axis=2)
+    width = (sumAn / (maxAn + epsilon) - 1) / (nscale - 1)
+    weight = 1.0 / (1 + jnp.exp(g * (cutOff - width)))
+    pc = weight * energy / sumAn                # (B, O, H, W)
+    angles = jnp.asarray(
+        np.arange(norient) * np.pi / norient, jnp.float32)
+    covx = pc * jnp.cos(angles)[None, :, None, None]
+    covy = pc * jnp.sin(angles)[None, :, None, None]
+    covx2 = (covx**2).sum(axis=1) / (norient / 2.0)
+    covy2 = (covy**2).sum(axis=1) / (norient / 2.0)
+    return covx2 + covy2                        # == M + m
+
+
 def moments_features(mask):
     """(area, major, minor) from masked moment sums; MATLAB regionprops
     ellipse-of-equal-second-moments with the +1/12 pixel term."""
@@ -144,17 +306,28 @@ def moments_features(mask):
     )
 
 
+def _largest_blob(mask, d, iterations: int):
+    """Select the blob containing each image's deepest (max-distance) pixel
+    — the host's largest blob whenever largest == thickest."""
+    b, h, w = mask.shape
+    flat = d.reshape(b, -1)
+    peak = jnp.argmax(flat, axis=1)
+    seed = jax.nn.one_hot(peak, h * w, dtype=jnp.float32).reshape(b, h, w) > 0.5
+    return _flood(seed & mask, mask, iterations)
+
+
 @functools.partial(jax.jit, static_argnames=("fill_iters", "edt_iters"))
 def device_features(canvas, heights, widths, fill_iters: int | None = None,
                     edt_iters: int | None = None):
     """(area, biovolume_px, major, minor) float32 arrays of shape (B,) for a
-    packed uint8 canvas batch, entirely on device.
+    packed uint8 canvas batch, entirely on device. Tracks the host
+    ``compute.features`` pipeline (see module docstring for deviations).
 
-    Iteration counts must cover the worst case for the canvas shape: the
-    flood fill can need ``ch + cw`` steps (a serpentine cavity); the chamfer
-    relaxation propagates one pixel per sweep, and a blob spanning the full
-    valid height of a wide bucket puts background up to ``max(ch, cw) / 2``
-    away, so the bound uses the LARGER side (truly degenerate masks are
+    Iteration counts must cover the worst case for the canvas shape: floods
+    can need ``ch + cw`` steps (a serpentine cavity); the chamfer relaxation
+    propagates one pixel per sweep, and a blob spanning the full valid
+    height of a wide bucket puts background up to ``max(ch, cw) / 2`` away,
+    so the bound uses the LARGER side (truly degenerate masks are
     additionally handled by the sentinel clamp in
     :func:`chamfer_distance`).
     """
@@ -164,11 +337,31 @@ def device_features(canvas, heights, widths, fill_iters: int | None = None,
     if edt_iters is None:
         edt_iters = max(ch, cw) // 2 + 2
     t, valid = batched_otsu(canvas, heights, widths)
-    mask = (canvas.astype(jnp.int32) <= t[:, None, None]) & valid
-    mask = fill_holes(mask, fill_iters)
-    d = chamfer_distance(mask, edt_iters)
-    area, major, minor = moments_features(mask)
-    biovolume = jnp.pi * d.sum(axis=(1, 2))
+
+    # FFT input: valid pixels, padding filled with the per-ROI mean so the
+    # slot padding stays spectrum-neutral (host FFT sees the exact ROI).
+    xf = canvas.astype(jnp.float32)
+    vf = valid.astype(jnp.float32)
+    mean = (xf * vf).sum(axis=(1, 2)) / jnp.maximum(vf.sum(axis=(1, 2)), 1.0)
+    xfill = jnp.where(valid, xf, mean[:, None, None])
+
+    mm = phasecong_Mm_batched(xfill, valid)
+    weak = (mm > HYST_LOW) & valid
+    strong = (mm > HYST_HIGH) & valid
+    edges = _flood(strong, weak, fill_iters)
+
+    mask = dilate_disk2(edges, valid)
+    mask = fill_holes(mask, valid, fill_iters)
+    mask = erode_disk2(mask, valid, 2)
+    dark = (canvas.astype(jnp.int32)
+            <= (t.astype(jnp.float32) * DARK_OTSU_SCALE)[:, None, None]) & valid
+    mask = fill_holes(mask | dark, valid, fill_iters)
+
+    d_all = chamfer_distance(mask, edt_iters)
+    blob = _largest_blob(mask, d_all, fill_iters)
+    d = chamfer_distance(blob, edt_iters)
+    area, major, minor = moments_features(blob)
+    biovolume = 4.0 * d.sum(axis=(1, 2)) - 2.0 * area
     # one stacked array = ONE device->host transfer for the whole batch
     # (four separate transfers cost 4 tunnel round trips per batch)
     return jnp.stack([area, biovolume, major, minor], axis=1)
