@@ -23,6 +23,7 @@ import shutil
 import sys
 import tempfile
 import time
+from datetime import datetime, timedelta
 from pathlib import Path
 
 import numpy as np
@@ -73,9 +74,13 @@ def build_workload(root: Path, n_rois: int) -> list[Path]:
     per_sample = 500
     raw_dir = root / "raw"
     sample_paths = []
-    day = 0
+    base = datetime(2018, 7, 12)
     for s in range(n_rois // per_sample):
-        name = f"D201807{12 + day:02}T{s % 24:02}{s % 60:02}00_IFCB114"
+        # one synthetic sample per minute keeps names unique for any
+        # workload size (a fixed day with s%24/s%60 repeats every 120
+        # samples and silently overwrites earlier files)
+        ts = base + timedelta(minutes=s)
+        name = f"D{ts:%Y%m%dT%H%M%S}_IFCB114"
         sdir = raw_dir
         sdir.mkdir(parents=True, exist_ok=True)
         adc_rows = []

@@ -98,9 +98,11 @@ def results_as_df(
     rows = eval_df.join(pred_df, how="inner")
     preds = rows["prediction"].astype(str).to_numpy()
     actual = rows["actual"].astype(str).to_numpy()
-    conf = np.array(
-        [rows.iloc[i][p] for i, p in enumerate(preds)], dtype=np.float64
-    )
+    # per-row confidence = probability of the predicted class: one take
+    # along the class axis instead of O(rows) pandas .iloc lookups
+    col_index = {c: i for i, c in enumerate(rows.columns)}
+    pred_cols = np.array([col_index[p] for p in preds], dtype=np.int64)
+    conf = rows.to_numpy()[np.arange(len(rows)), pred_cols].astype(np.float64)
     keep = ~(np.isin(preds, [i for i in ignore if i is not None])
              | np.isin(actual, [i for i in ignore if i is not None]))
     preds, actual, conf = preds[keep], actual[keep], conf[keep]
@@ -112,7 +114,7 @@ def results_as_df(
 
     counts: dict[tuple, dict] = {}
 
-    def bump(name, thres, key, lo=None, hi=None):
+    def bump(name, thres, key):
         c = counts.setdefault((name, thres), {"tp": 0, "tn": 0, "fp": 0, "fn": 0})
         c[key] += 1
 

@@ -33,6 +33,17 @@ from ..utils import logger
 
 SOFTMAX_EXP = 1.3
 
+# Async D2H pipeline depths: how many dispatched batches ride in flight
+# before the oldest is drained. Tuned for the high-latency tunneled TPU this
+# repo benches on (deep enough to hide ~6 round trips); on a local chip the
+# optimum is smaller (2-3) — override via the env vars without code changes.
+# The fused classify+features path carries two transfers per batch, so it
+# saturates at a shallower depth.
+import os as _os
+
+PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_PIPELINE_DEPTH", "6"))
+FUSED_PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_FUSED_PIPELINE_DEPTH", "4"))
+
 log = logger.get_logger("engine")
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -207,7 +218,7 @@ class Classifier:
             except AttributeError:  # pragma: no cover - older jax
                 pass
             in_flight.append((batch, device_probs))
-            if len(in_flight) >= 6:
+            if len(in_flight) >= PIPELINE_DEPTH:
                 yield from self._drain(*in_flight.popleft())
         while in_flight:
             yield from self._drain(*in_flight.popleft())
@@ -277,7 +288,7 @@ class Classifier:
             except AttributeError:  # pragma: no cover - older jax
                 pass
             in_flight.append((batch, device_probs, device_feats))
-            if len(in_flight) >= 4:
+            if len(in_flight) >= FUSED_PIPELINE_DEPTH:
                 yield from drain(*in_flight.popleft())
         while in_flight:
             yield from drain(*in_flight.popleft())

@@ -108,6 +108,11 @@ def main(
                 )
             feature_native.features_to_csv(volume_ml, roi_features, feat_csv)
             return name
+        except Exception:
+            # per-sample isolation, like the decode/classify side: one bad
+            # ROI must not abort the whole multi-sample run
+            log.exception(f"Feature extraction failed for {name}")
+            return None
         finally:
             backlog.release()
 
@@ -156,7 +161,7 @@ def main(
         for idx in list(results):  # zero-ROI samples
             if idx not in flushed:
                 flush(idx)
-        feat_done = {f.result() for f in feat_futures}
+        feat_done = {r for r in (f.result() for f in feat_futures) if r}
 
     if feat_done != written:
         log.warning(f"feature/probability sample mismatch: {feat_done ^ written}")

@@ -45,10 +45,10 @@ def find_ready_samples(raw_dir, settle_seconds: float = 60.0):
         if not (adc.is_file() and hdr.is_file()):
             continue
         try:
-            mtime = roi.stat().st_mtime
+            st = roi.stat()
         except FileNotFoundError:
             continue
-        if now - mtime >= settle_seconds:
+        if now - st.st_mtime >= settle_seconds:
             ready.append(sample_path)
     return sorted(ready)
 
@@ -76,14 +76,33 @@ def run(
                 p for p in find_ready_samples(raw_dir, settle_seconds)
                 if p.name not in done
             ]
+            # same oversize guard as the prob/feat/pipeline CLIs (reference
+            # feature_python.py:22-28): never decode a >1 GB .roi in-process
+            oversized = [
+                p for p in ready
+                if p.with_suffix(".roi").stat().st_size
+                > probability.MAX_ROI_BYTES
+            ]
+            for p in oversized:
+                log.warning(f"{p.name} .roi is over 1 GB, skipping for good")
+            done |= {p.name for p in oversized}
+            ready = [p for p in ready if p.name not in done]
             if ready:
                 log.info(f"Processing {len(ready)} new sample(s)")
                 processed = pipeline.main(
                     ready, clf, prob_out_dir, feat_out_dir=feat_out_dir
                 )
+                # only successfully processed samples (or ones whose output
+                # CSVs already exist) are done — transient failures retry on
+                # the next cycle instead of being dropped for the daemon's
+                # lifetime
                 done |= processed
-                # samples that existed on disk already count as handled
-                done |= {p.name for p in ready}
+                done |= {
+                    p.name for p in ready
+                    if files.sample_csv_path(
+                        p, prob_out_dir, probability.FILE_SUFFIX
+                    ).is_file()
+                }
         except Exception:
             log.exception("watch cycle failed; continuing")
         cycles += 1

@@ -254,7 +254,10 @@ def train_net(
     # pre-crash best_state.msgpack.
     resume_metrics = resume_metrics or {}
     max_val_acc = float(resume_metrics.get("max_val_acc", 0.0))
-    min_val_loss = float(resume_metrics.get("min_val_loss", 0.0))
+    # default to +inf, NOT 0.0: a resumed train_state without the metrics
+    # dict would otherwise make every epoch "no improvement" (no real val
+    # loss can beat 0.0) and trip early stopping immediately
+    min_val_loss = float(resume_metrics.get("min_val_loss", float("inf")))
     no_improvement = int(resume_metrics.get("no_improvement", 0))
     train_accuracies, train_losses = [], []
     val_accuracies, val_losses = [], []

@@ -263,6 +263,12 @@ class Trainer:
     # ----------------------------------------------------------------- API
     def _batch_device_args(self, batch):
         """Geometry + border metadata for a HostBatch, device-sharded."""
+        if len(batch.canvas) % self.mesh.size != 0:
+            raise ValueError(
+                f"batch size {len(batch.canvas)} not divisible by mesh size "
+                f"{self.mesh.size} — pad or drop the tail batch (GSPMD "
+                "cannot shard an indivisible leading axis)"
+            )
         spec = self.spec
         new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
             batch.heights, batch.widths, spec.target_h, spec.target_w
