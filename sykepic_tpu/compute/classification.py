@@ -62,32 +62,31 @@ log = logger.get_logger("class")
 
 def main(args):
     """CLI adapter (reference ``classification.py:21-48``)."""
-    all_probs = sorted(Path(args.probabilities).glob("**/*.csv"))
+    out_path = Path(args.out)
+    if out_path.suffix != ".csv":
+        raise ValueError(f"Output must be a .csv file, got {out_path.name}")
+    if out_path.is_file() and not (args.append or args.force):
+        raise FileExistsError(
+            f"{out_path} already exists; pass --append or --force"
+        )
+    prob_csvs = sorted(Path(args.probabilities).glob("**/*.csv"))
     if args.exclusion_list:
-        probs = filter_out_quality_flagged_samples(all_probs, Path(args.exclusion_list))
-    else:
-        probs = all_probs
-
-    out_file = Path(args.out)
-    if out_file.suffix != ".csv":
-        raise ValueError("Make sure output file ends with .csv")
-    if out_file.is_file():
-        if not (args.append or args.force):
-            raise FileExistsError(f"{args.out} exists, --append or --force not used")
+        prob_csvs = filter_out_quality_flagged_samples(
+            prob_csvs, Path(args.exclusion_list)
+        )
     if args.feat:
-        feats = sorted(Path(args.feat).glob("**/*.csv"))
-        df = class_df(
-            probs,
-            feats,
+        table = class_df(
+            prob_csvs,
+            sorted(Path(args.feat).glob("**/*.csv")),
             thresholds_file=args.thresholds,
             divisions_file=args.divisions,
             summary_feature=args.value_column,
             progress_bar=True,
         )
     else:
-        df = class_df_probs_only(probs, args.thresholds, progress_bar=True)
-    df = swell_df(df)
-    df_to_csv(df, out_file, args.append)
+        table = class_df_probs_only(prob_csvs, args.thresholds,
+                                    progress_bar=True)
+    df_to_csv(swell_df(table), out_path, args.append)
 
 
 def match_prob_feat(probs, feats):
@@ -118,61 +117,67 @@ def class_df(
     (reference ``classification.py:51-106``)."""
     thresholds = threshold_dictionary(thresholds_file)
     divisions = read_divisions(divisions_file) if divisions_file else None
-    df_rows = []
-    iterator = match_prob_feat(probs, feats)
+    pairs = match_prob_feat(probs, feats)
     if progress_bar:
-        iterator = tqdm(iterator, desc=f"Processing {len(feats)} samples")
+        pairs = tqdm(pairs, desc=f"Processing {len(feats)} samples")
 
-    for prob_csv, feat_csv in iterator:
-        if prob_csv.with_suffix("").stem != feat_csv.with_suffix("").stem:
-            raise ValueError(f"CSV mismatch: {prob_csv.name} & {feat_csv.name}")
-        sample = prob_csv.with_suffix("").stem
+    per_sample: dict[str, pd.Series] = {}
+    for prob_csv, feat_csv in pairs:
+        stem = prob_csv.with_suffix("").stem
+        if stem != feat_csv.with_suffix("").stem:
+            raise ValueError(
+                f"prob/feat pairing broke: {prob_csv.name} vs {feat_csv.name}"
+            )
         try:
-            sample_df = process_sample(prob_csv, feat_csv, thresholds, divisions)
+            summary = process_sample(prob_csv, feat_csv, thresholds, divisions)
         except KeyError:
-            log.exception(prob_csv.with_suffix("").stem)
+            log.exception(stem)
             continue
-        sample_column = sample_df[summary_feature]
-        sample_column.name = sample
-        df_rows.append(sample_column)
+        per_sample[stem] = summary[summary_feature]
 
-    # Deterministic column names (reference :99-106)
-    classes = thresholds.keys()
+    return _samples_to_frame(per_sample, summary_columns(thresholds, divisions))
+
+
+def summary_columns(thresholds, divisions=None) -> list:
+    """Deterministic output columns: every thresholded class (division
+    parents replaced by their band names), sorted, then Total
+    (reference ``classification.py:99-106``)."""
+    names = set(thresholds)
     if divisions:
-        division_names = names_of_divisions(divisions)
-        classes = set(classes).union(division_names).difference(divisions.keys())
-    classes = sorted(classes)
-    classes.append("Total")
-    df = pd.DataFrame(df_rows, columns=classes)
-    df.index.name = "sample"
-    df.fillna(0, inplace=True)
-    return df
+        names |= set(names_of_divisions(divisions))
+        names -= set(divisions)
+    return sorted(names) + ["Total"]
+
+
+def _samples_to_frame(per_sample, columns) -> pd.DataFrame:
+    """dict of per-sample class Series -> (samples x classes) frame with
+    absent classes zero-filled."""
+    frame = pd.DataFrame(per_sample).T if per_sample else pd.DataFrame()
+    frame = frame.reindex(columns=columns)
+    frame.index.name = "sample"
+    return frame.fillna(0)
 
 
 def class_df_probs_only(probs, thresholds_file, progress_bar=False):
     """Abundance counts without features (reference ``:109-135``)."""
     thresholds = threshold_dictionary(thresholds_file)
-    classes = list(thresholds.keys()) + ["Total"]
-    rows = []
-    iterator = tqdm(probs, desc=f"Processing {len(probs)} samples") if progress_bar else probs
-    for prob in iterator:
-        sample = prob.with_suffix("").stem
+    samples = (
+        tqdm(probs, desc=f"Processing {len(probs)} samples")
+        if progress_bar else probs
+    )
+    per_sample: dict[str, pd.Series] = {}
+    for prob_csv in samples:
         try:
-            pdf = prediction_dataframe(prob, thresholds)
-            gdf = pdf.groupby("prediction", observed=False).sum()
+            predictions = prediction_dataframe(prob_csv, thresholds)
+            counts = predictions.groupby(
+                "prediction", observed=False
+            )["classified"].sum()
         except KeyError:
             continue
-        # frequency = sum of True values in 'classified'
-        gdf.rename(columns={"classified": "abundance"}, inplace=True)
-        gdf.index.name = "class"
-        gdf.loc["Total"] = len(pdf)
-        abun = gdf["abundance"]
-        abun.name = sample
-        rows.append(abun)
-    df = pd.DataFrame(rows, columns=classes)
-    df.index.name = "sample"
-    df.fillna(0, inplace=True)
-    return df.astype(int)
+        counts["Total"] = len(predictions)
+        per_sample[prob_csv.with_suffix("").stem] = counts
+    columns = list(thresholds) + ["Total"]
+    return _samples_to_frame(per_sample, columns).astype(int)
 
 
 def swell_df(df):

@@ -27,50 +27,56 @@ import numpy as np
 import pandas as pd
 
 
+def _indexed_prob_frame(csv) -> pd.DataFrame:
+    """One prob CSV as a frame with a ``(sample, roi)`` MultiIndex."""
+    frame = pd.read_csv(csv)
+    frame.insert(0, "sample", Path(csv).with_suffix("").stem)
+    return frame.set_index(["sample", "roi"])
+
+
 def prediction_dataframe(probabilities, thresholds=0.0):
-    """Read one prob CSV (or concat many) and insert ``prediction`` +
-    ``classified`` columns (reference ``prediction.py:8-28``)."""
-    if isinstance(probabilities, list):
-        df_list = []
-        for csv in probabilities:
-            df = pd.read_csv(csv)
-            # Multi-index from sample name and roi number
-            df.insert(0, "sample", Path(csv).with_suffix("").stem)
-            df.set_index(["sample", "roi"], inplace=True)
-            df_list.append(df)
-        df = pd.concat(df_list)
+    """Probability table with ``prediction`` + ``classified`` columns
+    inserted. Accepts a single CSV path (roi index), a list of CSV paths
+    (``(sample, roi)`` MultiIndex) or an existing DataFrame
+    (reference ``prediction.py:8-28``)."""
+    if isinstance(probabilities, pd.DataFrame):
+        frame = probabilities
+    elif isinstance(probabilities, list):
+        frame = pd.concat(_indexed_prob_frame(p) for p in probabilities)
     elif isinstance(probabilities, (str, Path)):
-        df = pd.read_csv(probabilities, index_col=0)
-    elif isinstance(probabilities, pd.DataFrame):
-        df = probabilities
+        frame = pd.read_csv(probabilities, index_col=0)
     else:
-        raise ValueError(f"Type {type(probabilities)} not allowed for probabilities")
+        raise ValueError(
+            f"probabilities must be a path, list of paths or DataFrame, "
+            f"got {type(probabilities)}"
+        )
     if isinstance(thresholds, (str, Path)):
         thresholds = threshold_dictionary(thresholds)
-    if not df.empty:
-        insert_prediction(df, thresholds)
-    return df
+    if len(frame):
+        insert_prediction(frame, thresholds)
+    return frame
 
 
 def threshold_dictionary(thresholds, default=None):
-    """Parse ``class value`` lines (reference ``prediction.py:31-46``)."""
-    thres_dict = {}
-    with open(thresholds) as fh:
-        for line in fh:
-            line = line.strip().split()
-            if not line:
-                continue
-            key = line[0]
-            if len(line) > 1:
-                value = float(line[1])
-            elif default is not None:
-                value = float(default)
-            else:
-                raise ValueError(
-                    f"Missing threshold for {key}, and no default value specified."
-                )
-            thres_dict[key] = value
-    return thres_dict
+    """``{class: threshold}`` from a ``class value`` text file; classes
+    listed without a value take ``default`` (reference
+    ``prediction.py:31-46``)."""
+    table: dict[str, float] = {}
+    for lineno, raw in enumerate(Path(thresholds).read_text().splitlines(), 1):
+        tokens = raw.split()
+        if not tokens:
+            continue
+        name = tokens[0]
+        if len(tokens) > 1:
+            table[name] = float(tokens[1])
+        elif default is not None:
+            table[name] = float(default)
+        else:
+            raise ValueError(
+                f"{thresholds}:{lineno}: class {name!r} has no threshold "
+                "and no default was given"
+            )
+    return table
 
 
 def predict(probs: np.ndarray, classes, thresholds):

@@ -25,12 +25,13 @@ def sample_csv_path(sample_path, out_dir, suffix=None) -> Path:
 
 
 def list_sample_paths(root_dir, filter=None):
-    """All sample paths (``.roi`` stems) under a raw-data tree
-    (reference ``files.py:40-44``)."""
-    path_gen = (roi.with_suffix("") for roi in Path(root_dir).glob("**/*.roi"))
-    if filter is not None:
-        path_gen = (path for path in path_gen if path.name in filter)
-    return list(path_gen)
+    """All sample paths (``.roi`` stems) under a raw-data tree, sorted
+    (reference ``files.py:40-44`` returns filesystem order; deterministic
+    order makes batch runs reproducible)."""
+    stems = [p.with_suffix("") for p in sorted(Path(root_dir).rglob("*.roi"))]
+    if filter is None:
+        return stems
+    return [p for p in stems if p.name in filter]
 
 
 def list_sample_csvs(root_dir, filter=None):
@@ -43,19 +44,23 @@ def list_sample_csvs(root_dir, filter=None):
     ]
 
 
+_TAR_MODES = {"tar": "w", "gzip": "w:gz", "tar.gz": "w:gz", "gz": "w:gz"}
+
+
 def create_archive(src, dest, compression) -> None:
-    """Tar/zip a directory (reference ``files.py:10-24``)."""
-    src = Path(src)
-    if not src.is_dir():
+    """Archive a directory's immediate entries (same formats as reference
+    ``files.py:10-24``: tar, gzip/tar.gz/gz, zip). Entries are added in
+    sorted order so archives are reproducible."""
+    entries = sorted(Path(src).iterdir()) if Path(src).is_dir() else None
+    if entries is None:
         raise ValueError(f"{src} does not exist")
-    if compression in ("tar", "gzip", "tar.gz", "gz"):
-        mode = "w" if compression == "tar" else "w:gz"
-        with tarfile.open(dest, mode) as tar:
-            for src_file in src.iterdir():
-                tar.add(src_file, arcname=src_file.name)
-    elif compression == "zip":
-        with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
-            for src_file in src.iterdir():
-                zf.write(src_file, arcname=src_file.name)
+    if compression == "zip":
+        with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as archive:
+            for entry in entries:
+                archive.write(entry, arcname=entry.name)
+    elif compression in _TAR_MODES:
+        with tarfile.open(dest, _TAR_MODES[compression]) as archive:
+            for entry in entries:
+                archive.add(entry, arcname=entry.name)
     else:
         raise ValueError(f"Unknown compression {compression}")
