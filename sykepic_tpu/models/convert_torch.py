@@ -1,21 +1,25 @@
-"""Convert PyTorch ResNet checkpoints to our Flax variable tree.
+"""Convert PyTorch ResNet / EfficientNet checkpoints to our Flax variable
+tree.
 
-Supports two key namespaces:
+Supports two key namespaces per family:
 
-1. raw torchvision ``resnetNN`` state dicts (``conv1.weight``,
-   ``layer3.1.bn2.running_mean``, ...),
+1. raw torchvision state dicts (``conv1.weight``,
+   ``layer3.1.bn2.running_mean``, ``features.2.1.block.0.0.weight``, ...),
 2. the reference's ``TorchVisionNet`` state dicts (``base.N...`` /
    ``head.K.weight``), where ``base`` is ``Sequential(children[:-1])`` of a
-   torchvision resnet (reference ``sykepic/train/network.py:46-63``):
-   base.0=conv1, base.1=bn1, base.4..7=layer1..4, and ``head`` is the stacked
-   Linear head (dropout layers hold no parameters, so Linear indices may be
-   non-contiguous).
+   torchvision model (reference ``sykepic/train/network.py:46-63``): for
+   resnets base.0=conv1, base.1=bn1, base.4..7=layer1..4; for efficientnets
+   base.0=features. ``head`` is the stacked Linear head (dropout layers hold
+   no parameters, so Linear indices may be non-contiguous).
 
 This is what makes an existing ``best_state.pth`` model directory a drop-in
 for this framework (loaded lazily by :mod:`sykepic_tpu.models.checkpoint`).
+The family is detected from the keys (:func:`torch_to_flax` /
+:func:`load_pth` dispatch automatically).
 
 Layout conversions:
-- conv weight OIHW -> HWIO
+- conv weight OIHW -> HWIO (depthwise convs keep their (H, W, 1, C) group
+  layout under the same transpose)
 - linear weight (out, in) -> kernel (in, out)
 - bn weight/bias -> scale/bias (params); running_mean/var -> batch_stats
 """
@@ -146,9 +150,124 @@ def _put_bn(params, stats, path, leaf_name, v):
         raise KeyError(f"Unhandled bn leaf {leaf_name}")
 
 
-def load_pth(path) -> dict:
-    """Load a ``.pth`` state dict (CPU) -> flax variables."""
+# ---------------------------------------------------------------------------
+# EfficientNet (torchvision ``efficientnet_bN`` / TorchVisionNet-wrapped)
+# ---------------------------------------------------------------------------
+
+def _normalize_efficientnet_keys(state_dict: dict) -> dict:
+    """Rewrite reference ``base.0.*`` (base.0 == features) into torchvision
+    ``features.*`` naming; ``head.K.*`` / ``classifier.*`` kept as-is."""
+    out = {}
+    for key, value in state_dict.items():
+        m = re.match(r"^base\.0\.(.*)$", key)
+        if m:
+            key = f"features.{m.group(1)}"
+        out[key] = value
+    return out
+
+
+def _conv_kernel(v) -> np.ndarray:
+    return _to_numpy(v).transpose(2, 3, 1, 0)
+
+
+def torch_efficientnet_to_flax(state_dict: dict) -> dict:
+    """Convert a torchvision EfficientNet(+head) state dict to our
+    :class:`~sykepic_tpu.models.efficientnet.EfficientNet` variable tree.
+
+    torchvision block layout: ``features.0`` stem conv+bn; ``features.G.R
+    .block.{i}`` MBConv stages where the expand conv+bn (index 0) exists
+    only when expand_ratio > 1 (first stage omits it); the last ``features``
+    entry is the 1x1 head conv+bn; ``classifier.1`` the final Linear.
+    """
+    sd = _normalize_efficientnet_keys(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    head_linears: dict[int, dict] = {}
+
+    feature_ids = sorted(
+        {int(m.group(1)) for k in sd
+         if (m := re.match(r"^features\.(\d+)\.", k))}
+    )
+    if not feature_ids:
+        raise KeyError("no features.* keys: not an EfficientNet state dict")
+    last_fid = feature_ids[-1]
+
+    for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] in ("head", "classifier"):
+            idx = int(parts[1])
+            head_linears.setdefault(idx, {})[leaf] = _to_numpy(value)
+            continue
+        if parts[0] != "features":
+            raise KeyError(f"Unhandled key {key}")
+        fid = int(parts[1])
+        if fid == 0 or fid == last_fid:  # stem / head conv+bn pairs
+            prefix = "stem" if fid == 0 else "head"
+            if parts[2] == "0":
+                _put(params, (f"{prefix}_conv", "kernel"), _conv_kernel(value))
+            else:
+                _put_bn(params, stats, (f"{prefix}_bn",), leaf, _to_numpy(value))
+            continue
+        block_r = int(parts[2])
+        mod = f"layer{fid}_{block_r}"
+        # expand conv present iff the block has a 4th submodule
+        has_expand = f"features.{fid}.{block_r}.block.3.0.weight" in sd
+        sub = int(parts[4])
+        role_by_index = (
+            {0: "expand", 1: "dw", 2: "se", 3: "project"}
+            if has_expand else {0: "dw", 1: "se", 2: "project"}
+        )
+        role = role_by_index[sub]
+        if role == "se":
+            fc = parts[5]  # fc1 / fc2
+            _put(params, (mod, "se", fc,
+                          "kernel" if leaf == "weight" else "bias"),
+                 _conv_kernel(value) if leaf == "weight" else _to_numpy(value))
+        else:
+            inner = parts[5]  # "0" conv, "1" bn
+            if inner == "0":
+                _put(params, (mod, f"{role}_conv", "kernel"),
+                     _conv_kernel(value))
+            else:
+                _put_bn(params, stats, (mod, f"{role}_bn"), leaf,
+                        _to_numpy(value))
+
+    head_params = {}
+    for out_i, idx in enumerate(sorted(k for k, v in head_linears.items()
+                                       if "weight" in v)):
+        head_params[f"fc{out_i}"] = {
+            "kernel": head_linears[idx]["weight"].transpose(1, 0),
+            "bias": head_linears[idx]["bias"],
+        }
+    if head_params:
+        params["head"] = head_params
+    return {"params": params, "batch_stats": stats}
+
+
+def _looks_like_efficientnet(state_dict: dict) -> bool:
+    return any(".block." in k or k.startswith(("features.", "base.0.0.0"))
+               for k in state_dict)
+
+
+def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
+    """Family dispatcher: pick the converter from ``network_name`` when
+    given (e.g. "resnet18", "efficientnet_b0"), else sniff the keys."""
+    if network_name and network_name.startswith("efficientnet"):
+        return torch_efficientnet_to_flax(state_dict)
+    if network_name and network_name.startswith("resnet"):
+        return torch_resnet_to_flax(state_dict)
+    if _looks_like_efficientnet(state_dict):
+        return torch_efficientnet_to_flax(state_dict)
+    return torch_resnet_to_flax(state_dict)
+
+
+def load_pth(path, network_name: str | None = None) -> dict:
+    """Load a ``.pth`` state dict (CPU) -> flax variables (family
+    auto-detected from the keys unless ``network_name`` is given)."""
     import torch
 
     state_dict = torch.load(path, map_location="cpu", weights_only=True)
-    return torch_resnet_to_flax(state_dict)
+    return torch_to_flax(network_name, state_dict)

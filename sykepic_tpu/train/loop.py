@@ -137,7 +137,13 @@ def main(args):
     variables = registry.init_variables(
         model, (spec.target_h, spec.target_w, spec.num_chans), seed=random_seed
     )
-    variables = load_pretrained(variables, weights_spec, model_network)
+    allow_random_init = config.getboolean(
+        "model", "allow_random_init", fallback=False
+    )
+    variables = load_pretrained(
+        variables, weights_spec, model_network,
+        allow_random_init=allow_random_init,
+    )
 
     # [lr_warmup] / [lr_reduction]
     warmup = None
@@ -421,13 +427,17 @@ def save_train_state(model_dir, trainer: Trainer, epoch: int,
     path.write_bytes(serialization.msgpack_serialize(state))
 
 
-def load_pretrained(variables, weights_spec, network_name: str):
+def load_pretrained(variables, weights_spec, network_name: str,
+                    allow_random_init: bool = False):
     """Resolve the ``[model] weights`` option (reference ``config.py:63-70``).
 
-    - empty/None: random init
+    - empty/None: random init (the explicit way to ask for it)
     - a path to ``.msgpack``/``.pth``: load and merge matching leaves
-    - a torchvision weights name ("DEFAULT", "IMAGENET1K_V1", ...): try the
-      local torchvision cache; warn and fall back to random init offline.
+    - a torchvision weights name ("DEFAULT", "IMAGENET1K_V1", ...): load via
+      the local torchvision install/cache. The reference ALWAYS trains from
+      pretrained weights — transfer learning is its whole recipe — so a
+      failed load is a hard error, not a silent quality cliff, unless the
+      config opts in with ``[model] allow_random_init = yes``.
     """
     if not weights_spec:
         return variables
@@ -449,14 +459,24 @@ def load_pretrained(variables, weights_spec, network_name: str):
         import torchvision.models as tvm
 
         torch_model = getattr(tvm, network_name)(weights=weights_spec)
-        loaded = convert_torch.torch_resnet_to_flax(torch_model.state_dict())
+        loaded = convert_torch.torch_to_flax(
+            network_name, torch_model.state_dict()
+        )
         return merge_variables(variables, loaded)
     except Exception as e:
-        log.warning(
-            f"Could not load pretrained weights '{weights_spec}' "
-            f"({e}); training from random init"
-        )
-        return variables
+        if allow_random_init:
+            log.warning(
+                f"Could not load pretrained weights '{weights_spec}' "
+                f"({e}); training from random init "
+                "([model] allow_random_init is set)"
+            )
+            return variables
+        raise RuntimeError(
+            f"Could not load pretrained weights '{weights_spec}' ({e}). "
+            "Point [model] weights at a .msgpack/.pth checkpoint, install "
+            "a torchvision cache, or set [model] allow_random_init = yes "
+            "to knowingly train from scratch."
+        ) from e
 
 
 def merge_variables(init_vars, loaded_vars):

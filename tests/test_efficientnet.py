@@ -70,3 +70,159 @@ def test_resnet_labels_unchanged():
     assert labels[("layer4_0", "bn1", "scale")] == G_HEAD
     assert labels[("conv1", "kernel")] == G_REST
     assert labels[("layer1_0", "conv2", "kernel")] == G_REST
+
+
+def _torch_efficientnet_b0(num_classes=1000):
+    """torch mirror of torchvision ``efficientnet_b0`` whose ``state_dict``
+    keys match torchvision exactly (``features.G.R.block.I...``,
+    ``classifier.1``) — torchvision itself is not installed here."""
+    import torch.nn as tnn
+
+    from sykepic_tpu.models.efficientnet import B0_CONFIG
+
+    def conv_bn_act(cin, cout, k, s, groups=1, act=True):
+        mods = [
+            tnn.Conv2d(cin, cout, k, s, padding=k // 2, groups=groups,
+                       bias=False),
+            tnn.BatchNorm2d(cout),
+        ]
+        if act:
+            mods.append(tnn.SiLU(inplace=True))
+        return tnn.Sequential(*mods)
+
+    class SE(tnn.Module):
+        def __init__(self, ch, squeeze):
+            super().__init__()
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc1 = tnn.Conv2d(ch, squeeze, 1)
+            self.fc2 = tnn.Conv2d(squeeze, ch, 1)
+            self.activation = tnn.SiLU()
+            self.scale_activation = tnn.Sigmoid()
+
+        def forward(self, x):
+            s = self.activation(self.fc1(self.avgpool(x)))
+            return x * self.scale_activation(self.fc2(s))
+
+    class MBConv(tnn.Module):
+        def __init__(self, cin, cout, expand, k, s):
+            super().__init__()
+            mid = cin * expand
+            layers = []
+            if expand != 1:
+                layers.append(conv_bn_act(cin, mid, 1, 1))
+            layers.append(conv_bn_act(mid, mid, k, s, groups=mid))
+            layers.append(SE(mid, max(1, cin // 4)))
+            layers.append(conv_bn_act(mid, cout, 1, 1, act=False))
+            self.block = tnn.Sequential(*layers)
+            self.use_res = s == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    stages = [conv_bn_act(3, 32, 3, 2)]
+    cin = 32
+    for expand, cout, reps, s, k in B0_CONFIG:
+        blocks = []
+        for r in range(reps):
+            blocks.append(MBConv(cin, cout, expand, k, s if r == 0 else 1))
+            cin = cout
+        stages.append(tnn.Sequential(*blocks))
+    stages.append(conv_bn_act(cin, 1280, 1, 1))
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(*stages)
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(0.2), tnn.Linear(1280, num_classes)
+            )
+
+        def forward(self, x):
+            x = self.features(x)
+            x = self.avgpool(x).flatten(1)
+            return self.classifier(x)
+
+    return Net()
+
+
+def test_torch_efficientnet_roundtrip():
+    """torchvision-keyed EfficientNet-B0 state dict -> Flax: identical
+    structure to our init and forward agreement to f32 tolerance."""
+    import torch
+
+    from sykepic_tpu.models import convert_torch
+
+    torch.manual_seed(0)
+    net = _torch_efficientnet_b0(num_classes=7).eval()
+    # non-trivial batch stats so the BN conversion is actually exercised
+    with torch.no_grad():
+        net.train()
+        net(torch.randn(4, 3, 64, 64))
+        net.eval()
+    variables = convert_torch.torch_to_flax(
+        "efficientnet_b0", net.state_dict()
+    )
+    model = build_model("efficientnet_b0", num_classes=7, head=())
+    init = init_variables(model, (64, 64, 3))
+    assert set(flatten_dict(variables["params"])) == set(
+        flatten_dict(init["params"])
+    )
+    assert set(flatten_dict(variables["batch_stats"])) == set(
+        flatten_dict(init["batch_stats"])
+    )
+    x = np.random.default_rng(1).uniform(0, 1, (2, 64, 64, 3)).astype(
+        np.float32
+    )
+    ours = np.asarray(
+        model.apply(
+            {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+            },
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_torchvisionnet_style_efficientnet_keys():
+    """Reference TorchVisionNet wrapping (base.0 == features, custom
+    ``head.K`` Linear stack) converts too — the key namespace an actual
+    reference ``best_state.pth`` model dir would carry."""
+    import torch
+
+    from sykepic_tpu.models import convert_torch
+
+    torch.manual_seed(1)
+    net = _torch_efficientnet_b0(num_classes=3).eval()
+    sd = {}
+    for k, v in net.state_dict().items():
+        if k.startswith("features."):
+            sd["base.0." + k[len("features."):]] = v
+        # drop the torchvision classifier: TorchVisionNet replaces it
+    head_w1 = torch.randn(32, 1280)
+    head_b1 = torch.randn(32)
+    head_w2 = torch.randn(3, 32)
+    head_b2 = torch.randn(3)
+    sd["head.0.weight"], sd["head.0.bias"] = head_w1, head_b1
+    # index 2: a Dropout at 1 makes Linear indices non-contiguous
+    sd["head.2.weight"], sd["head.2.bias"] = head_w2, head_b2
+
+    variables = convert_torch.torch_to_flax(None, sd)  # sniffed family
+    head = variables["params"]["head"]
+    assert set(head) == {"fc0", "fc1"}
+    np.testing.assert_array_equal(
+        head["fc0"]["kernel"], head_w1.numpy().transpose(1, 0)
+    )
+    np.testing.assert_array_equal(head["fc1"]["bias"], head_b2.numpy())
+
+    model = build_model("efficientnet_b0", num_classes=3, head=(32,))
+    init = init_variables(model, (64, 64, 3))
+    assert set(flatten_dict(variables["params"])) == set(
+        flatten_dict(init["params"])
+    )

@@ -182,3 +182,35 @@ def _flatten(tree, prefix=()):
         else:
             out["/".join(prefix + (k,))] = v
     return out
+
+
+def test_load_pretrained_offline_is_hard_error():
+    """A torchvision weights name with no torchvision install/cache must
+    raise, not silently train from random init (the reference ALWAYS warm
+    starts: config.py:63-77). ``[model] allow_random_init`` opts out."""
+    import pytest
+
+    from sykepic_tpu.models.registry import build_model, init_variables
+    from sykepic_tpu.train.loop import load_pretrained
+
+    model = build_model("resnet18", num_classes=3, head=(16,))
+    variables = init_variables(model, (32, 32, 3))
+
+    with pytest.raises(RuntimeError, match="allow_random_init"):
+        load_pretrained(variables, "DEFAULT", "resnet18")
+
+    # explicit opt-in: warns and returns the fresh init unchanged
+    out = load_pretrained(
+        variables, "DEFAULT", "resnet18", allow_random_init=True
+    )
+    assert out is variables
+
+    # empty spec is the explicit random-init path and never raises
+    assert load_pretrained(variables, None, "resnet18") is variables
+
+    # a missing checkpoint path is always an error, flag or not
+    with pytest.raises(FileNotFoundError):
+        load_pretrained(
+            variables, "/nonexistent/weights.msgpack", "resnet18",
+            allow_random_init=True,
+        )
