@@ -155,6 +155,7 @@ def _samples_to_frame(per_sample, columns) -> pd.DataFrame:
     frame = pd.DataFrame(per_sample).T if per_sample else pd.DataFrame()
     frame = frame.reindex(columns=columns)
     frame.index.name = "sample"
+    frame.columns.name = None  # the per-sample Series index name is noise
     return frame.fillna(0)
 
 
