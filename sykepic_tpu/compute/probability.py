@@ -110,10 +110,12 @@ def main(
     )
 
 
-def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32"):
+def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32",
+                  mesh=None):
     """Load the model directory into a ready :class:`Classifier`
-    (reference ``probability.py:118-130``)."""
-    return Classifier(model_dir, batch_size=batch_size, dtype=dtype)
+    (reference ``probability.py:118-130``). ``mesh`` enables multi-chip
+    sharding (data axis; plus tensor parallel when it has a model axis)."""
+    return Classifier(model_dir, batch_size=batch_size, dtype=dtype, mesh=mesh)
 
 
 def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):

@@ -8,8 +8,12 @@ pick a mesh, annotate shardings, let XLA insert the collectives over ICI.
   shard over it, parameters replicate (used by both the inference engine and
   the trainer).
 - :func:`data_model_mesh` -- 2-D ``("data", "model")`` mesh for optional
-  tensor-parallel sharding of wide kernels (used by
-  ``__graft_entry__.dryrun_multichip``).
+  tensor-parallel sharding of wide kernels.
+- :func:`shard_wide_kernels` -- tensor-parallel parameter placement: the
+  last (output-feature) axis of wide late-stage kernels shards over the
+  ``model`` mesh axis; GSPMD inserts the activation collectives. Used by
+  both the trainer and the inference engine when their mesh has a ``model``
+  axis.
 - :func:`shard_batch` / :func:`replicate` -- NamedSharding device_put
   helpers for library users (the engine/trainer inline their own puts so
   their single-program-per-shape guarantees stay local).
@@ -20,6 +24,12 @@ from __future__ import annotations
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Module groups whose wide kernels benefit from tensor parallelism: the MLP
+# head plus the widest final stage of each backbone family (ResNet layer4,
+# EfficientNet layer7/head_conv). Early narrow convs replicate — sharding
+# them trades negligible memory for extra collectives.
+WIDE_MODULE_PREFIXES = ("head", "layer4", "layer7", "head_conv")
 
 
 def data_mesh(devices=None) -> Mesh:
@@ -50,3 +60,50 @@ def shard_batch(mesh: Mesh, *arrays):
 def replicate(mesh: Mesh, tree):
     """device_put a pytree fully replicated across the mesh."""
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Size of the batch-sharding axis (``data``), 1 if the mesh has none."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+
+
+def has_model_axis(mesh: Mesh) -> bool:
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return sizes.get("model", 1) > 1
+
+
+def shard_wide_kernels(params, mesh: Mesh, axis: str = "model",
+                       min_width: int = 64,
+                       module_prefixes=WIDE_MODULE_PREFIXES):
+    """Tensor-parallel parameter placement over the mesh's ``axis``.
+
+    Kernels whose top-level module matches ``module_prefixes`` and whose
+    last (output-feature) dimension is at least ``min_width`` and divisible
+    by the axis size get that dimension sharded; every other leaf
+    replicates. Returns the device_put tree — run jitted programs on it
+    under the same mesh and GSPMD partitions the matmuls/convs and inserts
+    the all-gathers/reduce-scatters over ICI.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_shards = sizes.get(axis, 1)
+    if n_shards <= 1:
+        return replicate(mesh, params)
+
+    def placement(path, leaf):
+        wide = (
+            getattr(leaf, "ndim", 0) >= 2
+            and leaf.shape[-1] >= min_width
+            and leaf.shape[-1] % n_shards == 0
+        )
+        if wide and str(path[0]).startswith(tuple(module_prefixes)):
+            return P(*([None] * (leaf.ndim - 1) + [axis]))
+        return P()
+
+    flat = flatten_dict(params)
+    placed = {
+        path: jax.device_put(leaf, NamedSharding(mesh, placement(path, leaf)))
+        for path, leaf in flat.items()
+    }
+    return unflatten_dict(placed)

@@ -45,7 +45,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import augment as augment_ops
 from ..ops import preprocess
-from ..parallel import data_mesh  # noqa: F401  (canonical home; re-exported)
+from ..parallel import (  # noqa: F401  (canonical home; re-exported)
+    data_axis_size,
+    data_mesh,
+    has_model_axis,
+    shard_wide_kernels,
+)
 
 G_HEAD, G_TOP, G_REST = 0, 1, 2  # LR groups: head+BN / layer4 / rest of base
 
@@ -126,10 +131,16 @@ class Trainer:
         self._steps: dict[Any, Any] = {}
         self._data_sharding = NamedSharding(self.mesh, P("data"))
         self._replicated = NamedSharding(self.mesh, P())
-        # Replicate state across the mesh once
-        self.params = jax.device_put(self.params, self._replicated)
+        # Place state across the mesh once: replicated, except that a mesh
+        # with a model axis tensor-shards the wide late-stage kernels (the
+        # optimizer state mirrors the parameter placement via re-init)
+        if has_model_axis(self.mesh):
+            self.params = shard_wide_kernels(self.params, self.mesh)
+            self.opt_state = self.tx.init(self.params)
+        else:
+            self.params = jax.device_put(self.params, self._replicated)
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
         self.batch_stats = jax.device_put(self.batch_stats, self._replicated)
-        self.opt_state = jax.device_put(self.opt_state, self._replicated)
 
     # ---------------------------------------------------------- preprocessing
     def _device_preprocess(self, canvas, heights, widths, new_h, new_w,
@@ -263,10 +274,11 @@ class Trainer:
     # ----------------------------------------------------------------- API
     def _batch_device_args(self, batch):
         """Geometry + border metadata for a HostBatch, device-sharded."""
-        if len(batch.canvas) % self.mesh.size != 0:
+        n_data = data_axis_size(self.mesh)
+        if len(batch.canvas) % n_data != 0:
             raise ValueError(
-                f"batch size {len(batch.canvas)} not divisible by mesh size "
-                f"{self.mesh.size} — pad or drop the tail batch (GSPMD "
+                f"batch size {len(batch.canvas)} not divisible by the data "
+                f"mesh axis ({n_data}) — pad or drop the tail batch (GSPMD "
                 "cannot shard an indivisible leading axis)"
             )
         spec = self.spec
