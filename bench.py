@@ -38,7 +38,9 @@ jaxcache.enable()
 import os
 
 N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 50_000))
-BATCH_SIZE = int(os.environ.get("SYKEPIC_BENCH_BATCH", 512))
+# 2048-slot batches amortize the tunnel's ~65 ms per-batch round trip
+# (the canvas-bytes cap in ingest/pack.py still bounds big-ROI buckets)
+BATCH_SIZE = int(os.environ.get("SYKEPIC_BENCH_BATCH", 2048))
 TARGET_RPS = 10_000.0  # north-star, BASELINE.json
 
 
@@ -60,96 +62,226 @@ def build_model_dir(root: Path) -> Path:
     return d
 
 
+# Realistic IFCB ROI size mix. Real archives are dominated by small
+# ~40x60 px triggers with a long tail of chains/colonies spanning hundreds
+# of pixels; these weights exercise 7 bucket shapes of the packer
+# (32x64 .. 256x512) instead of flattering the bench with two fixed shapes.
+# Format: (weight, (h_lo, h_hi), (w_lo, w_hi)).
+ROI_SIZE_MIX = (
+    (0.45, (24, 32), (40, 64)),     # -> (32, 64)
+    (0.22, (33, 48), (40, 64)),     # -> (48, 64)
+    (0.10, (49, 64), (40, 64)),     # -> (64, 64)
+    (0.10, (49, 64), (65, 128)),    # -> (64, 128)
+    (0.08, (65, 128), (65, 128)),   # -> (128, 128)
+    (0.04, (65, 128), (129, 256)),  # -> (128, 256)
+    (0.01, (129, 256), (257, 512)), # -> (256, 512)
+)
+
+
+def _roi_shapes(rng: np.random.Generator, n: int) -> list[tuple[int, int]]:
+    weights = np.array([m[0] for m in ROI_SIZE_MIX])
+    picks = rng.choice(len(ROI_SIZE_MIX), size=n, p=weights / weights.sum())
+    shapes = []
+    for k in picks:
+        _, (h0, h1), (w0, w1) = ROI_SIZE_MIX[k]
+        shapes.append((int(rng.integers(h0, h1 + 1)),
+                       int(rng.integers(w0, w1 + 1))))
+    return shapes
+
+
 def build_workload(root: Path, n_rois: int) -> list[Path]:
-    """Synthetic IFCB samples from the real fixture ROIs: 80% small ROI,
-    20% large (matching the fixture's mix of trigger sizes)."""
+    """Synthetic IFCB samples with the realistic ROI size mix above; pixel
+    content comes from the real fixture ROIs resized to each shape, written
+    as genuine .adc/.roi/.hdr triplets."""
+    import cv2
+
     from sykepic_tpu.ingest import ifcb
 
     fixture = REPO / "tests/data/raw/valid/D20180712T065600_IFCB114"
     rois = ifcb.read_sample(fixture)
     images = [img for _, img in rois.images()]
-    small = min(images, key=lambda a: a.size)
-    large = max(images, key=lambda a: a.size)
+    rng = np.random.default_rng(42)
 
     per_sample = 500
     raw_dir = root / "raw"
+    raw_dir.mkdir(parents=True, exist_ok=True)
     sample_paths = []
     base = datetime(2018, 7, 12)
+    # pre-render one image per distinct shape (content cost, not timed)
+    cache: dict[tuple[int, int], np.ndarray] = {}
     for s in range(n_rois // per_sample):
         # one synthetic sample per minute keeps names unique for any
-        # workload size (a fixed day with s%24/s%60 repeats every 120
-        # samples and silently overwrites earlier files)
+        # workload size
         ts = base + timedelta(minutes=s)
         name = f"D{ts:%Y%m%dT%H%M%S}_IFCB114"
-        sdir = raw_dir
-        sdir.mkdir(parents=True, exist_ok=True)
         adc_rows = []
         roi_bytes = bytearray()
         start = 0
-        for i in range(per_sample):
-            img = small if (i % 5) else large
-            h, w = img.shape
+        for h, w in _roi_shapes(rng, per_sample):
+            img = cache.get((h, w))
+            if img is None:
+                src = images[(h * 31 + w) % len(images)]
+                img = cv2.resize(src, (w, h), interpolation=cv2.INTER_AREA)
+                cache[(h, w)] = img
             cols = ["0"] * 24
             cols[15], cols[16], cols[17] = str(w), str(h), str(start)
             adc_rows.append(",".join(cols))
             roi_bytes.extend(img.tobytes())
             start += h * w
-        (sdir / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
-        (sdir / f"{name}.roi").write_bytes(bytes(roi_bytes))
-        (sdir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
-        sample_paths.append(sdir / name)
+        (raw_dir / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
+        (raw_dir / f"{name}.roi").write_bytes(bytes(roi_bytes))
+        (raw_dir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
+        sample_paths.append(raw_dir / name)
     return sample_paths
+
+
+def inference_benchmark(root: Path) -> None:
+    model_dir = build_model_dir(root)
+    samples = build_workload(root, N_ROIS)
+    n_rois = 500 * len(samples)
+
+    from sykepic_tpu.compute import probability
+
+    clf = probability.prepare_model(
+        model_dir, batch_size=BATCH_SIZE, dtype="bfloat16"
+    )
+    # Warmup: compile the bucket shapes AND fill the in-flight pipeline
+    # depth -- the first pipelined pass after compilation runs ~10x
+    # slower while device/transfer buffers warm up (measured on the
+    # tunneled v5e), so warm with enough samples to cycle them.
+    probability.process_samples_batched(samples[:16], clf, root / "warmup")
+
+    # Up to 5 passes within a time budget; the tunneled link shows large
+    # run-to-run contention noise (measured 5.5k..14.9k ROIs/s for an
+    # identical program). The recorded value is the MEDIAN pass; the best
+    # pass is reported alongside so the capability number is visible but
+    # the record is not a link-luck artifact.
+    rates = []
+    budget_start = time.perf_counter()
+    for trial in range(5):
+        out_dir = root / f"out{trial}"
+        t0 = time.perf_counter()
+        written = probability.process_samples_batched(samples, clf, out_dir)
+        elapsed = time.perf_counter() - t0
+        assert len(written) == len(samples), "benchmark run dropped samples"
+        csvs = list(out_dir.glob("**/*.csv"))
+        assert len(csvs) == len(samples)
+        rates.append(n_rois / elapsed)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if time.perf_counter() - budget_start > 150.0:
+            break
+
+    import jax
+
+    rps = float(np.median(rates))
+    print(
+        json.dumps(
+            {
+                "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+                "value": round(rps, 1),
+                "unit": "ROIs/s",
+                "vs_baseline": round(rps / TARGET_RPS, 3),
+                "best": round(max(rates), 1),
+                "passes": len(rates),
+                # a downed tunnel makes jax fall back to CPU silently; the
+                # platform tag keeps a fallback number from masquerading as
+                # a TPU result
+                "platform": jax.default_backend(),
+            }
+        )
+    )
+
+
+def train_benchmark(root: Path) -> None:
+    """Timed training epoch at the production configuration
+    (train.ini.example: 3x180x180 inputs, batch 256, full augmentation,
+    Adam, bfloat16 compute): synthetic labeled PNGs -> threaded BatchLoader
+    -> device train steps. Emits epoch wall-clock + img/s."""
+    import cv2
+    import jax.numpy as jnp
+
+    from sykepic_tpu.models.registry import build_model, init_variables
+    from sykepic_tpu.train.config import PreprocessSpec
+    from sykepic_tpu.train.input import BatchLoader
+    from sykepic_tpu.train.trainer import Trainer
+
+    n_imgs = int(os.environ.get("SYKEPIC_BENCH_TRAIN_IMGS", 8192))
+    batch = 256
+    n_classes = 8
+    dataset = root / "train_imgs"
+    dataset.mkdir()
+    rng = np.random.default_rng(0)
+    # a pool of distinct PNGs, repeated in the file list: every occurrence
+    # is read+decoded by the loader threads (the production IO path)
+    pool = []
+    for i in range(256):
+        h = int(rng.integers(30, 160))
+        w = int(rng.integers(40, 200))
+        img = rng.integers(0, 255, (h, w), np.uint8)
+        p = dataset / f"img_{i:04}.png"
+        cv2.imwrite(str(p), img)
+        pool.append(p)
+    paths = [pool[i % len(pool)] for i in range(n_imgs)]
+    labels = [i % n_classes for i in range(n_imgs)]
+
+    model = build_model(
+        "resnet18", num_classes=n_classes, head=(256, 128),
+        dtype=jnp.bfloat16,
+    )
+    variables = init_variables(model, (180, 180, 3), seed=0)
+    spec = PreprocessSpec(target_h=180, target_w=180, num_chans=3,
+                          border="mode")
+    trainer = Trainer(
+        model, variables, optimizer="Adam", preprocess_spec=spec,
+        augment_kwargs=dict(
+            flip=True, translate=True, zoom=True, rotate=True,
+            brightness=True, zoom_range=(0.8, 1.2),
+            brightness_range=(0.95, 1.1), max_rotation=10,
+        ),
+    )
+    lrs = (1e-3, 1e-4, 1e-5)
+    # warmup: compile the step + cycle transfer buffers
+    warm = BatchLoader(paths[: batch * 3], labels[: batch * 3],
+                       batch_size=batch, num_threads=8)
+    loss_sum = None
+    for b in warm:
+        loss_sum, _, _ = trainer.train_batch(b, stage=2, lrs=lrs)
+    np.asarray(loss_sum)  # drain (block_until_ready lies over the tunnel)
+
+    loader = BatchLoader(paths, labels, batch_size=batch, shuffle=True,
+                         seed=0, num_threads=8)
+    t0 = time.perf_counter()
+    n_sum = 0.0
+    loss_sum = None
+    for b in loader:
+        ls, _, n = trainer.train_batch(b, stage=2, lrs=lrs)
+        loss_sum = ls  # metrics stay device scalars (no per-step syncs)
+        n_sum += 256
+    np.asarray(loss_sum)  # real D2H drain = honest wall clock
+    epoch_s = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "train_epoch_wall_clock",
+                "value": round(epoch_s, 2),
+                "unit": "s",
+                "vs_baseline": None,
+                "images": n_imgs,
+                "img_per_sec": round(n_imgs / epoch_s, 1),
+            }
+        )
+    )
 
 
 def main() -> None:
     root = Path(tempfile.mkdtemp(prefix="sykepic_bench_"))
     try:
-        model_dir = build_model_dir(root)
-        samples = build_workload(root, N_ROIS)
-        n_rois = 500 * len(samples)
-
-        from sykepic_tpu.compute import probability
-
-        clf = probability.prepare_model(
-            model_dir, batch_size=BATCH_SIZE, dtype="bfloat16"
-        )
-        # Warmup: compile the bucket shapes AND fill the in-flight pipeline
-        # depth -- the first pipelined pass after compilation runs ~10x
-        # slower while device/transfer buffers warm up (measured on the
-        # tunneled v5e), so warm with enough samples to cycle them.
-        probability.process_samples_batched(samples[:16], clf, root / "warmup")
-
-        # Best of up to 3 passes: the tunneled link to the chip shows large
-        # run-to-run contention noise (measured 5.5k..14.9k ROIs/s for the
-        # identical program); the best pass reflects the pipeline's actual
-        # capability rather than the link's worst moment. A time budget
-        # skips extra passes when the link is slow so the whole benchmark
-        # stays well under any driver timeout.
-        best = 0.0
-        budget_start = time.perf_counter()
-        for trial in range(3):
-            out_dir = root / f"out{trial}"
-            t0 = time.perf_counter()
-            written = probability.process_samples_batched(samples, clf, out_dir)
-            elapsed = time.perf_counter() - t0
-            assert len(written) == len(samples), "benchmark run dropped samples"
-            csvs = list(out_dir.glob("**/*.csv"))
-            assert len(csvs) == len(samples)
-            best = max(best, n_rois / elapsed)
-            if time.perf_counter() - budget_start > 120.0:
-                break
-
-        rps = best
-        print(
-            json.dumps(
-                {
-                    "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
-                    "value": round(rps, 1),
-                    "unit": "ROIs/s",
-                    "vs_baseline": round(rps / TARGET_RPS, 3),
-                }
-            )
-        )
+        inference_benchmark(root)
+        try:
+            train_benchmark(root)
+        except Exception as e:  # the primary metric line must survive
+            print(json.dumps({"metric": "train_epoch_wall_clock",
+                              "error": str(e)[:200]}))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -229,6 +229,11 @@ class Classifier:
         for batch in pack.pack_rois(
             tagged_rois, batch_size=self.batch_size, buckets=self.buckets,
             batch_multiple=self._batch_multiple,
+            # oversized ROIs downsample on the host (the device would
+            # downsample them anyway): up to ~8x fewer bytes over the link.
+            # The fused features path below must NOT do this (its area /
+            # biovolume outputs are in original pixel units).
+            pre_shrink_to=(self.spec.target_h, self.spec.target_w),
         ):
             device_probs = self.dispatch_packed(batch)
             try:

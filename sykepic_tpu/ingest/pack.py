@@ -21,18 +21,24 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Canvas shapes, smallest-first. Sides are multiples of 8/64/128 to line up
-# with TPU sublane/lane tiling; the small shapes exist because host->device
-# bytes are the measured bottleneck over a tunneled TPU (typical IFCB ROIs
-# are ~40x60 px -- a (48, 64) slot carries 2.7x fewer padding bytes than the
-# old (64, 128) minimum).
+# Canvas shapes, smallest-area-first (bucket_for picks the first fit).
+# Sides are multiples of 8/64/128 to line up with TPU sublane/lane tiling;
+# the fine granularity exists because host->device bytes are the measured
+# bottleneck over a tunneled TPU (typical IFCB ROIs are ~40x60 px -- a
+# (48, 64) slot carries 2.7x fewer padding bytes than a (64, 128) minimum).
+# With pre-shrinking (below) nothing exceeds ~(192, 192); the huge shapes
+# remain for pre-shrink-disabled callers and only compile when observed.
 DEFAULT_BUCKETS: tuple[tuple[int, int], ...] = (
     (32, 64),
     (48, 64),
     (64, 64),
     (64, 128),
+    (96, 128),
     (128, 128),
+    (96, 192),
+    (128, 192),
     (128, 256),
+    (192, 192),
     (256, 256),
     (256, 512),
     (512, 512),
@@ -80,8 +86,40 @@ def shrink_to_fit(img: np.ndarray, max_h: int, max_w: int) -> np.ndarray:
 # Cap per-batch canvas memory: a full batch of (1024, 1024) slots at
 # batch_size 512 would be a 0.5 GB host allocation (and H2D transfer).
 # Large-ROI buckets get proportionally smaller (power-of-two) batch sizes;
-# each (bucket, batch) pair still compiles exactly once.
-MAX_CANVAS_BYTES = 64 * 1024 * 1024
+# each (bucket, batch) pair still compiles exactly once. 32 MB keeps a
+# single batch under ~1 s even on a degraded tunnel link while staying far
+# above the link's ~3 MB bandwidth-delay product.
+MAX_CANVAS_BYTES = 32 * 1024 * 1024
+
+
+def target_resize_dims(h: int, w: int, target_h: int, target_w: int):
+    """Aspect-preserving resize dims for one ROI — the same float64
+    multiply-then-truncate as :func:`ops.preprocess.compute_geometry`
+    (reference ``image.py:183-198``), so a host-side pre-shrink lands on
+    exactly the dims the device resize would have produced (a fixed point:
+    re-applying the formula returns the same dims)."""
+    if h > w:
+        return target_h, max(1, int(w * (target_h / h)))
+    return max(1, int(h * (target_w / w))), target_w
+
+
+def pre_shrink(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Host-side downscale of ROIs larger than the model target.
+
+    The device preprocess resizes every ROI to its aspect-preserving target
+    anyway; for ROIs LARGER than the target that is a downsample, so doing
+    it on the host (cv2 INTER_LINEAR — the reference's own kernel,
+    ``train/image.py:201-226``) transfers up to ~8x fewer bytes over the
+    link and turns the device resize into an identity sampling. Small ROIs
+    are never touched (host upscaling would inflate bytes).
+    """
+    h, w = img.shape
+    new_h, new_w = target_resize_dims(h, w, target_h, target_w)
+    if new_h >= h and new_w >= w:
+        return img
+    import cv2
+
+    return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
 
 
 def effective_batch_size(batch_size: int, bucket: tuple[int, int],
@@ -104,6 +142,7 @@ def pack_rois(
     buckets=DEFAULT_BUCKETS,
     pad_to_batch: bool = True,
     batch_multiple: int = 1,
+    pre_shrink_to: tuple[int, int] | None = None,
 ):
     """Group ROIs by bucket and pack them into :class:`PackedBatch` es.
 
@@ -122,6 +161,8 @@ def pack_rois(
     """
     groups: dict[tuple[int, int], list] = {}
     for sample_idx, roi_id, img in rois:
+        if pre_shrink_to is not None:
+            img = pre_shrink(img, pre_shrink_to[0], pre_shrink_to[1])
         bh, bw = bucket_for(img.shape[0], img.shape[1], buckets)
         if img.shape[0] > bh or img.shape[1] > bw:
             img = shrink_to_fit(img, bh, bw)

@@ -144,7 +144,71 @@ def test_sample_csv_path():
 
 def test_effective_batch_size_mesh_multiple():
     # canvas-memory halving must stay divisible by a mesh's device count
-    assert pack.effective_batch_size(72, (1024, 1024), multiple=8) == 40
-    assert pack.effective_batch_size(512, (1024, 1024), multiple=8) == 64
+    # (cap = 32 MB: a (1024, 1024) slot is 1 MB, so b stops at 32)
+    assert pack.effective_batch_size(72, (1024, 1024), multiple=8) == 24
+    assert pack.effective_batch_size(512, (1024, 1024), multiple=8) == 32
     assert pack.effective_batch_size(4, (1024, 1024), multiple=8) == 8
     assert pack.effective_batch_size(512, (48, 64), multiple=8) == 512
+
+
+def test_target_resize_dims_fixed_point():
+    # the host pre-shrink target must be a fixed point of the geometry
+    # formula, so the device resize becomes an identity sampling
+    for h, w in ((300, 120), (120, 300), (181, 181), (500, 499), (47, 980)):
+        nh, nw = pack.target_resize_dims(h, w, 180, 180)
+        assert (nh, nw) == pack.target_resize_dims(nh, nw, 180, 180)
+        assert max(nh, nw) == 180
+
+
+def test_pre_shrink_only_downscales():
+    rng = np.random.default_rng(1)
+    small = rng.integers(0, 255, (40, 60), np.uint8)
+    assert pack.pre_shrink(small, 180, 180) is small
+    big = rng.integers(0, 255, (360, 240), np.uint8)
+    out = pack.pre_shrink(big, 180, 180)
+    assert out.shape == (180, 120)
+
+
+def test_pre_shrink_classification_equivalent():
+    """Pre-shrunk large ROIs classify (nearly) identically: the host does
+    the same bilinear downsample the device would have done."""
+    import shutil
+    from pathlib import Path
+
+    from sykepic_tpu.compute.probability import prepare_model
+    from sykepic_tpu.models import checkpoint
+    from sykepic_tpu.models.registry import init_variables
+    from sykepic_tpu.train import config as tcfg
+    import tempfile
+
+    d = Path(tempfile.mkdtemp()) / "m"
+    d.mkdir(parents=True)
+    src = Path("tests/model/resnet18_ref")
+    shutil.copy(src / "config.ini", d / "config.ini")
+    shutil.copy(src / "class_names.txt", d / "class_names.txt")
+    config = tcfg.read_config(d / "config.ini")
+    model, _ = tcfg.get_network(config, 50)
+    shape = tcfg.get_img_shape(config)
+    variables = init_variables(model, (shape[1], shape[2], shape[0]), seed=0)
+    checkpoint.save_variables(d / "best_state.msgpack", variables)
+    clf = prepare_model(d, batch_size=4)
+
+    import cv2
+
+    base = ifcb.read_sample(VALID).image(1)
+    big = cv2.resize(base, (420, 260), interpolation=cv2.INTER_LINEAR)
+
+    rows_direct = {}
+    for batch in pack.pack_rois([(0, 1, big)], batch_size=4,
+                                pre_shrink_to=None):
+        probs = np.asarray(clf.dispatch_packed(batch))
+        rows_direct[1] = probs[0]
+    rows_shrunk = {}
+    for batch in pack.pack_rois([(0, 1, big)], batch_size=4,
+                                pre_shrink_to=(180, 180)):
+        assert batch.canvas.shape[1] <= 192 and batch.canvas.shape[2] <= 192
+        probs = np.asarray(clf.dispatch_packed(batch))
+        rows_shrunk[1] = probs[0]
+    assert np.argmax(rows_direct[1]) == np.argmax(rows_shrunk[1])
+    np.testing.assert_allclose(rows_direct[1], rows_shrunk[1], atol=2e-3)
+    shutil.rmtree(d.parent, ignore_errors=True)
