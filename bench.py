@@ -251,12 +251,10 @@ def train_benchmark(root: Path) -> None:
     loader = BatchLoader(paths, labels, batch_size=batch, shuffle=True,
                          seed=0, num_threads=8)
     t0 = time.perf_counter()
-    n_sum = 0.0
     loss_sum = None
     for b in loader:
-        ls, _, n = trainer.train_batch(b, stage=2, lrs=lrs)
+        ls, _, _ = trainer.train_batch(b, stage=2, lrs=lrs)
         loss_sum = ls  # metrics stay device scalars (no per-step syncs)
-        n_sum += 256
     np.asarray(loss_sum)  # real D2H drain = honest wall clock
     epoch_s = time.perf_counter() - t0
     print(

@@ -121,7 +121,7 @@ def class_df(
     if progress_bar:
         pairs = tqdm(pairs, desc=f"Processing {len(feats)} samples")
 
-    per_sample: dict[str, pd.Series] = {}
+    rows: list[pd.Series] = []
     for prob_csv, feat_csv in pairs:
         stem = prob_csv.with_suffix("").stem
         if stem != feat_csv.with_suffix("").stem:
@@ -133,9 +133,9 @@ def class_df(
         except KeyError:
             log.exception(stem)
             continue
-        per_sample[stem] = summary[summary_feature]
+        rows.append(summary[summary_feature].rename(stem))
 
-    return _samples_to_frame(per_sample, summary_columns(thresholds, divisions))
+    return _samples_to_frame(rows, summary_columns(thresholds, divisions))
 
 
 def summary_columns(thresholds, divisions=None) -> list:
@@ -149,10 +149,12 @@ def summary_columns(thresholds, divisions=None) -> list:
     return sorted(names) + ["Total"]
 
 
-def _samples_to_frame(per_sample, columns) -> pd.DataFrame:
-    """dict of per-sample class Series -> (samples x classes) frame with
-    absent classes zero-filled."""
-    frame = pd.DataFrame(per_sample).T if per_sample else pd.DataFrame()
+def _samples_to_frame(rows, columns) -> pd.DataFrame:
+    """list of per-sample class Series (named by sample) -> (samples x
+    classes) frame with absent classes zero-filled. A list, not a dict:
+    duplicate sample stems in the input tree must keep one row each
+    (reference emits one row per CSV)."""
+    frame = pd.concat(rows, axis=1).T if rows else pd.DataFrame()
     frame = frame.reindex(columns=columns)
     frame.index.name = "sample"
     frame.columns.name = None  # the per-sample Series index name is noise
@@ -166,7 +168,7 @@ def class_df_probs_only(probs, thresholds_file, progress_bar=False):
         tqdm(probs, desc=f"Processing {len(probs)} samples")
         if progress_bar else probs
     )
-    per_sample: dict[str, pd.Series] = {}
+    rows: list[pd.Series] = []
     for prob_csv in samples:
         try:
             predictions = prediction_dataframe(prob_csv, thresholds)
@@ -176,9 +178,9 @@ def class_df_probs_only(probs, thresholds_file, progress_bar=False):
         except KeyError:
             continue
         counts["Total"] = len(predictions)
-        per_sample[prob_csv.with_suffix("").stem] = counts
+        rows.append(counts.rename(prob_csv.with_suffix("").stem))
     columns = list(thresholds) + ["Total"]
-    return _samples_to_frame(per_sample, columns).astype(int)
+    return _samples_to_frame(rows, columns).astype(int)
 
 
 def swell_df(df):

@@ -39,6 +39,8 @@ CSV contract are exact parity.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 from scipy import ndimage as ndi
 
@@ -100,18 +102,13 @@ def _lowpassfilter(size, cutoff: float, n: int) -> np.ndarray:
     return np.fft.ifftshift(1.0 / (1.0 + (radius / cutoff) ** (2 * n)))
 
 
-def phasecong_Mm(img, nscale=4, norient=6, minWaveLength=3, mult=2.1,
-                 sigmaOnf=0.55, k=2.0, cutOff=0.5, g=10.0) -> np.ndarray:
-    """Sum of the maximum and minimum phase-congruency moment covariance
-    eigenvalues (``M + m`` of Kovesi's phasecong3 with its canonical
-    defaults and the median noise estimate). High along both edges and
-    corners — the edge image the ifcb-analysis blob extraction thresholds."""
-    img = np.asarray(img, np.float64)
-    rows, cols = img.shape
-    epsilon = 1e-4
-
-    IM = np.fft.fft2(img)
-
+@functools.lru_cache(maxsize=64)
+def _filter_bank(rows: int, cols: int, nscale: int, norient: int,
+                 minWaveLength: float, mult: float, sigmaOnf: float):
+    """(log_gabor list, spread list) for one image shape. IFCB archives
+    contain millions of ROIs over a handful of distinct shapes, and the
+    bank depends only on the shape — caching it removes the dominant
+    constant factor from the per-ROI host feature path."""
     x, y = _fft_mesh(rows, cols)
     radius = np.fft.ifftshift(np.sqrt(x**2 + y**2))
     theta = np.fft.ifftshift(np.arctan2(-y, x))
@@ -129,15 +126,38 @@ def phasecong_Mm(img, nscale=4, norient=6, minWaveLength=3, mult=2.1,
         lg[0, 0] = 0.0
         log_gabor.append(lg)
 
-    covx2 = np.zeros((rows, cols))
-    covy2 = np.zeros((rows, cols))
-    covxy = np.zeros((rows, cols))
+    spreads = []
     for o in range(norient):
         angl = o * np.pi / norient
         ds = sintheta * np.cos(angl) - costheta * np.sin(angl)
         dc = costheta * np.cos(angl) + sintheta * np.sin(angl)
         dtheta = np.minimum(np.abs(np.arctan2(ds, dc)) * norient / 2.0, np.pi)
-        spread = (np.cos(dtheta) + 1) / 2.0
+        spreads.append((np.cos(dtheta) + 1) / 2.0)
+    return log_gabor, spreads
+
+
+def phasecong_Mm(img, nscale=4, norient=6, minWaveLength=3, mult=2.1,
+                 sigmaOnf=0.55, k=2.0, cutOff=0.5, g=10.0) -> np.ndarray:
+    """Sum of the maximum and minimum phase-congruency moment covariance
+    eigenvalues (``M + m`` of Kovesi's phasecong3 with its canonical
+    defaults and the median noise estimate). High along both edges and
+    corners — the edge image the ifcb-analysis blob extraction thresholds.
+    ``M + m`` equals ``covx2 + covy2``, so the eigen-decomposition terms
+    are never materialized."""
+    img = np.asarray(img, np.float64)
+    rows, cols = img.shape
+    epsilon = 1e-4
+
+    IM = np.fft.fft2(img)
+    log_gabor, spreads = _filter_bank(
+        rows, cols, nscale, norient, minWaveLength, mult, sigmaOnf
+    )
+
+    covx2 = np.zeros((rows, cols))
+    covy2 = np.zeros((rows, cols))
+    for o in range(norient):
+        angl = o * np.pi / norient
+        spread = spreads[o]
 
         sumE = np.zeros((rows, cols))
         sumO = np.zeros((rows, cols))
@@ -182,12 +202,9 @@ def phasecong_Mm(img, nscale=4, norient=6, minWaveLength=3, mult=2.1,
         covy = pc_o * np.sin(angl)
         covx2 += covx**2
         covy2 += covy**2
-        covxy += covx * covy
 
     covx2 /= norient / 2.0
     covy2 /= norient / 2.0
-    covxy *= 4.0 / norient
-    denom = np.sqrt(covxy**2 + (covx2 - covy2) ** 2) + epsilon
     # M + m = (covy2+covx2+denom)/2 + (covy2+covx2-denom)/2 = covx2 + covy2
     return covx2 + covy2
 

@@ -165,7 +165,10 @@ def main(
 
     if feat_done != written:
         log.warning(f"feature/probability sample mismatch: {feat_done ^ written}")
-    return written
+    # a sample only counts as processed when BOTH outputs landed — the watch
+    # daemon uses this set to decide what to retry next cycle (a feat-only
+    # retry re-runs the sample; the existing prob CSV is simply rewritten)
+    return written & feat_done
 
 
 def _plan(sample_paths, prob_out_dir, feat_out_dir, force):

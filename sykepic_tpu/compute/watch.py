@@ -78,10 +78,16 @@ def run(
             ]
             # same oversize guard as the prob/feat/pipeline CLIs (reference
             # feature_python.py:22-28): never decode a >1 GB .roi in-process
+            def _roi_size(p):
+                try:
+                    return p.with_suffix(".roi").stat().st_size
+                except FileNotFoundError:
+                    # deleted between find_ready_samples and here: treat as
+                    # not ready rather than aborting the whole cycle
+                    return -1
+
             oversized = [
-                p for p in ready
-                if p.with_suffix(".roi").stat().st_size
-                > probability.MAX_ROI_BYTES
+                p for p in ready if _roi_size(p) > probability.MAX_ROI_BYTES
             ]
             for p in oversized:
                 log.warning(f"{p.name} .roi is over 1 GB, skipping for good")

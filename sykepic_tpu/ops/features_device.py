@@ -80,14 +80,28 @@ def _dilate3(x):
 
 
 def _flood(seed, within, iterations: int):
-    """Grow ``seed`` through ``within`` by 8-connected steps (bool arrays)."""
+    """Grow ``seed`` through ``within`` by 8-connected steps (bool arrays).
+
+    Runs as a convergence-checked while_loop: ``iterations`` is only a
+    pathological-case cap (a serpentine blob's geodesic diameter can far
+    exceed ``h + w``, so a fixed short bound would silently truncate curved
+    chains); typical masks converge in tens of steps.
+    """
     within_f = within.astype(jnp.float32)
     state = seed.astype(jnp.float32) * within_f
 
-    def body(_, s):
-        return jnp.minimum(_dilate3(s), 1.0) * within_f
+    def cond(carry):
+        i, s, changed = carry
+        return jnp.logical_and(i < iterations, changed)
 
-    state = jax.lax.fori_loop(0, iterations, body, state)
+    def body(carry):
+        i, s, _ = carry
+        grown = jnp.minimum(_dilate3(s), 1.0) * within_f
+        return i + 1, grown, jnp.any(grown != s)
+
+    _, state, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, jnp.bool_(True))
+    )
     return state > 0.5
 
 
@@ -130,24 +144,26 @@ def fill_holes(mask, valid, iterations: int):
     border[:, 0, :] = border[:, -1, :] = 1.0
     border[:, :, 0] = border[:, :, -1] = 1.0
     free_or_invalid = jnp.maximum(free, invalid)
-    bg = jnp.minimum(invalid + border, 1.0) * free_or_invalid
-
-    def body(_, bg):
-        return jnp.minimum(_dilate3(bg), 1.0) * free_or_invalid
-
-    bg = jax.lax.fori_loop(0, iterations, body, bg)
-    return (mask | (bg < 0.5)) & valid
+    seed = (jnp.minimum(invalid + border, 1.0) * free_or_invalid) > 0.5
+    bg = _flood(seed, free_or_invalid > 0.5, iterations)
+    return (mask | ~bg) & valid
 
 
-def chamfer_distance(mask, iterations: int):
+def chamfer_distance(mask, iterations: int, valid=None):
     """Chamfer 3-4 distance-to-background (scaled back by 1/3), computed as
-    fixed min-plus relaxation sweeps. ``mask``: (B, H, W) bool. Padding and
-    out-of-image pixels are background EXCEPT where the mask touches the
-    canvas edge (handled by the caller keeping masks inside ``valid``)."""
+    convergence-checked min-plus relaxation sweeps. ``mask``: (B, H, W)
+    bool. Out-of-image pixels (beyond ``valid`` and beyond the canvas
+    border) are NOT background: the host EDT sees no background past the
+    array edge either, so an organism clipped by the camera frame keeps its
+    large interior distances instead of collapsing to ~1 at the cut."""
     big = jnp.float32(1e6)
-    d = jnp.where(mask, big, 0.0)
+    if valid is None:
+        background = ~mask
+    else:
+        background = valid & ~mask
+    d = jnp.where(background, 0.0, big)
 
-    def body(_, d):
+    def sweep(d):
         # pad with `big` so canvas borders never see phantom background
         # (a wrap-around roll would bleed the opposite edge in)
         padded = jnp.pad(
@@ -164,9 +180,21 @@ def chamfer_distance(mask, iterations: int):
         for dy, dx, c in ((1, 0, 3.0), (-1, 0, 3.0), (0, 1, 3.0), (0, -1, 3.0),
                           (1, 1, 4.0), (1, -1, 4.0), (-1, 1, 4.0), (-1, -1, 4.0)):
             cand = jnp.minimum(cand, window(dy, dx) + c)
-        return jnp.where(mask, cand, 0.0)
+        return jnp.where(background, 0.0, cand)
 
-    d = jax.lax.fori_loop(0, iterations, body, d)
+    def cond(carry):
+        i, d, changed = carry
+        return jnp.logical_and(i < iterations, changed)
+
+    def body(carry):
+        i, d, _ = carry
+        nd = sweep(d)
+        return i + 1, nd, jnp.any(nd != d)
+
+    _, d, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), d, jnp.bool_(True))
+    )
+    d = jnp.where(mask, d, 0.0)
     # Safety clamp: pixels the fixed relaxation never reached (degenerate
     # masks, e.g. serpentine cavities needing more sweeps) still hold the
     # sentinel — cap them at each image's largest relaxed distance instead
@@ -323,19 +351,18 @@ def device_features(canvas, heights, widths, fill_iters: int | None = None,
     packed uint8 canvas batch, entirely on device. Tracks the host
     ``compute.features`` pipeline (see module docstring for deviations).
 
-    Iteration counts must cover the worst case for the canvas shape: floods
-    can need ``ch + cw`` steps (a serpentine cavity); the chamfer relaxation
-    propagates one pixel per sweep, and a blob spanning the full valid
-    height of a wide bucket puts background up to ``max(ch, cw) / 2`` away,
-    so the bound uses the LARGER side (truly degenerate masks are
-    additionally handled by the sentinel clamp in
-    :func:`chamfer_distance`).
+    Floods and the chamfer relaxation are convergence-checked while_loops;
+    the iteration counts are only pathological-case caps. The default cap
+    is ``ch * cw`` — an absolute bound on any geodesic path, so curved
+    chains/serpentine blobs are never silently truncated (typical masks
+    converge in tens of steps; remaining degenerate cases are additionally
+    handled by the sentinel clamp in :func:`chamfer_distance`).
     """
     b, ch, cw = canvas.shape
     if fill_iters is None:
-        fill_iters = ch + cw
+        fill_iters = ch * cw
     if edt_iters is None:
-        edt_iters = max(ch, cw) // 2 + 2
+        edt_iters = ch * cw
     t, valid = batched_otsu(canvas, heights, widths)
 
     # FFT input: valid pixels, padding filled with the per-ROI mean so the
@@ -357,9 +384,9 @@ def device_features(canvas, heights, widths, fill_iters: int | None = None,
             <= (t.astype(jnp.float32) * DARK_OTSU_SCALE)[:, None, None]) & valid
     mask = fill_holes(mask | dark, valid, fill_iters)
 
-    d_all = chamfer_distance(mask, edt_iters)
+    d_all = chamfer_distance(mask, edt_iters, valid=valid)
     blob = _largest_blob(mask, d_all, fill_iters)
-    d = chamfer_distance(blob, edt_iters)
+    d = chamfer_distance(blob, edt_iters, valid=valid)
     area, major, minor = moments_features(blob)
     biovolume = 4.0 * d.sum(axis=(1, 2)) - 2.0 * area
     # one stacked array = ONE device->host transfer for the whole batch

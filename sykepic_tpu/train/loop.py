@@ -213,7 +213,7 @@ def main(args):
     import jax
 
     best_variables = checkpoint.load_variables(best_state)
-    trainer.params = jax.device_put(best_variables["params"], trainer._replicated)
+    trainer.params = trainer.place_params(best_variables["params"])
     trainer.batch_stats = jax.device_put(
         best_variables.get("batch_stats", {}), trainer._replicated
     )
@@ -398,12 +398,14 @@ def load_train_state(model_dir, trainer: Trainer):
     if not path.is_file():
         return None
     state = serialization.msgpack_restore(path.read_bytes())
-    trainer.params = jax.device_put(state["params"], trainer._replicated)
+    # place_params keeps any tensor-parallel sharding the trainer applies on
+    # a model-axis mesh (a bare replicated put would silently drop it)
+    trainer.params = trainer.place_params(state["params"])
     trainer.batch_stats = jax.device_put(state["batch_stats"], trainer._replicated)
-    trainer.opt_state = jax.device_put(
-        serialization.from_state_dict(trainer.tx.init(trainer.params),
-                                      state["opt_state"]),
-        trainer._replicated,
+    # restore optimizer moments into a tree whose placement mirrors the
+    # (possibly sharded) parameters
+    trainer.opt_state = serialization.from_state_dict(
+        trainer.tx.init(trainer.params), state["opt_state"]
     )
     return state
 
@@ -453,7 +455,10 @@ def load_pretrained(variables, weights_spec, network_name: str,
             return merge_variables(variables, checkpoint.load_variables(path))
         from ..models import convert_torch
 
-        return merge_variables(variables, convert_torch.load_pth(path))
+        # the config names the family — no need to rely on key sniffing
+        return merge_variables(
+            variables, convert_torch.load_pth(path, network_name)
+        )
     try:
         from ..models import convert_torch
         import torchvision.models as tvm

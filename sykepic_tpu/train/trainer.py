@@ -123,7 +123,6 @@ class Trainer:
         self.batch_stats = variables.get("batch_stats", {})
         self.labels = label_params(self.params)
         self.tx = make_optimizer(optimizer)
-        self.opt_state = self.tx.init(self.params)
         self.spec = preprocess_spec
         self.augment_kwargs = augment_kwargs or {}
         self.mesh = mesh if mesh is not None else data_mesh()
@@ -133,14 +132,19 @@ class Trainer:
         self._replicated = NamedSharding(self.mesh, P())
         # Place state across the mesh once: replicated, except that a mesh
         # with a model axis tensor-shards the wide late-stage kernels (the
-        # optimizer state mirrors the parameter placement via re-init)
-        if has_model_axis(self.mesh):
-            self.params = shard_wide_kernels(self.params, self.mesh)
-            self.opt_state = self.tx.init(self.params)
-        else:
-            self.params = jax.device_put(self.params, self._replicated)
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+        # optimizer state mirrors the parameter placement via init-on-placed)
+        self.params = self.place_params(self.params)
+        self.opt_state = self.tx.init(self.params)
         self.batch_stats = jax.device_put(self.batch_stats, self._replicated)
+
+    def place_params(self, params):
+        """Mesh placement for a parameter tree: tensor-parallel wide-kernel
+        sharding when the mesh has a model axis, full replication otherwise.
+        Used at construction AND when checkpoint resume swaps the tree in
+        (a resumed tree must not silently lose the tp placement)."""
+        if has_model_axis(self.mesh):
+            return shard_wide_kernels(params, self.mesh)
+        return jax.device_put(params, self._replicated)
 
     # ---------------------------------------------------------- preprocessing
     def _device_preprocess(self, canvas, heights, widths, new_h, new_w,

@@ -3,6 +3,7 @@
 Dolichospermum pair, Total biomass ~1.782)."""
 
 from collections import namedtuple
+from pathlib import Path
 
 from pytest import approx
 
@@ -94,3 +95,26 @@ def test_divisions(tmp_path):
         "Aphanizomenon_flosaquae_over_9000",
         "Beads",
     ]
+
+
+def test_duplicate_sample_stems_keep_one_row_each(tmp_path):
+    """Two CSVs with the same sample stem (e.g. a re-run merged under two
+    date dirs) must produce two rows, matching the reference's
+    one-row-per-CSV behavior."""
+    import shutil
+
+    from sykepic_tpu.compute import classification
+
+    probs = sorted(Path("tests/data/prob").glob("**/*.csv"))
+    feats = sorted(Path("tests/data/feat").glob("**/*.csv"))
+    p2 = tmp_path / "dup.prob.csv"
+    f2 = tmp_path / "dup.feat.csv"
+    shutil.copy(probs[0], p2)
+    shutil.copy(feats[0], f2)
+    # same stem listed twice
+    df = classification.class_df(
+        [probs[0], probs[0]], [feats[0], feats[0]],
+        thresholds_file="tests/model/thresholds-2021.txt",
+    )
+    assert len(df) == 2
+    assert (df.iloc[0] == df.iloc[1]).all()

@@ -212,3 +212,17 @@ def test_pre_shrink_classification_equivalent():
     assert np.argmax(rows_direct[1]) == np.argmax(rows_shrunk[1])
     np.testing.assert_allclose(rows_direct[1], rows_shrunk[1], atol=2e-3)
     shutil.rmtree(d.parent, ignore_errors=True)
+
+
+def test_target_resize_dims_matches_device_geometry():
+    """pack.target_resize_dims must agree EXACTLY with
+    ops.preprocess.compute_geometry — the pre-shrink path's correctness
+    rests on the two implementations never drifting."""
+    from sykepic_tpu.ops.preprocess import compute_geometry
+
+    rng = np.random.default_rng(5)
+    hs = np.concatenate([rng.integers(1, 600, 200), [180, 181, 179, 1]])
+    ws = np.concatenate([rng.integers(1, 600, 200), [180, 180, 180, 1]])
+    gh, gw, _, _ = compute_geometry(hs, ws, 180, 180)
+    for h, w, eh, ew in zip(hs, ws, gh, gw):
+        assert pack.target_resize_dims(int(h), int(w), 180, 180) == (eh, ew)
