@@ -156,3 +156,48 @@ class EfficientNet(nn.Module):
 
 def efficientnet_b0(**kw) -> EfficientNet:
     return EfficientNet(**kw)
+
+
+def _round_filters(channels: float, width: float) -> int:
+    """EfficientNet compound-scaling channel rounding (multiples of 8,
+    never dropping below 90% of the scaled value — the torchvision /
+    original-paper rule, so scaled variants stay checkpoint-compatible)."""
+    channels *= width
+    new = max(8, (int(channels + 4) // 8) * 8)
+    if new < 0.9 * channels:
+        new += 8
+    return int(new)
+
+
+def _round_repeats(repeats: int, depth: float) -> int:
+    import math
+
+    return int(math.ceil(repeats * depth))
+
+
+def _scaled_config(width: float, depth: float):
+    return tuple(
+        (e, _round_filters(c, width), _round_repeats(r, depth), s, k)
+        for e, c, r, s, k in B0_CONFIG
+    )
+
+
+def _scaled_efficientnet(width: float, depth: float, **kw) -> EfficientNet:
+    return EfficientNet(
+        config=_scaled_config(width, depth),
+        stem_ch=_round_filters(32, width),
+        head_ch=_round_filters(1280, width),
+        **kw,
+    )
+
+
+def efficientnet_b1(**kw) -> EfficientNet:
+    return _scaled_efficientnet(1.0, 1.1, **kw)
+
+
+def efficientnet_b2(**kw) -> EfficientNet:
+    return _scaled_efficientnet(1.1, 1.2, **kw)
+
+
+def efficientnet_b3(**kw) -> EfficientNet:
+    return _scaled_efficientnet(1.2, 1.4, **kw)

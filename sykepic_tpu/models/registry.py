@@ -16,6 +16,9 @@ MODEL_REGISTRY = {
     "resnet50": resnet.resnet50,
     "resnet101": resnet.resnet101,
     "efficientnet_b0": efficientnet.efficientnet_b0,
+    "efficientnet_b1": efficientnet.efficientnet_b1,
+    "efficientnet_b2": efficientnet.efficientnet_b2,
+    "efficientnet_b3": efficientnet.efficientnet_b3,
 }
 
 

@@ -226,3 +226,30 @@ def test_torchvisionnet_style_efficientnet_keys():
     assert set(flatten_dict(variables["params"])) == set(
         flatten_dict(init["params"])
     )
+
+
+def test_compound_scaling_matches_torchvision_channels():
+    """B1-B3 compound scaling must reproduce torchvision's channel/repeat
+    plan exactly, or pretrained conversions land on mismatched shapes."""
+    from sykepic_tpu.models.efficientnet import (
+        _round_filters,
+        _scaled_config,
+    )
+
+    # torchvision efficientnet_b3: width 1.2, depth 1.4
+    cfg = _scaled_config(1.2, 1.4)
+    assert [c for _, c, _, _, _ in cfg] == [24, 32, 48, 96, 136, 232, 384]
+    assert [r for _, _, r, _, _ in cfg] == [2, 3, 3, 5, 5, 6, 2]
+    assert _round_filters(32, 1.2) == 40      # stem
+    assert _round_filters(1280, 1.2) == 1536  # head
+    # b2: width 1.1, depth 1.2
+    cfg2 = _scaled_config(1.1, 1.2)
+    assert [c for _, c, _, _, _ in cfg2] == [16, 24, 48, 88, 120, 208, 352]
+    assert [r for _, _, r, _, _ in cfg2] == [2, 3, 3, 4, 4, 5, 2]
+
+
+def test_efficientnet_b1_builds_and_runs():
+    model = build_model("efficientnet_b1", num_classes=4, head=(32,))
+    variables = init_variables(model, (64, 64, 3))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 4)
