@@ -174,12 +174,16 @@ def pack_rois(
             groups[(bh, bw)] = []
     for (bh, bw), group in groups.items():
         if group:
-            yield _emit(
-                group, bh, bw,
-                effective_batch_size(batch_size, (bh, bw),
-                                     multiple=batch_multiple),
-                pad_to_batch,
-            )
+            # tail batches pad to the next power of two, not the full batch
+            # size: a 300-ROI tail in a 2048-slot bucket would otherwise
+            # ship 6.8x its real bytes. The pow2 ladder keeps the set of
+            # compiled (canvas, batch) shapes small and stable.
+            full = effective_batch_size(batch_size, (bh, bw),
+                                        multiple=batch_multiple)
+            tail = max(batch_multiple, 1)
+            while tail < len(group):
+                tail *= 2
+            yield _emit(group, bh, bw, min(tail, full), pad_to_batch)
 
 
 def _emit(group, bh, bw, batch_size, pad_to_batch) -> PackedBatch:

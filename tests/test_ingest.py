@@ -114,12 +114,13 @@ def test_pack_rois_buckets_and_padding():
     small = by_shape[(48, 64)]
     large = by_shape[(64, 128)]
     assert small.n_valid == 1 and large.n_valid == 1
-    assert small.roi_ids.tolist() == [2, 0, 0, 0]
-    assert large.roi_ids.tolist() == [3, 0, 0, 0]
+    # pow2 tail padding: a 1-ROI tail ships a 1-slot batch, not 4 slots
+    assert small.roi_ids.tolist() == [2]
+    assert large.roi_ids.tolist() == [3]
     np.testing.assert_array_equal(small.canvas[0, :42, :56], rois.image(0))
     np.testing.assert_array_equal(large.canvas[0, :53, :128], rois.image(1))
-    assert small.heights.tolist() == [42, 1, 1, 1]
-    assert large.widths.tolist() == [128, 1, 1, 1]
+    assert small.heights.tolist() == [42]
+    assert large.widths.tolist() == [128]
 
     # a single forced bucket keeps both ROIs in one batch
     one = list(pack.pack_rois(tagged, batch_size=4, buckets=((64, 128),)))
