@@ -15,7 +15,7 @@ from __future__ import annotations
 import time
 
 from ..utils import files, logger
-from . import pipeline, probability
+from . import feature_native, pipeline, probability
 
 log = logger.get_logger("watch")
 
@@ -98,15 +98,18 @@ def run(
                 processed = pipeline.main(
                     ready, clf, prob_out_dir, feat_out_dir=feat_out_dir
                 )
-                # only successfully processed samples (or ones whose output
-                # CSVs already exist) are done — transient failures retry on
-                # the next cycle instead of being dropped for the daemon's
-                # lifetime
+                # only successfully processed samples (or ones with BOTH
+                # output CSVs already on disk) are done — transient failures
+                # retry on the next cycle instead of being dropped for the
+                # daemon's lifetime
                 done |= processed
                 done |= {
                     p.name for p in ready
                     if files.sample_csv_path(
                         p, prob_out_dir, probability.FILE_SUFFIX
+                    ).is_file()
+                    and files.sample_csv_path(
+                        p, feat_out_dir, feature_native.FILE_SUFFIX
                     ).is_file()
                 }
         except Exception:

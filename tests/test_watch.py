@@ -75,3 +75,48 @@ def test_watch_processes_new_samples_once(tmp_path, model_dir):
     )
     assert prob_csvs[0].stat().st_mtime_ns == mtime
     assert done2 == {SAMPLE}  # seen again, skipped via existing CSVs
+
+
+def test_watch_retries_failed_feature_extraction(tmp_path, model_dir, monkeypatch):
+    """A sample whose feature extraction fails transiently must be retried
+    on the next cycle (only prob+feat success marks it done)."""
+    from sykepic_tpu.compute import pipeline
+
+    raw = tmp_path / "raw"
+    copy_sample(raw, old=True)
+    clf = probability.prepare_model(model_dir, batch_size=4)
+
+    calls = {"n": 0}
+    real_compute = pipeline.compute_features
+
+    def flaky(img):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise OSError("transient")
+        return real_compute(img)
+
+    monkeypatch.setattr(pipeline, "compute_features", flaky)
+    out = tmp_path / "out"
+    done = watch.run(
+        raw, clf, out, interval=0.0, settle_seconds=1,
+        max_cycles=3, sleep=lambda s: None,
+    )
+    assert done == {SAMPLE}
+    assert list(out.glob("**/*.feat.csv"))
+    assert list(out.glob("**/*.prob.csv"))
+
+
+def test_watch_skips_oversized_roi_for_good(tmp_path, model_dir, monkeypatch):
+    from sykepic_tpu.compute import watch as watch_mod
+
+    raw = tmp_path / "raw"
+    copy_sample(raw, old=True)
+    monkeypatch.setattr(probability, "MAX_ROI_BYTES", 10)  # everything is "big"
+    clf = probability.prepare_model(model_dir, batch_size=4)
+    out = tmp_path / "out"
+    done = watch_mod.run(
+        raw, clf, out, interval=0.0, settle_seconds=1,
+        max_cycles=2, sleep=lambda s: None,
+    )
+    assert done == {SAMPLE}  # marked done (skipped), never decoded
+    assert not list(out.glob("**/*.csv"))
