@@ -138,7 +138,6 @@ def build_workload(root: Path, n_rois: int) -> list[Path]:
 def inference_benchmark(root: Path) -> None:
     model_dir = build_model_dir(root)
     samples = build_workload(root, N_ROIS)
-    n_rois = 500 * len(samples)
 
     from sykepic_tpu.compute import probability
 
@@ -149,26 +148,36 @@ def inference_benchmark(root: Path) -> None:
     # depth -- the first pipelined pass after compilation runs ~10x
     # slower while device/transfer buffers warm up (measured on the
     # tunneled v5e), so warm with enough samples to cycle them.
+    t0 = time.perf_counter()
     probability.process_samples_batched(samples[:16], clf, root / "warmup")
+    warm_rate = 16 * 500 / (time.perf_counter() - t0)
 
-    # Up to 5 passes within a time budget; the tunneled link shows large
-    # run-to-run contention noise (measured 5.5k..14.9k ROIs/s for an
-    # identical program). The recorded value is the MEDIAN pass; the best
-    # pass is reported alongside so the capability number is visible but
-    # the record is not a link-luck artifact.
+    # The tunneled link's bandwidth swings 5-50 MB/s with occasional
+    # multi-minute stalls, so (a) size the pass so one takes ~15-20 s at
+    # the observed rate — a stalled link must not consume the whole budget
+    # on a single pass — and (b) ALWAYS run at least 3 passes (hard cap
+    # aside): the recorded value is the MEDIAN pass, with the best pass
+    # alongside, so one stall cannot define the record.
+    pass_samples = samples
+    if warm_rate > 0:
+        want = int(np.clip(warm_rate * 18.0, 10_000, N_ROIS))
+        pass_samples = samples[: max(want // 500, 8)]
+    n_rois = 500 * len(pass_samples)
+
     rates = []
     budget_start = time.perf_counter()
     for trial in range(5):
         out_dir = root / f"out{trial}"
         t0 = time.perf_counter()
-        written = probability.process_samples_batched(samples, clf, out_dir)
+        written = probability.process_samples_batched(pass_samples, clf, out_dir)
         elapsed = time.perf_counter() - t0
-        assert len(written) == len(samples), "benchmark run dropped samples"
+        assert len(written) == len(pass_samples), "benchmark dropped samples"
         csvs = list(out_dir.glob("**/*.csv"))
-        assert len(csvs) == len(samples)
+        assert len(csvs) == len(pass_samples)
         rates.append(n_rois / elapsed)
         shutil.rmtree(out_dir, ignore_errors=True)
-        if time.perf_counter() - budget_start > 150.0:
+        spent = time.perf_counter() - budget_start
+        if spent > 420.0 or (len(rates) >= 3 and spent > 150.0):
             break
 
     import jax

@@ -360,8 +360,35 @@ def main(argv=None):
     fpp_parser.add_argument("-f", "--force", action="store_true",
                             help="Overwrite output file if it exists")
 
+    export_parser = subparsers.add_parser(
+        "export",
+        description="Export a trained model dir's checkpoint to a "
+        "reference-loadable best_state.pth (torch state dict)",
+    )
+    export_parser.set_defaults(func=_export)
+    export_parser.add_argument("model", help="Model directory")
+    export_parser.add_argument(
+        "-o", "--out", metavar="FILE",
+        help="Output .pth path (default: <model>/best_state.pth)",
+    )
+
     args = parser.parse_args(argv)
     args.func(args)
+
+
+def _export(args):
+    from pathlib import Path
+
+    from .models import checkpoint, convert_torch
+    from .train import config as tcfg
+
+    model_dir = Path(args.model)
+    variables = checkpoint.load_model_state(model_dir)
+    config = tcfg.read_config(model_dir / "config.ini")
+    _, dropout = tcfg.get_head_spec(config)
+    out = Path(args.out) if args.out else model_dir / "best_state.pth"
+    convert_torch.save_pth(variables, out, dropout=dropout)
+    print(f"Wrote {out}")
 
 
 def _train(args):

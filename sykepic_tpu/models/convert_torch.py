@@ -271,3 +271,81 @@ def load_pth(path, network_name: str | None = None) -> dict:
 
     state_dict = torch.load(path, map_location="cpu", weights_only=True)
     return torch_to_flax(network_name, state_dict)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: our Flax checkpoints -> reference-loadable .pth
+# ---------------------------------------------------------------------------
+
+def _head_linear_indices(n_linears: int, dropout=()) -> list[int]:
+    """torch Sequential index of each head Linear after the reference's
+    Dropout insertions (``network.py:58-61``: Dropouts are list.insert()ed
+    at the spec's indices, shifting later Linears)."""
+    layers = [("L", i) for i in range(n_linears)]
+    for idx, _p in dropout:
+        layers.insert(int(idx), ("D", None))
+    return [pos for pos, (kind, i) in enumerate(layers) if kind == "L"]
+
+
+def flax_resnet_to_torch(variables: dict, dropout=()) -> dict:
+    """Our ResNet variable tree -> a reference ``TorchVisionNet`` state
+    dict (``base.N.*`` / ``head.K.*`` naming), so models trained HERE load
+    straight into the original torch pipeline. ``dropout`` must be the
+    model dir's ``[model] dropout`` spec — it determines the head's torch
+    Sequential indices."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    inv_children = {v: k for k, v in _BASE_CHILDREN.items()}
+    sd: dict = {}
+
+    def put(key, arr):
+        sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    def put_bn(prefix, p_tree, s_tree):
+        put(f"{prefix}.weight", np.asarray(p_tree["scale"]))
+        put(f"{prefix}.bias", np.asarray(p_tree["bias"]))
+        put(f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
+        put(f"{prefix}.running_var", np.asarray(s_tree["var"]))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+    put(f"base.{inv_children['conv1']}.weight",
+        np.asarray(params["conv1"]["kernel"]).transpose(3, 2, 0, 1))
+    put_bn(f"base.{inv_children['bn1']}", params["bn1"], stats["bn1"])
+    for mod, tree in params.items():
+        if not mod.startswith("layer"):
+            continue
+        stage, block = mod.split("_")
+        base_idx = inv_children[stage]
+        prefix = f"base.{base_idx}.{block}"
+        for sub, leaf in tree.items():
+            if sub.startswith("conv"):
+                put(f"{prefix}.{sub}.weight",
+                    np.asarray(leaf["kernel"]).transpose(3, 2, 0, 1))
+            elif sub.startswith("bn"):
+                put_bn(f"{prefix}.{sub}", leaf, stats[mod][sub])
+            elif sub == "downsample_conv":
+                put(f"{prefix}.downsample.0.weight",
+                    np.asarray(leaf["kernel"]).transpose(3, 2, 0, 1))
+            elif sub == "downsample_bn":
+                put_bn(f"{prefix}.downsample.1", leaf, stats[mod][sub])
+            else:
+                raise KeyError(f"Unhandled module {mod}.{sub}")
+
+    head = params.get("head", {})
+    n = len(head)
+    indices = _head_linear_indices(n, dropout)
+    for k in range(n):
+        fc = head[f"fc{k}"]
+        put(f"head.{indices[k]}.weight",
+            np.asarray(fc["kernel"]).transpose(1, 0))
+        put(f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
+    return sd
+
+
+def save_pth(variables: dict, path, dropout=()) -> None:
+    """Write a reference-loadable ``best_state.pth`` from our variables."""
+    import torch
+
+    torch.save(flax_resnet_to_torch(variables, dropout), str(path))

@@ -91,6 +91,19 @@ def get_augment_spec(config) -> AugmentSpec:
     return spec
 
 
+def get_head_spec(config):
+    """``(head_sizes, dropout_spec)`` from ``[model]`` — the dropout spec
+    also determines the reference head's torch Sequential indices, so the
+    .pth exporter needs it (``models/convert_torch.py::save_pth``)."""
+    head = [int(i) for i in config.get("model", "head").split(",")]
+    dropout = []
+    if config.get("model", "dropout"):
+        for drop in config.get("model", "dropout").split(";"):
+            idx, p = drop.split(",")
+            dropout.append((int(idx), float(p)))
+    return head, dropout
+
+
 def get_network(config, num_classes: int, dtype=None):
     """Build the model from ``[model]`` (reference ``config.py:63-77``).
 
@@ -107,12 +120,7 @@ def get_network(config, num_classes: int, dtype=None):
         weights = None if not weights else weights
     except NoOptionError:
         weights = "DEFAULT"
-    head = [int(i) for i in config.get("model", "head").split(",")]
-    dropout = []
-    if config.get("model", "dropout"):
-        for drop in config.get("model", "dropout").split(";"):
-            idx, p = drop.split(",")
-            dropout.append((int(idx), float(p)))
+    head, dropout = get_head_spec(config)
     model = build_model(
         network,
         num_classes,

@@ -214,3 +214,36 @@ def test_load_pretrained_offline_is_hard_error():
             variables, "/nonexistent/weights.msgpack", "resnet18",
             allow_random_init=True,
         )
+
+
+def test_flax_to_torch_roundtrip(tmp_path):
+    """Export our variables to a reference-style .pth and re-import: the
+    tree must come back identical (two-way model-dir compatibility)."""
+    import torch
+
+    from sykepic_tpu.models import convert_torch
+    from sykepic_tpu.models.registry import build_model, init_variables
+
+    model = build_model("resnet18", num_classes=5, head=(32, 16))
+    variables = init_variables(model, (32, 32, 3), seed=3)
+    dropout = ((-1, 0.25),)  # reference-style insertion before last Linear
+    sd = convert_torch.flax_resnet_to_torch(variables, dropout=dropout)
+    # dropout insertion shifts the last Linear's index
+    assert "head.0.weight" in sd and "head.1.weight" in sd
+    assert "head.3.weight" in sd  # fc2 pushed past the Dropout at -1
+    path = tmp_path / "best_state.pth"
+    convert_torch.save_pth(variables, path, dropout=dropout)
+    back = convert_torch.load_pth(path, "resnet18")
+
+    from flax.traverse_util import flatten_dict
+
+    want_p = flatten_dict(variables["params"])
+    got_p = flatten_dict(back["params"])
+    assert set(want_p) == set(got_p)
+    for k in want_p:
+        np.testing.assert_allclose(np.asarray(want_p[k]),
+                                   np.asarray(got_p[k]), rtol=1e-6)
+    want_s = flatten_dict(variables["batch_stats"])
+    got_s = flatten_dict(back["batch_stats"])
+    assert set(want_s) == set(got_s)
+    del torch
