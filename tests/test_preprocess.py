@@ -102,7 +102,10 @@ def test_eval_preprocess_matches_opencv_oracle(imagenet):
             imagenet_normalization=imagenet,
         )
     )
-    assert out.shape == (4, T, T, 3)
+    # tail batches pad to the next power of two >= n_rois (ingest/pack.py),
+    # so the 2-ROI fixture packs into exactly 2 slots
+    assert out.shape == (batch.canvas.shape[0], T, T, 3)
+    assert out.shape[0] == 2
     for i in range(2):
         oracle = reference_eval_transform(rois.image(i), T)
         if imagenet:
