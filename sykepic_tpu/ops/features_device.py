@@ -19,7 +19,7 @@ same calibrated ifcb-analysis-lineage pipeline:
 - **largest blob**: flood from each image's distance-map argmax (the
   deepest interior pixel) — equals the host's largest-area blob whenever
   the largest blob is also the thickest, which holds for plankton ROIs,
-- area / biovolume ``sum(4D - 2)`` / MATLAB-style ellipse axes from masked
+- area / biovolume ``sum(4D - 3)`` / MATLAB-style ellipse axes from masked
   moment sums; the distance transform is a chamfer 3-4 approximation of
   the exact EDT (error <4% on plankton-scale blobs).
 
@@ -388,7 +388,7 @@ def device_features(canvas, heights, widths, fill_iters: int | None = None,
     blob = _largest_blob(mask, d_all, fill_iters)
     d = chamfer_distance(blob, edt_iters, valid=valid)
     area, major, minor = moments_features(blob)
-    biovolume = 4.0 * d.sum(axis=(1, 2)) - 2.0 * area
+    biovolume = 4.0 * d.sum(axis=(1, 2)) - 3.0 * area
     # one stacked array = ONE device->host transfer for the whole batch
     # (four separate transfers cost 4 tunnel round trips per batch)
     return jnp.stack([area, biovolume, major, minor], axis=1)

