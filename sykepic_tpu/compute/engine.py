@@ -69,7 +69,7 @@ class Classifier:
         model_dir,
         batch_size: int = 256,
         dtype: str = "float32",
-        buckets=pack.DEFAULT_BUCKETS,
+        buckets=None,
         mesh=None,
     ):
         model_dir = Path(model_dir)
@@ -182,16 +182,28 @@ class Classifier:
             return jax.device_put(a, self._data_sharding)
         return a
 
-    def dispatch_packed(self, batch: pack.PackedBatch):
-        """Start inference for one packed batch; returns the on-device
-        result WITHOUT blocking (jax dispatch is asynchronous, so host
-        packing of the next batch overlaps device compute)."""
+    def _host_meta(self, batch: pack.PackedBatch):
+        """Resize geometry + border fill for one packed batch (host numpy).
+        Cheap when the packer pre-computed per-ROI modes; otherwise falls
+        back to a histogram pass over the padded canvas."""
         new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
             batch.heights, batch.widths, self.spec.target_h, self.spec.target_w
         )
-        border = preprocess.border_values(
-            batch.canvas, batch.heights, batch.widths, self.spec.border
-        )
+        if batch.modes is not None and self.spec.border == "mode":
+            border = batch.modes
+        else:
+            border = preprocess.border_values(
+                batch.canvas, batch.heights, batch.widths, self.spec.border
+            )
+        return new_h, new_w, pad_top, pad_left, border
+
+    def dispatch_packed(self, batch: pack.PackedBatch, meta=None):
+        """Start inference for one packed batch; returns the on-device
+        result WITHOUT blocking (jax dispatch is asynchronous, so host
+        packing of the next batch overlaps device compute)."""
+        if meta is None:
+            meta = self._host_meta(batch)
+        new_h, new_w, pad_top, pad_left, border = meta
         args = tuple(
             self._put(a)
             for a in (
@@ -208,6 +220,47 @@ class Classifier:
     def infer_packed(self, batch: pack.PackedBatch) -> np.ndarray:
         """Class probabilities for one packed batch: (B, num_classes)."""
         return np.asarray(self.dispatch_packed(batch))
+
+    def _prepared_batches(self, tagged_rois, pre_shrink_to=None):
+        """Pack ROIs and compute host metadata on a PRODUCER THREAD,
+        yielding ``(batch, meta)`` ready to dispatch.
+
+        The dispatch thread spends most of its time inside device transfers
+        (GIL released); running decode -> pack -> mode/geometry on a
+        separate thread overlaps that host work with the link instead of
+        serializing it (measured 136 us/ROI of metadata work inline — a
+        ~7 kROI/s ceiling all by itself on the bench mix).
+        """
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        done = object()
+
+        def produce():
+            try:
+                for batch in pack.pack_rois(
+                    tagged_rois, batch_size=self.batch_size,
+                    buckets=self.buckets,
+                    batch_multiple=self._batch_multiple,
+                    pre_shrink_to=pre_shrink_to,
+                    compute_modes=(self.spec.border == "mode"),
+                ):
+                    q.put((batch, self._host_meta(batch)))
+            except BaseException as e:  # re-raised on the consumer side
+                q.put(e)
+                return
+            q.put(done)
+
+        threading.Thread(target=produce, daemon=True,
+                         name="sykepic-pack").start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def classify_rois(self, tagged_rois):
         """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.
@@ -226,16 +279,15 @@ class Classifier:
         from collections import deque
 
         in_flight: deque = deque()
-        for batch in pack.pack_rois(
-            tagged_rois, batch_size=self.batch_size, buckets=self.buckets,
-            batch_multiple=self._batch_multiple,
+        for batch, meta in self._prepared_batches(
+            tagged_rois,
             # oversized ROIs downsample on the host (the device would
             # downsample them anyway): up to ~8x fewer bytes over the link.
             # The fused features path below must NOT do this (its area /
             # biovolume outputs are in original pixel units).
             pre_shrink_to=(self.spec.target_h, self.spec.target_w),
         ):
-            device_probs = self.dispatch_packed(batch)
+            device_probs = self.dispatch_packed(batch, meta)
             try:
                 device_probs.copy_to_host_async()
             except AttributeError:  # pragma: no cover - older jax
@@ -280,19 +332,10 @@ class Classifier:
                     tuple(float(v) for v in feats[i]),
                 )
 
-        for batch in pack.pack_rois(
-            tagged_rois, batch_size=self.batch_size, buckets=self.buckets,
-            batch_multiple=self._batch_multiple,
-        ):
-            # geometry/border metadata from host arrays (cheap), canvas
-            # uploaded ONCE and shared by both device programs
-            new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
-                batch.heights, batch.widths,
-                self.spec.target_h, self.spec.target_w,
-            )
-            border = preprocess.border_values(
-                batch.canvas, batch.heights, batch.widths, self.spec.border
-            )
+        for batch, meta in self._prepared_batches(tagged_rois):
+            # metadata from the producer thread, canvas uploaded ONCE and
+            # shared by both device programs
+            new_h, new_w, pad_top, pad_left, border = meta
             canvas = self._put(batch.canvas)
             heights = self._put(batch.heights)
             widths = self._put(batch.widths)

