@@ -164,6 +164,12 @@ def inference_benchmark(root: Path) -> None:
         pass_samples = samples[: max(want // 500, 8)]
     n_rois = 500 * len(pass_samples)
 
+    # Pre-compile every (canvas, batch) program the timed passes will
+    # dispatch: the dynamic bucket grid compiles per observed shape
+    # (~10-30 s each over the tunnel, persistent disk cache thereafter);
+    # a single cold shape mid-pass would dwarf the pass itself.
+    probability.precompile_for_samples(pass_samples, clf)
+
     rates = []
     budget_start = time.perf_counter()
     for trial in range(5):

@@ -221,6 +221,29 @@ class Classifier:
         """Class probabilities for one packed batch: (B, num_classes)."""
         return np.asarray(self.dispatch_packed(batch))
 
+    def precompile(self, canvas_shapes) -> int:
+        """Force-compile the fused program for each ``(B, Hc, Wc)`` canvas
+        shape by dispatching an all-zeros batch (zeros ship cheaply over a
+        compressing link). Compiles land in BOTH the process jit cache and
+        the persistent disk cache, so latency-sensitive or timed
+        processing afterwards never stalls on a mid-stream compile
+        (~10-30 s per shape over a tunneled TPU)."""
+        results = []
+        for b, hc, wc in sorted(set(canvas_shapes)):
+            batch = pack.PackedBatch(
+                canvas=np.zeros((b, hc, wc), np.uint8),
+                heights=np.ones(b, np.int32),
+                widths=np.ones(b, np.int32),
+                roi_ids=np.zeros(b, np.int64),
+                sample_idx=np.zeros(b, np.int32),
+                n_valid=0,
+                modes=np.zeros(b, np.uint8),
+            )
+            results.append(self.dispatch_packed(batch))
+        for r in results:
+            np.asarray(r)  # drain: compilation + first execution done
+        return len(results)
+
     def _prepared_batches(self, tagged_rois, pre_shrink_to=None):
         """Pack ROIs and compute host metadata on a PRODUCER THREAD,
         yielding ``(batch, meta)`` ready to dispatch.

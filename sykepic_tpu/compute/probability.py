@@ -118,6 +118,35 @@ def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32",
     return Classifier(model_dir, batch_size=batch_size, dtype=dtype, mesh=mesh)
 
 
+def precompile_for_samples(sample_paths, clf: Classifier) -> int:
+    """Compile every (canvas shape, batch size) program the given samples
+    will produce through :meth:`Classifier.classify_rois`, before any
+    timed or latency-sensitive processing. Packs the samples exactly like
+    the classify path (same buckets, batch multiple, pre-shrink) to
+    enumerate the shapes, then dispatches one zeros batch per shape.
+    Returns the number of distinct programs warmed."""
+    from ..ingest import pack
+
+    def stream():
+        for idx, p in enumerate(sample_paths):
+            try:
+                rois = ifcb.read_sample(p)
+            except Exception:
+                continue
+            for rid, img in rois.images():
+                yield idx, rid, img
+
+    shapes = {
+        batch.canvas.shape
+        for batch in pack.pack_rois(
+            stream(), batch_size=clf.batch_size, buckets=clf.buckets,
+            batch_multiple=clf._batch_multiple,
+            pre_shrink_to=(clf.spec.target_h, clf.spec.target_w),
+        )
+    }
+    return clf.precompile(shapes)
+
+
 def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):
     """Decode one sample, classify its ROIs, write the CSV.
 

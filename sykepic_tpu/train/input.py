@@ -64,6 +64,19 @@ class BatchLoader:
         mirroring torch DataLoader(shuffle=True) behavior)
     num_threads : PNG-decode worker threads
     prefetch : batches decoded ahead of the consumer
+    pre_shrink_to : (target_h, target_w) or None
+        Host-downscale images LARGER than the model target before packing
+        (the device resize would downsample them anyway; shipping the
+        downsampled pixels cuts host->device bytes — same rationale and
+        fixed-point resize dims as the inference engine's pre-shrink,
+        ``ingest/pack.py::pre_shrink``).
+    size_pool : int
+        With ``shuffle``, images are grouped into pools of
+        ``batch_size * size_pool``, sorted by decoded size inside each
+        pool, and the resulting batches are shuffled in order. Each
+        batch's canvas is sized to its largest member, so size-homogeneous
+        batches ship far fewer padding bytes (a single large image
+        otherwise inflates all 256 slots). 1 disables pooling.
     """
 
     def __init__(
@@ -77,6 +90,8 @@ class BatchLoader:
         prefetch: int = 2,
         buckets=pack.DEFAULT_BUCKETS,
         cache_bytes: int = 2 * 1024**3,
+        pre_shrink_to=None,
+        size_pool: int = 16,
     ):
         self.paths = list(paths)
         self.labels = None if labels is None else np.asarray(labels, np.int32)
@@ -86,12 +101,17 @@ class BatchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.buckets = buckets
+        self.pre_shrink_to = (
+            None if pre_shrink_to is None else tuple(pre_shrink_to)
+        )
+        self.size_pool = size_pool
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
         # Decoded-image cache: plankton training sets are tiny (~3 KB/ROI,
         # tens of MB total), so epochs 2+ skip PNG decoding entirely. The
         # cache stops growing at cache_bytes (0 disables it).
         self._cache: dict[int, np.ndarray] = {}
         self._cache_budget = cache_bytes
+        self._sizes = None  # lazy: packed-size sort keys for pooling
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -112,13 +132,10 @@ class BatchLoader:
         missing = [k for k, img in enumerate(imgs) if img is None]
         if missing:
             decoded = list(
-                self._pool.map(read_image, [paths[k] for k in missing])
+                self._pool.map(self._decode_one, [full[k] for k in missing])
             )
             for k, img in zip(missing, decoded):
                 imgs[k] = img
-                if self._cache_budget > 0:
-                    self._cache[int(full[k])] = img
-                    self._cache_budget -= img.nbytes
         max_h = max(img.shape[0] for img in imgs)
         max_w = max(img.shape[1] for img in imgs)
         bh, bw = pack.bucket_for(max_h, max_w, self.buckets)
@@ -141,12 +158,72 @@ class BatchLoader:
         weights[:n] = 1.0
         return HostBatch(canvas, heights, widths, labels, weights, paths)
 
+    def _decode_one(self, idx_row) -> np.ndarray:
+        """Decode (and optionally pre-shrink) one image, filling the cache."""
+        img = read_image(self.paths[int(idx_row)])
+        if self.pre_shrink_to is not None:
+            img = pack.pre_shrink(img, *self.pre_shrink_to)
+        if self._cache_budget > 0:
+            self._cache[int(idx_row)] = img
+            self._cache_budget -= img.nbytes
+        return img
+
+    def _size_keys(self) -> np.ndarray:
+        """Per-image packed-size sort keys for pooled batching: PNG
+        dimensions from the IHDR header (no pixel decode), post-pre-shrink,
+        encoded as padded area. Non-PNG files sort last (unknown)."""
+        import struct
+
+        keys = np.zeros(len(self.paths), np.int64)
+        for i, p in enumerate(self.paths):
+            h = w = None
+            try:
+                with open(p, "rb") as f:
+                    head = f.read(24)
+                if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+                    w, h = struct.unpack(">II", head[16:24])
+            except OSError:
+                pass
+            if h is None:
+                keys[i] = np.iinfo(np.int64).max  # unknown: group at end
+                continue
+            if self.pre_shrink_to is not None:
+                th, tw = self.pre_shrink_to
+                nh, nw = pack.target_resize_dims(h, w, th, tw)
+                if nh < h and nw <= w or nw < w and nh <= h:
+                    h, w = nh, nw
+            keys[i] = (int(h) << 20) | int(w)
+        return keys
+
     def _index_batches(self):
         order = np.arange(len(self.paths))
-        if self.shuffle:
-            self.rng.shuffle(order)
-        for start in range(0, len(order), self.batch_size):
-            yield order[start : start + self.batch_size]
+        b = self.batch_size
+        if not self.shuffle:
+            for start in range(0, len(order), b):
+                yield order[start : start + b]
+            return
+        self.rng.shuffle(order)
+        if self.size_pool > 1 and len(order) > b:
+            # Size-homogeneous batches: sort inside pools of
+            # batch_size * size_pool so a lone large image no longer sizes
+            # all 256 slots' canvas (measured ~4x padding bytes on mixed
+            # datasets); shuffling pools AND the final batch order keeps
+            # composition stochastic across epochs.
+            if self._sizes is None:
+                self._sizes = self._size_keys()
+            pool = b * self.size_pool
+            pieces = []
+            for start in range(0, len(order), pool):
+                chunk = order[start : start + pool]
+                pieces.append(chunk[np.argsort(self._sizes[chunk],
+                                               kind="stable")])
+            order = np.concatenate(pieces)
+            batches = [order[s : s + b] for s in range(0, len(order), b)]
+            self.rng.shuffle(batches)
+            yield from batches
+            return
+        for start in range(0, len(order), b):
+            yield order[start : start + b]
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -190,13 +190,17 @@ def main(args):
                   f"in {model_dir}; starting fresh")
 
     train_x, train_y = model_data.train_set()
+    # pre-shrink: oversized source images downsample on the host (the
+    # device resize would anyway) — fewer host->device bytes, and
+    # size-pooled shuffle keeps batch canvases tight (input.BatchLoader).
+    shrink = (spec.target_h, spec.target_w)
     train_loader = BatchLoader(
         train_x, train_y, batch_size, shuffle=True, seed=random_seed,
-        num_threads=max(num_workers, 1),
+        num_threads=max(num_workers, 1), pre_shrink_to=shrink,
     )
     val_loader = BatchLoader(
         model_data.val_x, model_data.val_y, batch_size,
-        num_threads=max(num_workers, 1),
+        num_threads=max(num_workers, 1), pre_shrink_to=shrink,
     )
 
     best_state = train_net(
@@ -222,7 +226,7 @@ def main(args):
     if test_split:
         test_loader = BatchLoader(
             model_data.test_x, model_data.test_y, batch_size,
-            num_threads=max(num_workers, 1),
+            num_threads=max(num_workers, 1), pre_shrink_to=shrink,
         )
         report = test_net(trainer, test_loader, classes)
         print(report)
