@@ -228,3 +228,65 @@ def test_target_resize_dims_matches_device_geometry():
     gh, gw, _, _ = compute_geometry(hs, ws, 180, 180)
     for h, w, eh, ew in zip(hs, ws, gh, gw):
         assert pack.target_resize_dims(int(h), int(w), 180, 180) == (eh, ew)
+
+
+def test_snap_dim_ladder():
+    assert pack.snap_dim(1) == 8
+    assert pack.snap_dim(8) == 8
+    assert pack.snap_dim(9) == 16
+    assert pack.snap_dim(64) == 64
+    assert pack.snap_dim(65) == 80
+    assert pack.snap_dim(128) == 128
+    assert pack.snap_dim(129) == 160
+    assert pack.snap_dim(256) == 256
+    assert pack.snap_dim(257) == 320
+    assert pack.snap_dim(5000) == pack.GRID_MAX
+
+
+def test_pack_tail_splits_into_pow2_pieces():
+    # 1200 same-shape ROIs with batch_size 2048: one tail, split into
+    # descending pow2 pieces 1024 + 128 + 64 (<7% padding, ladder shapes)
+    img = np.full((30, 50), 90, np.uint8)
+    tagged = [(0, i + 1, img) for i in range(1200)]
+    batches = list(pack.pack_rois(tagged, batch_size=2048))
+    sizes = [b.canvas.shape[0] for b in batches]
+    assert sizes == [1024, 128, 64]
+    assert [b.n_valid for b in batches] == [1024, 128, 48]
+    # every ROI present exactly once, order preserved
+    ids = [rid for b in batches for rid in b.roi_ids[: b.n_valid]]
+    assert ids == list(range(1, 1201))
+
+
+def test_pack_tail_small_pads_to_pow2():
+    img = np.full((30, 50), 90, np.uint8)
+    tagged = [(0, i + 1, img) for i in range(30)]
+    (batch,) = list(pack.pack_rois(tagged, batch_size=2048))
+    assert batch.canvas.shape[0] == 32 and batch.n_valid == 30
+
+
+def test_pack_respects_batch_multiple_in_tail_pieces():
+    img = np.full((20, 20), 90, np.uint8)
+    tagged = [(0, i + 1, img) for i in range(10)]
+    batches = list(pack.pack_rois(tagged, batch_size=64, batch_multiple=8))
+    for b in batches:
+        assert b.canvas.shape[0] % 8 == 0
+    assert sum(b.n_valid for b in batches) == 10
+
+
+def test_pack_modes_match_cv2_histogram():
+    import cv2
+
+    rng = np.random.default_rng(3)
+    tagged = []
+    expected = []
+    for i in range(5):
+        img = rng.integers(0, 255, (25, 40), np.uint8)
+        tagged.append((0, i + 1, img))
+        hist = cv2.calcHist([img], [0], None, [256], [0, 256])
+        expected.append(int(np.argmax(hist)))
+    (batch,) = list(pack.pack_rois(tagged, batch_size=8, compute_modes=True))
+    assert batch.modes is not None
+    assert batch.modes[: batch.n_valid].tolist() == expected
+    # without the flag, no mode work is done
+    (plain,) = list(pack.pack_rois(tagged, batch_size=8))
+    assert plain.modes is None
