@@ -221,13 +221,14 @@ class Classifier:
         """Class probabilities for one packed batch: (B, num_classes)."""
         return np.asarray(self.dispatch_packed(batch))
 
-    def precompile(self, canvas_shapes) -> int:
-        """Force-compile the fused program for each ``(B, Hc, Wc)`` canvas
-        shape by dispatching an all-zeros batch (zeros ship cheaply over a
-        compressing link). Compiles land in BOTH the process jit cache and
-        the persistent disk cache, so latency-sensitive or timed
-        processing afterwards never stalls on a mid-stream compile
-        (~10-30 s per shape over a tunneled TPU)."""
+    def precompile(self, canvas_shapes, fused: bool = False) -> int:
+        """Force-compile the inference program for each ``(B, Hc, Wc)``
+        canvas shape by dispatching an all-zeros batch (zeros ship cheaply
+        over a compressing link). With ``fused`` the on-device feature
+        program is warmed too (the pipeline/watch path). Compiles land in
+        BOTH the process jit cache and the persistent disk cache, so
+        latency-sensitive or timed processing afterwards never stalls on a
+        mid-stream compile (~10-30 s per shape over a tunneled TPU)."""
         results = []
         for b, hc, wc in sorted(set(canvas_shapes)):
             batch = pack.PackedBatch(
@@ -240,6 +241,13 @@ class Classifier:
                 modes=np.zeros(b, np.uint8),
             )
             results.append(self.dispatch_packed(batch))
+            if fused:
+                from ..ops import features_device
+
+                results.append(features_device.device_features(
+                    self._put(batch.canvas), self._put(batch.heights),
+                    self._put(batch.widths),
+                ))
         for r in results:
             np.asarray(r)  # drain: compilation + first execution done
         return len(results)

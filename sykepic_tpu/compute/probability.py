@@ -118,13 +118,15 @@ def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32",
     return Classifier(model_dir, batch_size=batch_size, dtype=dtype, mesh=mesh)
 
 
-def precompile_for_samples(sample_paths, clf: Classifier) -> int:
+def precompile_for_samples(sample_paths, clf: Classifier,
+                           fused: bool = False) -> int:
     """Compile every (canvas shape, batch size) program the given samples
-    will produce through :meth:`Classifier.classify_rois`, before any
-    timed or latency-sensitive processing. Packs the samples exactly like
-    the classify path (same buckets, batch multiple, pre-shrink) to
-    enumerate the shapes, then dispatches one zeros batch per shape.
-    Returns the number of distinct programs warmed."""
+    will produce through :meth:`Classifier.classify_rois` (or, with
+    ``fused``, :meth:`classify_and_feature_rois`), before any timed or
+    latency-sensitive processing. Packs the samples exactly like the
+    target path (same buckets, batch multiple, pre-shrink) to enumerate
+    the shapes, then dispatches one zeros batch per shape. Returns the
+    number of distinct programs warmed."""
     from ..ingest import pack
 
     def stream():
@@ -141,10 +143,14 @@ def precompile_for_samples(sample_paths, clf: Classifier) -> int:
         for batch in pack.pack_rois(
             stream(), batch_size=clf.batch_size, buckets=clf.buckets,
             batch_multiple=clf._batch_multiple,
-            pre_shrink_to=(clf.spec.target_h, clf.spec.target_w),
+            # the fused path keeps original pixel units (no pre-shrink)
+            pre_shrink_to=(
+                None if fused
+                else (clf.spec.target_h, clf.spec.target_w)
+            ),
         )
     }
-    return clf.precompile(shapes)
+    return clf.precompile(shapes, fused=fused)
 
 
 def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):
