@@ -255,16 +255,35 @@ def train_benchmark(root: Path) -> None:
         ),
     )
     lrs = (1e-3, 1e-4, 1e-5)
-    # warmup: compile the step + cycle transfer buffers
-    warm = BatchLoader(paths[: batch * 3], labels[: batch * 3],
-                       batch_size=batch, num_threads=8)
+    # Warmup: compile the train step for EVERY canvas shape the size-pooled
+    # loader can emit (all buckets up to the pre-shrunk max, 9 shapes) so
+    # the timed epoch never hits a cold compile, then cycle the transfer
+    # buffers with real batches.
+    from sykepic_tpu.ingest import pack as packmod
+    from sykepic_tpu.train.input import HostBatch
+
     loss_sum = None
+    for bh, bw in packmod.DEFAULT_BUCKETS:
+        if bh > 192 or bw > 192:
+            continue
+        hb = HostBatch(
+            canvas=np.zeros((batch, bh, bw), np.uint8),
+            heights=np.ones(batch, np.int32),
+            widths=np.ones(batch, np.int32),
+            labels=np.zeros(batch, np.int32),
+            weights=np.zeros(batch, np.float32),
+            paths=[],
+        )
+        loss_sum, _, _ = trainer.train_batch(hb, stage=2, lrs=lrs)
+    warm = BatchLoader(paths[: batch * 3], labels[: batch * 3],
+                       batch_size=batch, num_threads=8,
+                       pre_shrink_to=(180, 180))
     for b in warm:
         loss_sum, _, _ = trainer.train_batch(b, stage=2, lrs=lrs)
     np.asarray(loss_sum)  # drain (block_until_ready lies over the tunnel)
 
     loader = BatchLoader(paths, labels, batch_size=batch, shuffle=True,
-                         seed=0, num_threads=8)
+                         seed=0, num_threads=8, pre_shrink_to=(180, 180))
     t0 = time.perf_counter()
     loss_sum = None
     for b in loader:
