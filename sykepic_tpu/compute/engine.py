@@ -267,6 +267,16 @@ class Classifier:
 
         q: queue.Queue = queue.Queue(maxsize=4)
         done = object()
+        cancel = threading.Event()  # set when the consumer goes away
+
+        def offer(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -277,21 +287,25 @@ class Classifier:
                     pre_shrink_to=pre_shrink_to,
                     compute_modes=(self.spec.border == "mode"),
                 ):
-                    q.put((batch, self._host_meta(batch)))
+                    if not offer((batch, self._host_meta(batch))):
+                        return
             except BaseException as e:  # re-raised on the consumer side
-                q.put(e)
+                offer(e)
                 return
-            q.put(done)
+            offer(done)
 
         threading.Thread(target=produce, daemon=True,
                          name="sykepic-pack").start()
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancel.set()  # unblock the producer if we exit early
 
     def classify_rois(self, tagged_rois):
         """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.
