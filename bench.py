@@ -164,11 +164,14 @@ def inference_benchmark(root: Path) -> None:
         pass_samples = samples[: max(want // 500, 8)]
     n_rois = 500 * len(pass_samples)
 
-    # Pre-compile every (canvas, batch) program the timed passes will
+    # Pre-compile the (canvas, batch) programs the timed passes will
     # dispatch: the dynamic bucket grid compiles per observed shape
     # (~10-30 s each over the tunnel, persistent disk cache thereafter);
-    # a single cold shape mid-pass would dwarf the pass itself.
-    probability.precompile_for_samples(pass_samples, clf)
+    # a single cold shape mid-pass would dwarf the pass itself. Budgeted
+    # (volume-ordered) so a cold cache can't consume the whole bench run;
+    # any long-tail shape left cold compiles once during pass 0, and the
+    # recorded value is the median pass.
+    probability.precompile_for_samples(pass_samples, clf, budget_s=900)
 
     rates = []
     budget_start = time.perf_counter()

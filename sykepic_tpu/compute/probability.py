@@ -119,14 +119,23 @@ def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32",
 
 
 def precompile_for_samples(sample_paths, clf: Classifier,
-                           fused: bool = False) -> int:
+                           fused: bool = False,
+                           budget_s: float | None = None) -> int:
     """Compile every (canvas shape, batch size) program the given samples
     will produce through :meth:`Classifier.classify_rois` (or, with
     ``fused``, :meth:`classify_and_feature_rois`), before any timed or
     latency-sensitive processing. Packs the samples exactly like the
     target path (same buckets, batch multiple, pre-shrink) to enumerate
     the shapes, then dispatches one zeros batch per shape. Returns the
-    number of distinct programs warmed."""
+    number of distinct programs warmed.
+
+    ``budget_s`` bounds the warm time: shapes are warmed in descending
+    ROI-volume order and warming stops once the budget is spent (the
+    long-tail shapes then compile on first real use). A cold compile cache
+    costs 10-30 s per shape on a tunneled TPU; warmed caches reload in
+    ~1-3 s."""
+    import time
+
     from ..ingest import pack
 
     def stream():
@@ -138,19 +147,28 @@ def precompile_for_samples(sample_paths, clf: Classifier,
             for rid, img in rois.images():
                 yield idx, rid, img
 
-    shapes = {
-        batch.canvas.shape
-        for batch in pack.pack_rois(
-            stream(), batch_size=clf.batch_size, buckets=clf.buckets,
-            batch_multiple=clf._batch_multiple,
-            # the fused path keeps original pixel units (no pre-shrink)
-            pre_shrink_to=(
-                None if fused
-                else (clf.spec.target_h, clf.spec.target_w)
-            ),
-        )
-    }
-    return clf.precompile(shapes, fused=fused)
+    volume: dict[tuple, int] = {}
+    for batch in pack.pack_rois(
+        stream(), batch_size=clf.batch_size, buckets=clf.buckets,
+        batch_multiple=clf._batch_multiple,
+        # the fused path keeps original pixel units (no pre-shrink)
+        pre_shrink_to=(
+            None if fused
+            else (clf.spec.target_h, clf.spec.target_w)
+        ),
+    ):
+        key = batch.canvas.shape
+        volume[key] = volume.get(key, 0) + batch.n_valid
+    ordered = sorted(volume, key=volume.get, reverse=True)
+    if budget_s is None:
+        return clf.precompile(ordered, fused=fused)
+    warmed = 0
+    t0 = time.time()
+    for shape in ordered:
+        warmed += clf.precompile([shape], fused=fused)
+        if time.time() - t0 > budget_s:
+            break
+    return warmed
 
 
 def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):
