@@ -69,10 +69,19 @@ class Classifier:
         model_dir,
         batch_size: int = 256,
         dtype: str = "float32",
-        buckets=None,
+        buckets="auto",
         mesh=None,
     ):
         model_dir = Path(model_dir)
+        if buckets == "auto":
+            # None = dynamic fine grid (fewest host->device bytes; one
+            # compile per observed shape — right when the link is the
+            # bottleneck, e.g. a tunneled chip). SYKEPIC_BUCKETS=fixed
+            # selects the bounded legacy list (15 shapes total): right on
+            # a local chip where PCIe dwarfs the padding cost and compile
+            # diversity is the tax that matters.
+            mode = _os.environ.get("SYKEPIC_BUCKETS", "grid").lower()
+            buckets = pack.DEFAULT_BUCKETS if mode == "fixed" else None
         self.model_dir = model_dir
         self.classes = checkpoint.read_class_names(model_dir)
         self.config = train_config.read_config(model_dir / "config.ini")
