@@ -171,3 +171,50 @@ def test_jaxcache_env_spellings(tmp_path, monkeypatch):
     monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", str(tmp_path / "explicit"))
     assert jaxcache.enable() == tmp_path / "explicit"
     assert (tmp_path / "explicit").is_dir()
+
+
+def test_batchloader_size_pooling_tightens_canvases(tmp_path):
+    import cv2
+
+    from sykepic_tpu.train.input import BatchLoader
+
+    # 56 small images + 8 large: pooled shuffle must NOT put a large image
+    # in every batch (unpooled shuffled batches almost surely would)
+    rng = np.random.default_rng(0)
+    paths, labels = [], []
+    for i in range(56):
+        p = tmp_path / f"s{i}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (20, 30), np.uint8))
+        paths.append(p)
+        labels.append(0)
+    for i in range(8):
+        p = tmp_path / f"L{i}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (150, 180), np.uint8))
+        paths.append(p)
+        labels.append(1)
+    loader = BatchLoader(paths, labels, batch_size=8, shuffle=True, seed=1,
+                         size_pool=8)
+    shapes = [b.canvas.shape[1:] for b in loader]
+    small_batches = [s for s in shapes if s[0] <= 64]
+    assert len(small_batches) >= 5  # most batches stay small-canvas
+    # every image still trained exactly once
+    assert sum(1 for _ in shapes) == 8
+
+
+def test_batchloader_pre_shrink_caps_canvas(tmp_path):
+    import cv2
+
+    from sykepic_tpu.train.input import BatchLoader
+
+    p = tmp_path / "big.png"
+    cv2.imwrite(str(p), np.random.default_rng(1).integers(
+        0, 255, (600, 400), np.uint8))
+    loader = BatchLoader([p] * 4, [0] * 4, batch_size=4,
+                         pre_shrink_to=(180, 180))
+    (batch,) = list(loader)
+    assert batch.heights.max() <= 180 and batch.widths.max() <= 180
+    # fixed-point: the device resize of the pre-shrunk image is identity
+    from sykepic_tpu.ingest import pack
+
+    h, w = int(batch.heights[0]), int(batch.widths[0])
+    assert (h, w) == pack.target_resize_dims(h, w, 180, 180)
