@@ -64,17 +64,21 @@ def build_model_dir(root: Path) -> Path:
 
 # Realistic IFCB ROI size mix. Real archives are dominated by small
 # ~40x60 px triggers with a long tail of chains/colonies spanning hundreds
-# of pixels; these weights exercise 7 bucket shapes of the packer
-# (32x64 .. 256x512) instead of flattering the bench with two fixed shapes.
-# Format: (weight, (h_lo, h_hi), (w_lo, w_hi)).
+# of pixels, instead of flattering the bench with two fixed shapes. Under
+# the packer's default dynamic snap grid this mix produces a few dozen
+# distinct (canvas, batch) programs (each ~10-30 s cold compile over the
+# tunnel, hence the budgeted volume-ordered precompile below + the
+# persistent disk cache); SYKEPIC_BUCKETS=fixed collapses it to 7 legacy
+# bucket shapes (32x64 .. 256x512) when compile diversity costs more than
+# padding. Format: (weight, (h_lo, h_hi), (w_lo, w_hi)).
 ROI_SIZE_MIX = (
-    (0.45, (24, 32), (40, 64)),     # -> (32, 64)
-    (0.22, (33, 48), (40, 64)),     # -> (48, 64)
-    (0.10, (49, 64), (40, 64)),     # -> (64, 64)
-    (0.10, (49, 64), (65, 128)),    # -> (64, 128)
-    (0.08, (65, 128), (65, 128)),   # -> (128, 128)
-    (0.04, (65, 128), (129, 256)),  # -> (128, 256)
-    (0.01, (129, 256), (257, 512)), # -> (256, 512)
+    (0.45, (24, 32), (40, 64)),
+    (0.22, (33, 48), (40, 64)),
+    (0.10, (49, 64), (40, 64)),
+    (0.10, (49, 64), (65, 128)),
+    (0.08, (65, 128), (65, 128)),
+    (0.04, (65, 128), (129, 256)),
+    (0.01, (129, 256), (257, 512)),
 )
 
 

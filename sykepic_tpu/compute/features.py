@@ -37,7 +37,7 @@ assert OUR deterministic values plus these bounds; see
 
 from __future__ import annotations
 
-import functools
+import threading
 
 import numpy as np
 from scipy import ndimage as ndi
@@ -100,13 +100,47 @@ def _lowpassfilter(size, cutoff: float, n: int) -> np.ndarray:
     return np.fft.ifftshift(1.0 / (1.0 + (radius / cutoff) ** (2 * n)))
 
 
-@functools.lru_cache(maxsize=64)
+# Filter-bank cache, bounded by BYTES rather than entry count: real .adc
+# files carry arbitrary per-trigger ROI dims, so the key space is large and
+# one 256x512 bank alone is ~10 MB of float64 — a count-based LRU could pin
+# hundreds of MB in the threaded feature workers while still thrashing.
+# Small (common) shapes stay hot; rare huge shapes evict quickly.
+_BANK_CACHE_BYTES = 128 * 1024 * 1024
+_bank_cache: "dict[tuple, tuple]" = {}  # key -> (bank, nbytes), LRU order
+_bank_cache_total = 0
+_bank_lock = threading.Lock()
+
+
 def _filter_bank(rows: int, cols: int, nscale: int, norient: int,
                  minWaveLength: float, mult: float, sigmaOnf: float):
-    """(log_gabor list, spread list) for one image shape. IFCB archives
-    contain millions of ROIs over a handful of distinct shapes, and the
-    bank depends only on the shape — caching it removes the dominant
-    constant factor from the per-ROI host feature path."""
+    global _bank_cache_total
+    key = (rows, cols, nscale, norient, minWaveLength, mult, sigmaOnf)
+    with _bank_lock:
+        hit = _bank_cache.pop(key, None)
+        if hit is not None:
+            _bank_cache[key] = hit  # re-insert = most recent
+            return hit[0]
+    bank = _build_filter_bank(rows, cols, nscale, norient, minWaveLength,
+                              mult, sigmaOnf)
+    nbytes = (nscale + norient) * rows * cols * 8
+    with _bank_lock:
+        if key not in _bank_cache:
+            _bank_cache[key] = (bank, nbytes)
+            _bank_cache_total += nbytes
+        while _bank_cache_total > _BANK_CACHE_BYTES and len(_bank_cache) > 1:
+            old_key = next(iter(_bank_cache))
+            if old_key == key:  # never evict the entry we just made
+                break
+            _, old_bytes = _bank_cache.pop(old_key)
+            _bank_cache_total -= old_bytes
+    return bank
+
+
+def _build_filter_bank(rows: int, cols: int, nscale: int, norient: int,
+                       minWaveLength: float, mult: float, sigmaOnf: float):
+    """(log_gabor list, spread list) for one image shape. The bank depends
+    only on the shape+params, and building it (10 transcendental-heavy
+    H*W arrays) dominates the per-ROI host feature path when uncached."""
     x, y = _fft_mesh(rows, cols)
     radius = np.fft.ifftshift(np.sqrt(x**2 + y**2))
     theta = np.fft.ifftshift(np.arctan2(-y, x))

@@ -61,14 +61,21 @@ def run(
     interval: float = 30.0,
     settle_seconds: float = 60.0,
     max_cycles: int | None = None,
+    max_retries: int = 3,
     sleep=time.sleep,
 ):
     """Poll loop. ``max_cycles``/``sleep`` are injectable for tests.
+    A sample that fails ``max_retries`` consecutive cycles is abandoned
+    (logged) so a corrupt .roi is not re-decoded forever.
 
     Returns the set of sample names processed over the run.
     """
     feat_out_dir = feat_out_dir or prob_out_dir
     done: set[str] = set()
+    # consecutive failed attempts per sample: transient errors (IO, link)
+    # deserve retries, but a permanently corrupt .roi would otherwise be
+    # re-read and re-decoded every cycle for the daemon's lifetime
+    failures: dict[str, int] = {}
     cycles = 0
     while True:
         try:
@@ -112,6 +119,17 @@ def run(
                         p, feat_out_dir, feature_native.FILE_SUFFIX
                     ).is_file()
                 }
+                for p in ready:
+                    if p.name in done:
+                        failures.pop(p.name, None)
+                        continue
+                    failures[p.name] = failures.get(p.name, 0) + 1
+                    if failures[p.name] >= max_retries:
+                        log.error(
+                            f"{p.name} failed {max_retries} attempts "
+                            "(corrupt sample?), giving up on it"
+                        )
+                        done.add(p.name)
         except Exception:
             log.exception("watch cycle failed; continuing")
         cycles += 1

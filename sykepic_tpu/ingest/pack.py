@@ -132,6 +132,17 @@ def target_resize_dims(h: int, w: int, target_h: int, target_w: int):
     return max(1, int(h * (target_w / w))), target_w
 
 
+def shrunk_dims(h: int, w: int, target_h: int, target_w: int):
+    """Dims after :func:`pre_shrink`: the aspect-preserving target dims if
+    they shrink the image, else the original dims. The single definition of
+    the "only ever downscale" decision — used by both the shrink itself and
+    size-sort keys that must predict it without decoding pixels."""
+    new_h, new_w = target_resize_dims(h, w, target_h, target_w)
+    if new_h >= h and new_w >= w:
+        return h, w
+    return new_h, new_w
+
+
 def pre_shrink(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
     """Host-side downscale of ROIs larger than the model target.
 
@@ -143,8 +154,8 @@ def pre_shrink(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
     are never touched (host upscaling would inflate bytes).
     """
     h, w = img.shape
-    new_h, new_w = target_resize_dims(h, w, target_h, target_w)
-    if new_h >= h and new_w >= w:
+    new_h, new_w = shrunk_dims(h, w, target_h, target_w)
+    if (new_h, new_w) == (h, w):
         return img
     import cv2
 
@@ -228,8 +239,11 @@ def pack_rois(
             while pow2 < n:
                 pow2 *= 2
             pow2 = min(pow2, full)
-            if pow2 - n > 64 and pow2 > 128:
-                piece = pow2 // 2
+            # split piece must stay a batch_multiple multiple (a data mesh
+            # shards every batch by device count); pow2 itself always is,
+            # but its half need not be when full is not a power of two
+            piece = (pow2 // 2) - (pow2 // 2) % min_piece
+            if pow2 - n > 64 and pow2 > 128 and 0 < piece < n:
                 yield _emit(group[:piece], bh, bw, piece, pad_to_batch,
                             compute_modes)
                 group = group[piece:]

@@ -344,8 +344,90 @@ def flax_resnet_to_torch(variables: dict, dropout=()) -> dict:
     return sd
 
 
+def flax_efficientnet_to_torch(variables: dict, dropout=()) -> dict:
+    """Our EfficientNet variable tree -> a reference ``TorchVisionNet``
+    state dict. Inverse of :func:`torch_efficientnet_to_flax`: torchvision
+    wraps the whole ``features`` stack as ``base.0`` (children[:-1] =
+    [features, avgpool]), so every conv/bn key lands under ``base.0.*``;
+    the MLP head Linears use the same Dropout-shifted Sequential indices
+    as the ResNet exporter."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+
+    def put(key, arr):
+        sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    def put_conv(key, tree):
+        put(key, np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+
+    def put_bn(prefix, p_tree, s_tree):
+        put(f"{prefix}.weight", np.asarray(p_tree["scale"]))
+        put(f"{prefix}.bias", np.asarray(p_tree["bias"]))
+        put(f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
+        put(f"{prefix}.running_var", np.asarray(s_tree["var"]))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+    stages = sorted(
+        {int(m.group(1)) for mod in params
+         if (m := re.match(r"^layer(\d+)_", mod))}
+    )
+    if "stem_conv" not in params or not stages:
+        raise KeyError("variable tree is not an EfficientNet "
+                       "(no stem_conv/layerG_R modules)")
+    last_fid = stages[-1] + 1  # features.{last} is the 1x1 head conv+bn
+
+    put_conv("base.0.0.0.weight", params["stem_conv"])
+    put_bn("base.0.0.1", params["stem_bn"], stats["stem_bn"])
+    put_conv(f"base.0.{last_fid}.0.weight", params["head_conv"])
+    put_bn(f"base.0.{last_fid}.1", params["head_bn"], stats["head_bn"])
+
+    for mod, tree in params.items():
+        m = re.match(r"^layer(\d+)_(\d+)$", mod)
+        if not m:
+            continue
+        fid, block_r = m.groups()
+        roles = (["expand", "dw", "se", "project"] if "expand_conv" in tree
+                 else ["dw", "se", "project"])
+        for i, role in enumerate(roles):
+            prefix = f"base.0.{fid}.{block_r}.block.{i}"
+            if role == "se":
+                for fc in ("fc1", "fc2"):
+                    put_conv(f"{prefix}.{fc}.weight", tree["se"][fc])
+                    put(f"{prefix}.{fc}.bias",
+                        np.asarray(tree["se"][fc]["bias"]))
+            else:
+                put_conv(f"{prefix}.0.weight", tree[f"{role}_conv"])
+                put_bn(f"{prefix}.1", tree[f"{role}_bn"],
+                       stats[mod][f"{role}_bn"])
+
+    head = params.get("head", {})
+    indices = _head_linear_indices(len(head), dropout)
+    for k in range(len(head)):
+        fc = head[f"fc{k}"]
+        put(f"head.{indices[k]}.weight",
+            np.asarray(fc["kernel"]).transpose(1, 0))
+        put(f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
+    return sd
+
+
+def flax_to_torch(variables: dict, dropout=()) -> dict:
+    """Family dispatcher for the reverse direction (sniffs the tree)."""
+    params = variables.get("params", {})
+    if "stem_conv" in params:
+        return flax_efficientnet_to_torch(variables, dropout)
+    if "conv1" in params:
+        return flax_resnet_to_torch(variables, dropout)
+    raise KeyError(
+        "cannot export: variable tree is neither a ResNet (conv1) nor an "
+        f"EfficientNet (stem_conv); top-level modules: {sorted(params)[:8]}"
+    )
+
+
 def save_pth(variables: dict, path, dropout=()) -> None:
     """Write a reference-loadable ``best_state.pth`` from our variables."""
     import torch
 
-    torch.save(flax_resnet_to_torch(variables, dropout), str(path))
+    torch.save(flax_to_torch(variables, dropout), str(path))

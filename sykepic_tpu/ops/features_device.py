@@ -262,49 +262,63 @@ def phasecong_Mm_batched(x, valid, nscale=4, norient=6, mult=2.1,
                          k=2.0, cutOff=0.5, g=10.0):
     """Batched ``M + m`` phase congruency of (B, H, W) float images.
     Mirrors ``compute.features.phasecong_Mm`` (median noise estimate taken
-    over the valid region)."""
+    over the valid region).
+
+    Orientations are processed with a ``lax.scan`` rather than one stacked
+    (B, O*S, H, W) tensor: the stacked complex64 responses would be 192x
+    the canvas bytes (6.4 GB for a 32 MB canvas at the packer's byte cap),
+    while the scan keeps one orientation's (B, S, H, W) working set live
+    (~1/6th of that). The per-orientation math is identical; only the
+    6-term covariance accumulation order can differ at float32 rounding.
+    """
     b, rows, cols = x.shape
     bank = jnp.asarray(_pc_filter_bank(rows, cols, nscale=nscale,
                                        norient=norient, mult=mult))
+    bank = bank.reshape(norient, nscale, rows, cols)
     # subtract the per-image mean before the FFT: the log-Gabor bank zeroes
     # the DC bin anyway, and removing the ~1e5-magnitude DC term keeps the
     # complex64 rounding error ~50x smaller than on the raw image
     x = x - x.mean(axis=(1, 2), keepdims=True)
     IM = jnp.fft.fft2(x.astype(jnp.complex64))  # (B, H, W)
-    # responses: (B, O*S, H, W) — batched inverse FFTs of filtered spectra
-    filtered = IM[:, None] * bank[None]
-    eo = jnp.fft.ifft2(filtered)
-    eo = eo.reshape(b, norient, nscale, rows, cols)
-    an = jnp.abs(eo)
-    sumAn = an.sum(axis=2)                      # (B, O, H, W)
-    sumE = jnp.real(eo).sum(axis=2)
-    sumO = jnp.imag(eo).sum(axis=2)
     epsilon = 1e-4
-    x_energy = jnp.sqrt(sumE**2 + sumO**2) + epsilon
-    mean_e = sumE / x_energy
-    mean_o = sumO / x_energy
-    e = jnp.real(eo)
-    o_ = jnp.imag(eo)
-    energy = (e * mean_e[:, :, None] + o_ * mean_o[:, :, None]
-              - jnp.abs(e * mean_o[:, :, None] - o_ * mean_e[:, :, None])).sum(axis=2)
-    # noise threshold from the smallest-scale amplitude (per image+orient)
-    an0 = an[:, :, 0]
-    tau = jax.vmap(lambda v: _masked_median(v, valid), in_axes=1, out_axes=1)(an0)
-    tau = tau / np.sqrt(np.log(4))  # Rayleigh median -> scale estimate
-    total_tau = tau * (1 - (1 / mult) ** nscale) / (1 - (1 / mult))
-    noise_t = total_tau * (np.sqrt(np.pi / 2) + k * np.sqrt((4 - np.pi) / 2))
-    energy = jnp.maximum(energy - noise_t[:, :, None, None], 0.0)
-    maxAn = an.max(axis=2)
-    width = (sumAn / (maxAn + epsilon) - 1) / (nscale - 1)
-    weight = 1.0 / (1 + jnp.exp(g * (cutOff - width)))
-    pc = weight * energy / sumAn                # (B, O, H, W)
-    angles = jnp.asarray(
-        np.arange(norient) * np.pi / norient, jnp.float32)
-    covx = pc * jnp.cos(angles)[None, :, None, None]
-    covy = pc * jnp.sin(angles)[None, :, None, None]
-    covx2 = (covx**2).sum(axis=1) / (norient / 2.0)
-    covy2 = (covy**2).sum(axis=1) / (norient / 2.0)
-    return covx2 + covy2                        # == M + m
+    # noise-threshold constants (Rayleigh median -> scale estimate)
+    tau_div = np.sqrt(np.log(4))
+    tau_geo = (1 - (1 / mult) ** nscale) / (1 - (1 / mult))
+    tau_mix = np.sqrt(np.pi / 2) + k * np.sqrt((4 - np.pi) / 2)
+    angles = jnp.asarray(np.arange(norient) * np.pi / norient, jnp.float32)
+
+    def one_orient(carry, inputs):
+        covx2, covy2 = carry
+        bank_o, angl = inputs                    # (S, H, W), scalar
+        eo = jnp.fft.ifft2(IM[:, None] * bank_o[None])  # (B, S, H, W)
+        an = jnp.abs(eo)
+        sumAn = an.sum(axis=1)                   # (B, H, W)
+        sumE = jnp.real(eo).sum(axis=1)
+        sumO = jnp.imag(eo).sum(axis=1)
+        x_energy = jnp.sqrt(sumE**2 + sumO**2) + epsilon
+        mean_e = sumE / x_energy
+        mean_o = sumO / x_energy
+        e = jnp.real(eo)
+        o_ = jnp.imag(eo)
+        energy = (e * mean_e[:, None] + o_ * mean_o[:, None]
+                  - jnp.abs(e * mean_o[:, None] - o_ * mean_e[:, None])
+                  ).sum(axis=1)
+        # noise threshold from the smallest-scale amplitude
+        tau = _masked_median(an[:, 0], valid) / tau_div
+        noise_t = tau * tau_geo * tau_mix        # (B,)
+        energy = jnp.maximum(energy - noise_t[:, None, None], 0.0)
+        maxAn = an.max(axis=1)
+        width = (sumAn / (maxAn + epsilon) - 1) / (nscale - 1)
+        weight = 1.0 / (1 + jnp.exp(g * (cutOff - width)))
+        pc = weight * energy / sumAn             # (B, H, W)
+        covx2 = covx2 + (pc * jnp.cos(angl)) ** 2
+        covy2 = covy2 + (pc * jnp.sin(angl)) ** 2
+        return (covx2, covy2), None
+
+    zeros = jnp.zeros((b, rows, cols), jnp.float32)
+    (covx2, covy2), _ = jax.lax.scan(one_orient, (zeros, zeros),
+                                     (bank, angles))
+    return (covx2 + covy2) / (norient / 2.0)    # == M + m
 
 
 def moments_features(mask):

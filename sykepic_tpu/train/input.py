@@ -188,10 +188,7 @@ class BatchLoader:
                 keys[i] = np.iinfo(np.int64).max  # unknown: group at end
                 continue
             if self.pre_shrink_to is not None:
-                th, tw = self.pre_shrink_to
-                nh, nw = pack.target_resize_dims(h, w, th, tw)
-                if nh < h and nw <= w or nw < w and nh <= h:
-                    h, w = nh, nw
+                h, w = pack.shrunk_dims(h, w, *self.pre_shrink_to)
             keys[i] = (int(h) << 20) | int(w)
         return keys
 

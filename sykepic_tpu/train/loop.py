@@ -407,10 +407,26 @@ def load_train_state(model_dir, trainer: Trainer):
     trainer.params = trainer.place_params(state["params"])
     trainer.batch_stats = jax.device_put(state["batch_stats"], trainer._replicated)
     # restore optimizer moments into a tree whose placement mirrors the
-    # (possibly sharded) parameters
-    trainer.opt_state = serialization.from_state_dict(
-        trainer.tx.init(trainer.params), state["opt_state"]
-    )
+    # (possibly sharded) parameters: from_state_dict substitutes host numpy
+    # leaves into the template, so each leaf is re-placed onto the sharding
+    # tx.init chose (otherwise step 1 uploads numpy and step 2 recompiles
+    # against different input shardings)
+    template = trainer.tx.init(trainer.params)
+    restored = serialization.from_state_dict(template, state["opt_state"])
+    mesh_devices = set(trainer.mesh.devices.flat)
+
+    def _place(t, r):
+        if not isinstance(t, jax.Array):
+            return r
+        # moments inherit the (possibly tp-sharded) param placement from
+        # tx.init; leaves optax created fresh (e.g. the step count) sit
+        # uncommitted on one device — commit those replicated instead of
+        # pinning them against the mesh-committed params
+        if set(t.sharding.device_set) == mesh_devices:
+            return jax.device_put(r, t.sharding)
+        return jax.device_put(r, trainer._replicated)
+
+    trainer.opt_state = jax.tree_util.tree_map(_place, template, restored)
     return state
 
 

@@ -253,3 +253,30 @@ def test_efficientnet_b1_builds_and_runs():
     variables = init_variables(model, (64, 64, 3))
     out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 4)
+
+
+def test_reverse_export_roundtrip():
+    """Our variables -> reference-loadable .pth state dict -> back: every
+    leaf returns bit-identical, and the head Linears land on the
+    Dropout-shifted Sequential indices the reference would use."""
+    from sykepic_tpu.models import convert_torch
+
+    model = build_model("efficientnet_b0", num_classes=5, head=(32,))
+    variables = init_variables(model, (64, 64, 3), seed=3)
+    dropout = ((1, 0.3),)  # Dropout inserted before the last Linear
+    sd = convert_torch.flax_to_torch(variables, dropout=dropout)
+    assert "base.0.0.0.weight" in sd          # stem conv under base.0
+    assert {"head.0.weight", "head.2.weight"} <= set(sd)  # 1 -> Dropout
+    back = convert_torch.torch_to_flax(None, sd)  # family sniffed
+    want_p = flatten_dict(variables["params"])
+    got_p = flatten_dict(back["params"])
+    assert set(want_p) == set(got_p)
+    for key, leaf in want_p.items():
+        np.testing.assert_array_equal(np.asarray(leaf, np.float32),
+                                      got_p[key], err_msg=str(key))
+    want_s = flatten_dict(variables["batch_stats"])
+    got_s = flatten_dict(back["batch_stats"])
+    assert set(want_s) == set(got_s)
+    for key, leaf in want_s.items():
+        np.testing.assert_array_equal(np.asarray(leaf, np.float32),
+                                      got_s[key], err_msg=str(key))
