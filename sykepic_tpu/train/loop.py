@@ -194,14 +194,43 @@ def main(args):
     # device resize would anyway) — fewer host->device bytes, and
     # size-pooled shuffle keeps batch canvases tight (input.BatchLoader).
     shrink = (spec.target_h, spec.target_w)
-    train_loader = BatchLoader(
-        train_x, train_y, batch_size, shuffle=True, seed=random_seed,
-        num_threads=max(num_workers, 1), pre_shrink_to=shrink,
+    # `[image] device_cache = auto|yes|no` (default auto): when the decoded
+    # set fits the HBM budget, upload it ONCE and drive epochs with gathered
+    # index batches (train/device_data.py) — epochs 2+ ship ~1 KB/step over
+    # the host link instead of every pixel. Falls back to the streaming
+    # host loader for sets past the budget.
+    device_cache = config.get("image", "device_cache", fallback="auto")
+    cache_budget = config.getint(
+        "image", "device_cache_mb", fallback=2048
+    ) * 1024 * 1024
+    # conservative upper bound: every image at most target-sized post-shrink
+    est = (len(train_x) + len(model_data.val_x)) * spec.target_h * spec.target_w
+    use_cache = device_cache == "yes" or (
+        device_cache == "auto" and est <= cache_budget
     )
-    val_loader = BatchLoader(
-        model_data.val_x, model_data.val_y, batch_size,
-        num_threads=max(num_workers, 1), pre_shrink_to=shrink,
-    )
+    if use_cache:
+        from .device_data import DeviceDataset
+
+        train_loader = DeviceDataset(
+            train_x, train_y, spec, batch_size, seed=random_seed,
+            num_threads=max(num_workers, 1), shuffle=True,
+        )
+        val_loader = DeviceDataset(
+            model_data.val_x, model_data.val_y, spec, batch_size,
+            num_threads=max(num_workers, 1),
+        )
+        print(f"[INFO] Device-resident dataset: "
+              f"{(train_loader.nbytes + val_loader.nbytes) / 1e6:.0f} MB "
+              "uploaded once; epochs gather on device")
+    else:
+        train_loader = BatchLoader(
+            train_x, train_y, batch_size, shuffle=True, seed=random_seed,
+            num_threads=max(num_workers, 1), pre_shrink_to=shrink,
+        )
+        val_loader = BatchLoader(
+            model_data.val_x, model_data.val_y, batch_size,
+            num_threads=max(num_workers, 1), pre_shrink_to=shrink,
+        )
 
     best_state = train_net(
         trainer,

@@ -197,7 +197,11 @@ class Trainer:
         return img
 
     # ---------------------------------------------------------------- steps
-    def _build_train_step(self, stage: int):
+    _STORE_FIELDS = ("canvas", "heights", "widths", "new_h", "new_w",
+                     "pad_top", "pad_left", "border", "lim_x", "lim_y",
+                     "labels")
+
+    def _build_train_step(self, stage: int, gather: bool = False):
         model = self.model
         tx = self.tx
         labels = self.labels
@@ -251,9 +255,21 @@ class Trainer:
             n = jnp.sum(wts)
             return new_params, new_bstats, new_opt_state, loss_sum, correct, n
 
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        if not gather:
+            return jax.jit(step, donate_argnums=(0, 1, 2))
 
-    def _build_eval_step(self):
+        # Device-resident variant: the batch is gathered from an uploaded
+        # per-bucket store INSIDE the compiled step (a ~5 ms HBM gather vs
+        # a ~70 ms tunnel upload per 1 MB batch, measured on the v5e), so
+        # epochs 2+ ship only the (B,) index vector per step.
+        def gstep(params, batch_stats, opt_state, store, idx, wts, lrs, key):
+            g = [jnp.take(store[f], idx, axis=0) for f in self._STORE_FIELDS]
+            return step(params, batch_stats, opt_state, *g[:-1],
+                        g[-1], wts, lrs, key)
+
+        return jax.jit(gstep, donate_argnums=(0, 1, 2))
+
+    def _build_eval_step(self, gather: bool = False):
         model = self.model
 
         def step(params, batch_stats, canvas, heights, widths, new_h, new_w,
@@ -273,7 +289,16 @@ class Trainer:
             correct = jnp.sum((preds == y) * wts)
             return loss_sum, correct, jnp.sum(wts), preds
 
-        return jax.jit(step)
+        if not gather:
+            return jax.jit(step)
+
+        def gstep(params, batch_stats, store, idx, wts):
+            fields = self._STORE_FIELDS[:8]  # eval has no translate limits
+            g = [jnp.take(store[f], idx, axis=0) for f in fields]
+            y = jnp.take(store["labels"], idx, axis=0)
+            return step(params, batch_stats, *g, y, wts)
+
+        return jax.jit(gstep)
 
     # ----------------------------------------------------------------- API
     def _batch_device_args(self, batch):
@@ -308,7 +333,17 @@ class Trainer:
         DEVICE scalars: converting them per step would synchronize the
         pipeline and stall async dispatch — accumulate on device and
         convert once per epoch (``float()`` accepts the scalars directly).
+
+        Accepts a host :class:`~sykepic_tpu.train.input.HostBatch` or a
+        device-resident :class:`~sykepic_tpu.train.device_data
+        .GatheredBatch` (routed to :meth:`train_batch_gathered`).
         """
+        from .device_data import GatheredBatch
+
+        if isinstance(batch, GatheredBatch):
+            return self.train_batch_gathered(
+                batch.store, batch.idx, batch.weights, stage, lrs
+            )
         cache_key = ("train", stage)
         if cache_key not in self._steps:
             self._steps[cache_key] = self._build_train_step(stage)
@@ -325,8 +360,56 @@ class Trainer:
         )
         return loss_sum, correct, n
 
+    def _put_indices(self, idx, weights):
+        n_data = data_axis_size(self.mesh)
+        if len(idx) % n_data != 0:
+            raise ValueError(
+                f"batch size {len(idx)} not divisible by the data mesh "
+                f"axis ({n_data}) — pad or drop the tail batch"
+            )
+        return (
+            jax.device_put(np.asarray(idx, np.int32), self._data_sharding),
+            jax.device_put(np.asarray(weights, np.float32),
+                           self._data_sharding),
+        )
+
+    def train_batch_gathered(self, store, idx, weights, stage: int, lrs):
+        """One optimization step over rows ``idx`` of a device-resident
+        store (see :class:`~sykepic_tpu.train.device_data.DeviceDataset`).
+        Same contract as :meth:`train_batch`, but only the index vector and
+        weights cross the host->device link."""
+        cache_key = ("train_gather", stage)
+        if cache_key not in self._steps:
+            self._steps[cache_key] = self._build_train_step(stage,
+                                                            gather=True)
+        step = self._steps[cache_key]
+        idx, wts = self._put_indices(idx, weights)
+        self.key, sub = jax.random.split(self.key)
+        lrs = jnp.asarray(lrs, jnp.float32)
+        (self.params, self.batch_stats, self.opt_state,
+         loss_sum, correct, n) = step(
+            self.params, self.batch_stats, self.opt_state,
+            store, idx, wts, lrs, sub,
+        )
+        return loss_sum, correct, n
+
+    def eval_batch_gathered(self, store, idx, weights):
+        """Gathered counterpart of :meth:`eval_batch`."""
+        if "eval_gather" not in self._steps:
+            self._steps["eval_gather"] = self._build_eval_step(gather=True)
+        idx, wts = self._put_indices(idx, weights)
+        return self._steps["eval_gather"](
+            self.params, self.batch_stats, store, idx, wts
+        )
+
     def eval_batch(self, batch):
         """Returns (loss_sum, correct, n, preds ndarray)."""
+        from .device_data import GatheredBatch
+
+        if isinstance(batch, GatheredBatch):
+            return self.eval_batch_gathered(
+                batch.store, batch.idx, batch.weights
+            )
         if "eval" not in self._steps:
             self._steps["eval"] = self._build_eval_step()
         step = self._steps["eval"]

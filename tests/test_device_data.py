@@ -1,0 +1,138 @@
+"""Device-resident dataset (train/device_data.py): epoch coverage,
+oversample row sharing, and numerical equivalence of the gathered train
+step with the host-batch step."""
+
+import cv2
+import numpy as np
+import pytest
+from flax.traverse_util import flatten_dict
+
+from sykepic_tpu.models.registry import build_model, init_variables
+from sykepic_tpu.train.config import PreprocessSpec
+from sykepic_tpu.train.device_data import DeviceDataset
+from sykepic_tpu.train.input import HostBatch
+from sykepic_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devdata")
+    rng = np.random.default_rng(7)
+    paths, labels = [], []
+    for i in range(23):
+        h = int(rng.integers(10, 40))
+        w = int(rng.integers(12, 60))
+        img = rng.integers(0, 255, (h, w), np.uint8)
+        p = root / f"img_{i:03}.png"
+        cv2.imwrite(str(p), img)
+        paths.append(p)
+        labels.append(i % 3)
+    return paths, labels
+
+
+def test_epoch_covers_every_occurrence_once(dataset_dir):
+    paths, labels = dataset_dir
+    # oversample: repeat the first 5 files (shared store rows)
+    paths = list(paths) + list(paths[:5])
+    labels = list(labels) + list(labels[:5])
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, seed=1)
+    assert ds.num_samples == 28
+    seen = 0
+    n_batches = 0
+    for key, idx, weights in ds.epoch():
+        assert key in ds.stores
+        assert len(idx) == len(weights)
+        assert len(idx) % 8 == 0 or len(idx) == len(weights)
+        seen += int(weights.sum())
+        n_batches += 1
+        # weight-0 slots are wrapped REAL rows, not zeros
+        store_n = len(np.asarray(ds.stores[key]["heights"]))
+        assert idx.max() < store_n
+    assert seen == 28  # every occurrence weighted once
+    assert n_batches == len(ds)
+
+
+def test_oversampled_occurrences_share_rows(dataset_dir):
+    paths, labels = dataset_dir
+    dup = list(paths) + list(paths)  # every file twice
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    ds = DeviceDataset(dup, labels + labels, spec, batch_size=8)
+    # store rows = unique files, not occurrences
+    assert ds.num_rows == len(paths)
+    assert ds.num_samples == 2 * len(paths)
+
+
+def test_gathered_step_matches_host_batch(dataset_dir):
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="mode")
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, seed=3)
+    key, idx, weights = next(iter(ds.epoch(shuffle=False)))
+    store = ds.stores[key]
+    host = {k: np.asarray(v) for k, v in store.items()}
+    hb = HostBatch(
+        canvas=host["canvas"][idx],
+        heights=host["heights"][idx],
+        widths=host["widths"][idx],
+        labels=host["labels"][idx],
+        weights=weights,
+        paths=[None] * len(idx),
+    )
+
+    import jax
+
+    model = build_model("resnet18", num_classes=3, head=(16,))
+    # host copy: the train step DONATES its param buffers, so two trainers
+    # must not alias one device tree
+    variables = jax.device_get(init_variables(model, (32, 32, 3), seed=0))
+    kwargs = dict(
+        optimizer="SGD", preprocess_spec=spec,
+        augment_kwargs=dict(flip=True, translate=True, brightness=True,
+                            brightness_range=(0.9, 1.1)),
+    )
+    lrs = (1e-2, 0.0, 0.0)
+    t_host = Trainer(model, jax.tree.map(np.copy, variables), seed=5,
+                     **kwargs)
+    l1, c1, n1 = t_host.train_batch(hb, stage=0, lrs=lrs)
+    t_dev = Trainer(model, jax.tree.map(np.copy, variables), seed=5,
+                    **kwargs)
+    l2, c2, n2 = t_dev.train_batch_gathered(store, idx, weights,
+                                            stage=0, lrs=lrs)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    assert float(n1) == float(n2)
+    fa = flatten_dict(t_host.params)
+    fb = flatten_dict(t_dev.params)
+    for k in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[k], np.float32), np.asarray(fb[k], np.float32),
+            rtol=1e-4, atol=1e-6, err_msg=str(k),
+        )
+
+
+def test_gathered_step_on_mesh(dataset_dir):
+    """Full gathered train step over the 8-device CPU mesh: store
+    replicated, indices data-sharded."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sykepic_tpu.parallel import data_mesh
+
+    assert jax.device_count() >= 8
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    mesh = data_mesh()
+    replicated = NamedSharding(mesh, P())
+    ds = DeviceDataset(paths, labels, spec, batch_size=8,
+                       sharding=replicated, batch_multiple=mesh.size)
+    model = build_model("resnet18", num_classes=3, head=(16,))
+    variables = init_variables(model, (32, 32, 3), seed=0)
+    trainer = Trainer(model, variables, optimizer="SGD",
+                      preprocess_spec=spec, mesh=mesh)
+    total = 0.0
+    for key, idx, weights in ds.epoch():
+        assert len(idx) % mesh.size == 0
+        loss_sum, correct, n = trainer.train_batch_gathered(
+            ds.stores[key], idx, weights, stage=0, lrs=(1e-2, 0.0, 0.0)
+        )
+        total += float(n)
+    assert total == len(paths)
