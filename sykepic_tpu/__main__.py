@@ -360,6 +360,57 @@ def main(argv=None):
     fpp_parser.add_argument("-f", "--force", action="store_true",
                             help="Overwrite output file if it exists")
 
+    eval_parser = subparsers.add_parser(
+        "evaluate",
+        description="Score predictions against human-labeled "
+        "*.select.csv evaluation files; optionally grid-search the "
+        "F1-maximizing per-class thresholds (the library workflow behind "
+        "reference thresholds-2021.txt files, analyze/evaluation.py)",
+    )
+    eval_parser.set_defaults(func=_evaluate)
+    eval_parser.add_argument(
+        "evaluations", metavar="EVALS",
+        help="Evaluation file or directory of <sample>.select.csv files",
+    )
+    eval_parser.add_argument(
+        "predictions", metavar="PROBS",
+        help="Root directory of probability CSVs",
+    )
+    thres_group = eval_parser.add_mutually_exclusive_group(required=True)
+    thres_group.add_argument(
+        "-t", "--thresholds", metavar="FILE",
+        help="Thresholds file to score with ('class value' lines)",
+    )
+    thres_group.add_argument(
+        "--search", action="store_true",
+        help="Grid-search per-class thresholds instead of scoring fixed ones",
+    )
+    eval_parser.add_argument(
+        "-p", "--precision", type=float, default=0.01,
+        help="Search grid step (default 0.01)",
+    )
+    eval_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV of per-class scores (required)",
+    )
+    eval_parser.add_argument(
+        "--best-out", metavar="FILE",
+        help="With --search: also write the criteria-maximizing "
+        "thresholds as a 'class value' file usable with -t elsewhere",
+    )
+    eval_parser.add_argument(
+        "--criteria", default="F1",
+        help="Column best thresholds maximize (default F1)",
+    )
+    eval_parser.add_argument(
+        "--empty", default="unclassifiable",
+        help="Name of the empty/unclassifiable class",
+    )
+    eval_parser.add_argument(
+        "--ignore", type=_list_of_strings, default=None,
+        help="Comma-separated class names to ignore",
+    )
+
     export_parser = subparsers.add_parser(
         "export",
         description="Export a trained model dir's checkpoint to a "
@@ -374,6 +425,38 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
     args.func(args)
+
+
+def _evaluate(args):
+    from pathlib import Path
+
+    from .analyze import evaluation
+
+    result = evaluation.parse_evaluations(
+        args.evaluations,
+        args.predictions,
+        thresholds=args.thresholds,
+        threshold_search=args.search,
+        search_precision=args.precision,
+        empty=args.empty,
+        ignore=args.ignore,
+    )
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    result.to_csv(out)
+    print(f"Wrote {out}")
+    if args.best_out:
+        if not args.search:
+            raise SystemExit("--best-out requires --search")
+        best = evaluation.best_thresholds(result, criteria=args.criteria)
+        # search-mode frame is (class, threshold) multi-indexed
+        lines = [
+            f"{name} {float(thr):g}" for (name, thr), _ in best.iterrows()
+        ]
+        best_out = Path(args.best_out)
+        best_out.parent.mkdir(parents=True, exist_ok=True)
+        best_out.write_text("\n".join(lines) + "\n")
+        print(f"Wrote {best_out}")
 
 
 def _export(args):

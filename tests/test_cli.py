@@ -92,3 +92,28 @@ def test_missing_subcommand_errors():
         main([])
     with pytest.raises(SystemExit):
         main(["nonsense"])
+
+
+def test_evaluate_cli(tmp_path):
+    sample = "D20180712T065600_IFCB114"
+    select = tmp_path / f"{sample}.select.csv"
+    select.write_text("2,Uroglenopsis_sp\n3,unclassifiable\n")
+    out = tmp_path / "scores.csv"
+    best = tmp_path / "thresholds.txt"
+    main(["evaluate", str(select), PROBS, "--search", "-p", "0.1",
+          "-o", str(out), "--best-out", str(best)])
+    assert out.is_file()
+    import pandas as pd
+
+    df = pd.read_csv(out)
+    assert {"tp", "fp", "fn", "precision", "recall", "F1"} <= set(df.columns)
+    # the thresholds file round-trips through the standard parser
+    from sykepic_tpu.compute.prediction import threshold_dictionary
+
+    thr = threshold_dictionary(best)
+    assert thr and all(0.0 <= v <= 1.0 for v in thr.values())
+
+    # fixed-threshold scoring mode
+    out2 = tmp_path / "scores_fixed.csv"
+    main(["evaluate", str(select), PROBS, "-t", ZERO, "-o", str(out2)])
+    assert out2.is_file()
