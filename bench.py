@@ -209,9 +209,32 @@ def inference_benchmark(root: Path) -> None:
                 # platform tag keeps a fallback number from masquerading as
                 # a TPU result
                 "platform": jax.default_backend(),
+                # the e2e number is wire-bound on the tunneled chip and the
+                # link swings 5-50 MB/s between runs: record the observed
+                # bandwidth so a low pass reads as link weather, not a code
+                # regression
+                "link_MBps": measure_link_mbps(),
             }
         )
     )
+
+
+def measure_link_mbps() -> float:
+    """Round-trip tunnel bandwidth of an 8 MB incompressible payload:
+    16 MB moved / wall seconds (device_put up + full np.asarray down; no
+    compiled program involved, and block_until_ready lies over the
+    tunnel so the D2H read doubles as the completion barrier)."""
+    import jax
+
+    payload = np.random.default_rng(7).integers(
+        0, 255, (8 * 1024 * 1024,), np.uint8
+    )
+    np.asarray(jax.device_put(payload[:1024]))  # warm the transfer path
+    t0 = time.perf_counter()
+    back = np.asarray(jax.device_put(payload))
+    dt = time.perf_counter() - t0
+    assert back[0] == payload[0]
+    return round(16.0 / dt, 1)
 
 
 def train_benchmark(root: Path) -> None:
