@@ -432,6 +432,8 @@ def _evaluate(args):
 
     from .analyze import evaluation
 
+    if args.best_out and not args.search:
+        raise SystemExit("--best-out requires --search")
     result = evaluation.parse_evaluations(
         args.evaluations,
         args.predictions,
@@ -446,8 +448,6 @@ def _evaluate(args):
     result.to_csv(out)
     print(f"Wrote {out}")
     if args.best_out:
-        if not args.search:
-            raise SystemExit("--best-out requires --search")
         best = evaluation.best_thresholds(result, criteria=args.criteria)
         # search-mode frame is (class, threshold) multi-indexed
         lines = [

@@ -46,11 +46,43 @@ from . import input as input_mod
 class GatheredBatch:
     """A batch addressed by store rows instead of shipped pixels.
     ``Trainer.train_batch``/``eval_batch`` dispatch on this type, so the
-    epoch loop is agnostic to host-shipped vs device-resident data."""
+    epoch loop is agnostic to host-shipped vs device-resident data.
+    ``labels`` is the host-side copy consumers like ``loop.test_net`` read
+    per batch (the device store carries its own gathered copy)."""
 
     store: dict  # device-resident per-bucket arrays
     idx: np.ndarray  # (B,) int32 store rows
     weights: np.ndarray  # (B,) float32, 0 for wrapped tail slots
+    labels: np.ndarray  # (B,) int32 host labels (mirrors store gather)
+
+
+def estimate_nbytes(paths, spec, buckets=None) -> int:
+    """Predicted device bytes for a :class:`DeviceDataset` over ``paths``
+    WITHOUT decoding any pixels: PNG IHDR dims -> pre-shrink prediction ->
+    bucket -> per-bucket power-of-two row rounding, exactly mirroring the
+    constructor. Lets callers budget-check a large set cheaply before
+    committing to the decode+upload. Non-PNG files are assumed
+    target-sized."""
+    if buckets is None:
+        buckets = pack.DEFAULT_BUCKETS
+    counts: dict[tuple[int, int], int] = {}
+    seen: set = set()
+    for p in paths:
+        key = str(p)
+        if key in seen:
+            continue
+        seen.add(key)
+        dims = input_mod.png_dims(p)
+        h, w = dims if dims else (spec.target_h, spec.target_w)
+        h, w = pack.shrunk_dims(h, w, spec.target_h, spec.target_w)
+        bucket = pack.bucket_for(h, w, buckets)
+        counts[bucket] = counts.get(bucket, 0) + 1
+    total = 0
+    for (bh, bw), n in counts.items():
+        n_pad = 1 << (n - 1).bit_length()
+        # canvas + 9 int32 metadata/label arrays + uint8 border per row
+        total += n_pad * (bh * bw + 37)
+    return total
 
 
 class DeviceDataset:
@@ -119,6 +151,7 @@ class DeviceDataset:
         row_label = np.zeros(len(imgs), np.int32)
         row_label[self.occ_rows] = occ_labels  # same file => same label
         self.stores: dict[tuple[int, int], dict] = {}
+        self._host_labels: dict[tuple[int, int], np.ndarray] = {}
         self._bucket_of_row = np.empty(len(imgs), np.int64)
         self._local_of_row = np.empty(len(imgs), np.int64)
         self.num_rows = len(imgs)  # unique decoded files (pre-padding)
@@ -153,6 +186,7 @@ class DeviceDataset:
             )
             store_labels = np.zeros(n, np.int32)
             store_labels[: len(rows)] = row_label[rows]
+            self._host_labels[(bh, bw)] = store_labels
             store = {
                 "canvas": canvas,
                 "heights": heights,
@@ -219,6 +253,7 @@ class DeviceDataset:
 
     def __iter__(self):
         """Epoch of :class:`GatheredBatch` es — drop-in for the host
-        ``BatchLoader`` iteration protocol in the train/val loops."""
+        ``BatchLoader`` iteration protocol in the train/val/test loops."""
         for key, idx, weights in self.epoch(shuffle=self.shuffle):
-            yield GatheredBatch(self.stores[key], idx, weights)
+            yield GatheredBatch(self.stores[key], idx, weights,
+                                self._host_labels[key][idx])

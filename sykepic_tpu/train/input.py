@@ -37,6 +37,22 @@ class HostBatch:
     paths: list  # per-slot source path (for inference mode)
 
 
+def png_dims(path):
+    """(h, w) from a PNG's IHDR header without decoding pixels, or None
+    for unreadable/non-PNG files."""
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            head = f.read(24)
+    except OSError:
+        return None
+    if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", head[16:24])
+        return int(h), int(w)
+    return None
+
+
 def read_image(path) -> np.ndarray:
     """Decode one image to 2-D uint8 grayscale.
 
@@ -172,21 +188,13 @@ class BatchLoader:
         """Per-image packed-size sort keys for pooled batching: PNG
         dimensions from the IHDR header (no pixel decode), post-pre-shrink,
         encoded as padded area. Non-PNG files sort last (unknown)."""
-        import struct
-
         keys = np.zeros(len(self.paths), np.int64)
         for i, p in enumerate(self.paths):
-            h = w = None
-            try:
-                with open(p, "rb") as f:
-                    head = f.read(24)
-                if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
-                    w, h = struct.unpack(">II", head[16:24])
-            except OSError:
-                pass
-            if h is None:
+            dims = png_dims(p)
+            if dims is None:
                 keys[i] = np.iinfo(np.int64).max  # unknown: group at end
                 continue
+            h, w = dims
             if self.pre_shrink_to is not None:
                 h, w = pack.shrunk_dims(h, w, *self.pre_shrink_to)
             keys[i] = (int(h) << 20) | int(w)

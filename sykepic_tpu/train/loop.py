@@ -198,26 +198,37 @@ def main(args):
     # set fits the HBM budget, upload it ONCE and drive epochs with gathered
     # index batches (train/device_data.py) — epochs 2+ ship ~1 KB/step over
     # the host link instead of every pixel. Falls back to the streaming
-    # host loader for sets past the budget.
+    # host loader for sets past the budget. The budget check predicts the
+    # EXACT store bytes (PNG headers + the constructor's bucket/row-padding
+    # arithmetic) without decoding pixels.
     device_cache = config.get("image", "device_cache", fallback="auto")
     cache_budget = config.getint(
         "image", "device_cache_mb", fallback=2048
     ) * 1024 * 1024
-    # conservative upper bound: every image at most target-sized post-shrink
-    est = (len(train_x) + len(model_data.val_x)) * spec.target_h * spec.target_w
-    use_cache = device_cache == "yes" or (
-        device_cache == "auto" and est <= cache_budget
-    )
+    use_cache = device_cache == "yes"
+    if device_cache == "auto":
+        from .device_data import estimate_nbytes
+
+        est = (estimate_nbytes(train_x, spec)
+               + estimate_nbytes(model_data.val_x, spec))
+        use_cache = est <= cache_budget
     if use_cache:
+        from ..parallel import data_axis_size
         from .device_data import DeviceDataset
 
+        # stores replicate across the trainer's mesh so data-sharded index
+        # gathers stay communication-free; batches stay mesh-divisible
+        n_data = data_axis_size(trainer.mesh)
+        cache_kw = dict(
+            sharding=trainer._replicated, batch_multiple=n_data,
+            num_threads=max(num_workers, 1),
+        )
         train_loader = DeviceDataset(
             train_x, train_y, spec, batch_size, seed=random_seed,
-            num_threads=max(num_workers, 1), shuffle=True,
+            shuffle=True, **cache_kw,
         )
         val_loader = DeviceDataset(
-            model_data.val_x, model_data.val_y, spec, batch_size,
-            num_threads=max(num_workers, 1),
+            model_data.val_x, model_data.val_y, spec, batch_size, **cache_kw
         )
         print(f"[INFO] Device-resident dataset: "
               f"{(train_loader.nbytes + val_loader.nbytes) / 1e6:.0f} MB "

@@ -43,7 +43,7 @@ def test_epoch_covers_every_occurrence_once(dataset_dir):
     for key, idx, weights in ds.epoch():
         assert key in ds.stores
         assert len(idx) == len(weights)
-        assert len(idx) % 8 == 0 or len(idx) == len(weights)
+        assert len(idx) == 8  # every batch padded to the full batch size
         seen += int(weights.sum())
         n_batches += 1
         # weight-0 slots are wrapped REAL rows, not zeros
@@ -136,3 +136,26 @@ def test_gathered_step_on_mesh(dataset_dir):
         )
         total += float(n)
     assert total == len(paths)
+
+
+def test_estimate_matches_actual_nbytes(dataset_dir):
+    """estimate_nbytes (headers only) must equal the constructor's actual
+    uploaded bytes — it gates the auto device-cache decision."""
+    from sykepic_tpu.train.device_data import estimate_nbytes
+
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    est = estimate_nbytes(paths, spec)
+    ds = DeviceDataset(paths, labels, spec, batch_size=8)
+    assert est == ds.nbytes
+
+
+def test_gathered_batch_carries_host_labels(dataset_dir):
+    """__iter__ batches expose host labels matching the store gather, so
+    loop.test_net can read batch.labels like a HostBatch."""
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, shuffle=False)
+    for gb in ds:
+        store_labels = np.asarray(gb.store["labels"])
+        np.testing.assert_array_equal(gb.labels, store_labels[gb.idx])
