@@ -469,8 +469,10 @@ def _export(args):
     variables = checkpoint.load_model_state(model_dir)
     config = tcfg.read_config(model_dir / "config.ini")
     _, dropout = tcfg.get_head_spec(config)
+    network = config.get("model", "network", fallback=None)
     out = Path(args.out) if args.out else model_dir / "best_state.pth"
-    convert_torch.save_pth(variables, out, dropout=dropout)
+    convert_torch.save_pth(variables, out, dropout=dropout,
+                           network_name=network)
     print(f"Wrote {out}")
 
 

@@ -247,18 +247,120 @@ def torch_efficientnet_to_flax(state_dict: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
+    """Convert a torchvision MobileNetV3(+head) state dict to our
+    :class:`~sykepic_tpu.models.mobilenet.MobileNetV3` variable tree.
+
+    torchvision layout: ``features.0`` stem conv+bn; ``features.I.block.J``
+    units where J's roles depend on the block ([expand] dw [se] project);
+    the last ``features`` entry is the 1x1 widening conv+bn. The stock
+    ``classifier.*`` Sequential is DISCARDED — the reference's
+    ``TorchVisionNet`` drops it and attaches its own head at the first
+    classifier Linear's in_features (``network.py:50-56``); model-dir
+    ``head.K`` Linears map to ``head.fcK``.
+    """
+    sd = _normalize_efficientnet_keys(state_dict)  # base.0.* -> features.*
+    params: dict = {}
+    stats: dict = {}
+    head_linears: dict[int, dict] = {}
+
+    feature_ids = sorted(
+        {int(m.group(1)) for k in sd
+         if (m := re.match(r"^features\.(\d+)\.", k))}
+    )
+    if not feature_ids:
+        raise KeyError("no features.* keys: not a MobileNetV3 state dict")
+    last_fid = feature_ids[-1]
+
+    # role of each block.J index, discovered from the keys themselves
+    roles_by_fid: dict[int, dict[int, str]] = {}
+    for fid in feature_ids:
+        if fid in (0, last_fid):
+            continue
+        conv_js = sorted(
+            {int(m.group(1)) for k in sd
+             if (m := re.match(rf"^features\.{fid}\.block\.(\d+)\.0\.weight$",
+                               k))}
+        )
+        se_js = {int(m.group(1)) for k in sd
+                 if (m := re.match(
+                     rf"^features\.{fid}\.block\.(\d+)\.fc1\.weight$", k))}
+        names = (["expand", "dw", "project"] if len(conv_js) == 3
+                 else ["dw", "project"])
+        roles = dict(zip(conv_js, names))
+        for j in se_js:
+            roles[j] = "se"
+        roles_by_fid[fid] = roles
+
+    for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if parts[0] == "classifier":
+            continue  # replaced by the reference-style head
+        if parts[0] == "head":
+            head_linears.setdefault(int(parts[1]), {})[leaf] = _to_numpy(value)
+            continue
+        if parts[0] != "features":
+            raise KeyError(f"Unhandled key {key}")
+        fid = int(parts[1])
+        if fid == 0 or fid == last_fid:
+            prefix = "stem" if fid == 0 else "head"
+            if parts[2] == "0":
+                _put(params, (f"{prefix}_conv", "kernel"), _conv_kernel(value))
+            else:
+                _put_bn(params, stats, (f"{prefix}_bn",), leaf,
+                        _to_numpy(value))
+            continue
+        mod = f"layer{fid}_0"
+        role = roles_by_fid[fid][int(parts[3])]
+        if role == "se":
+            fc = parts[4]  # fc1 / fc2
+            _put(params, (mod, "se", fc,
+                          "kernel" if leaf == "weight" else "bias"),
+                 _conv_kernel(value) if leaf == "weight" else _to_numpy(value))
+        elif parts[4] == "0":
+            _put(params, (mod, f"{role}_conv", "kernel"), _conv_kernel(value))
+        else:
+            _put_bn(params, stats, (mod, f"{role}_bn"), leaf,
+                    _to_numpy(value))
+
+    head_params = {}
+    for out_i, idx in enumerate(sorted(k for k, v in head_linears.items()
+                                       if "weight" in v)):
+        head_params[f"fc{out_i}"] = {
+            "kernel": head_linears[idx]["weight"].transpose(1, 0),
+            "bias": head_linears[idx]["bias"],
+        }
+    if head_params:
+        params["head"] = head_params
+    return {"params": params, "batch_stats": stats}
+
+
 def _looks_like_efficientnet(state_dict: dict) -> bool:
     return any(".block." in k or k.startswith(("features.", "base.0.0.0"))
+               for k in state_dict)
+
+
+def _looks_like_mobilenet_v3(state_dict: dict) -> bool:
+    """V3 blocks sit directly under features.I (``features.3.block.0``);
+    EfficientNet has a repeat level (``features.3.1.block.0``)."""
+    return any(re.match(r"^(base\.0\.|features\.)\d+\.block\.", k)
                for k in state_dict)
 
 
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
     """Family dispatcher: pick the converter from ``network_name`` when
     given (e.g. "resnet18", "efficientnet_b0"), else sniff the keys."""
+    if network_name and network_name.startswith("mobilenet_v3"):
+        return torch_mobilenet_v3_to_flax(state_dict)
     if network_name and network_name.startswith("efficientnet"):
         return torch_efficientnet_to_flax(state_dict)
     if network_name and network_name.startswith("resnet"):
         return torch_resnet_to_flax(state_dict)
+    if _looks_like_mobilenet_v3(state_dict):
+        return torch_mobilenet_v3_to_flax(state_dict)
     if _looks_like_efficientnet(state_dict):
         return torch_efficientnet_to_flax(state_dict)
     return torch_resnet_to_flax(state_dict)
@@ -413,21 +515,112 @@ def flax_efficientnet_to_torch(variables: dict, dropout=()) -> dict:
     return sd
 
 
-def flax_to_torch(variables: dict, dropout=()) -> dict:
-    """Family dispatcher for the reverse direction (sniffs the tree)."""
+def flax_mobilenet_v3_to_torch(variables: dict, dropout=()) -> dict:
+    """Our MobileNetV3 variable tree -> a reference ``TorchVisionNet``
+    state dict (``base.0.*`` = features). Inverse of
+    :func:`torch_mobilenet_v3_to_flax`; block sub-indices follow the
+    torchvision unit order [expand] dw [se] project."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+
+    def put(key, arr):
+        sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    def put_conv(key, tree):
+        put(key, np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+
+    def put_bn(prefix, p_tree, s_tree):
+        put(f"{prefix}.weight", np.asarray(p_tree["scale"]))
+        put(f"{prefix}.bias", np.asarray(p_tree["bias"]))
+        put(f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
+        put(f"{prefix}.running_var", np.asarray(s_tree["var"]))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+    blocks = sorted(
+        {int(m.group(1)) for mod in params
+         if (m := re.match(r"^layer(\d+)_0$", mod))}
+    )
+    if "stem_conv" not in params or not blocks:
+        raise KeyError("variable tree is not a MobileNetV3")
+    last_fid = blocks[-1] + 1
+
+    put_conv("base.0.0.0.weight", params["stem_conv"])
+    put_bn("base.0.0.1", params["stem_bn"], stats["stem_bn"])
+    put_conv(f"base.0.{last_fid}.0.weight", params["head_conv"])
+    put_bn(f"base.0.{last_fid}.1", params["head_bn"], stats["head_bn"])
+
+    for fid in blocks:
+        mod = f"layer{fid}_0"
+        tree = params[mod]
+        roles = []
+        if "expand_conv" in tree:
+            roles.append("expand")
+        roles.append("dw")
+        if "se" in tree:
+            roles.append("se")
+        roles.append("project")
+        for i, role in enumerate(roles):
+            prefix = f"base.0.{fid}.block.{i}"
+            if role == "se":
+                for fc in ("fc1", "fc2"):
+                    put_conv(f"{prefix}.{fc}.weight", tree["se"][fc])
+                    put(f"{prefix}.{fc}.bias",
+                        np.asarray(tree["se"][fc]["bias"]))
+            else:
+                put_conv(f"{prefix}.0.weight", tree[f"{role}_conv"])
+                put_bn(f"{prefix}.1", tree[f"{role}_bn"],
+                       stats[mod][f"{role}_bn"])
+
+    head = params.get("head", {})
+    indices = _head_linear_indices(len(head), dropout)
+    for k in range(len(head)):
+        fc = head[f"fc{k}"]
+        put(f"head.{indices[k]}.weight",
+            np.asarray(fc["kernel"]).transpose(1, 0))
+        put(f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
+    return sd
+
+
+def _flax_tree_is_mobilenet_v3(params: dict) -> bool:
+    """Our MobileNetV3 trees always have single-repeat ``layerN_0``
+    modules and at least one block WITHOUT squeeze-excitation (both V3
+    configs include SE-free blocks; EfficientNet blocks all carry SE)."""
+    mods = [m for m in params if re.match(r"^layer\d+_\d+$", m)]
+    if not mods or any(not m.endswith("_0") for m in mods):
+        return False
+    return any("se" not in params[m] for m in mods)
+
+
+def flax_to_torch(variables: dict, dropout=(),
+                  network_name: str | None = None) -> dict:
+    """Family dispatcher for the reverse direction (``network_name`` from
+    the model dir's config wins; otherwise the tree is sniffed)."""
     params = variables.get("params", {})
-    if "stem_conv" in params:
+    if network_name and network_name.startswith("mobilenet_v3"):
+        return flax_mobilenet_v3_to_torch(variables, dropout)
+    if network_name and network_name.startswith("efficientnet"):
         return flax_efficientnet_to_torch(variables, dropout)
+    if network_name and network_name.startswith("resnet"):
+        return flax_resnet_to_torch(variables, dropout)
     if "conv1" in params:
         return flax_resnet_to_torch(variables, dropout)
+    if "stem_conv" in params:
+        if _flax_tree_is_mobilenet_v3(params):
+            return flax_mobilenet_v3_to_torch(variables, dropout)
+        return flax_efficientnet_to_torch(variables, dropout)
     raise KeyError(
-        "cannot export: variable tree is neither a ResNet (conv1) nor an "
-        f"EfficientNet (stem_conv); top-level modules: {sorted(params)[:8]}"
+        "cannot export: variable tree is not a ResNet (conv1), "
+        "EfficientNet or MobileNetV3 (stem_conv); top-level modules: "
+        f"{sorted(params)[:8]}"
     )
 
 
-def save_pth(variables: dict, path, dropout=()) -> None:
+def save_pth(variables: dict, path, dropout=(),
+             network_name: str | None = None) -> None:
     """Write a reference-loadable ``best_state.pth`` from our variables."""
     import torch
 
-    torch.save(flax_to_torch(variables, dropout), str(path))
+    torch.save(flax_to_torch(variables, dropout, network_name), str(path))

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import efficientnet, resnet
+from . import efficientnet, mobilenet, resnet
 
 MODEL_REGISTRY = {
     "resnet18": resnet.resnet18,
@@ -19,6 +19,8 @@ MODEL_REGISTRY = {
     "efficientnet_b1": efficientnet.efficientnet_b1,
     "efficientnet_b2": efficientnet.efficientnet_b2,
     "efficientnet_b3": efficientnet.efficientnet_b3,
+    "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
+    "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
 }
 
 
