@@ -120,3 +120,36 @@ def test_watch_skips_oversized_roi_for_good(tmp_path, model_dir, monkeypatch):
     )
     assert done == {SAMPLE}  # marked done (skipped), never decoded
     assert not list(out.glob("**/*.csv"))
+
+
+def test_watch_gives_up_on_permanent_failures(tmp_path, model_dir, monkeypatch):
+    """A sample that fails every cycle (corrupt data) is abandoned after
+    max_retries instead of being re-decoded for the daemon's lifetime."""
+    from sykepic_tpu.compute import pipeline
+
+    raw = tmp_path / "raw"
+    copy_sample(raw, old=True)
+    clf = probability.prepare_model(model_dir, batch_size=4)
+
+    calls = {"n": 0}
+
+    def always_fails(img):
+        calls["n"] += 1
+        raise ValueError("corrupt")
+
+    monkeypatch.setattr(pipeline, "compute_features", always_fails)
+    out = tmp_path / "out"
+    done = watch.run(
+        raw, clf, out, interval=0.0, settle_seconds=1,
+        max_cycles=6, max_retries=2, sleep=lambda s: None,
+    )
+    # abandoned (in done) despite never producing a feat CSV...
+    assert done == {SAMPLE}
+    assert not list(out.glob("**/*.feat.csv"))
+    # ...and attempts stopped at max_retries, not max_cycles
+    attempts = calls["n"]
+    assert attempts > 0
+    calls["n"] = 0
+    watch.run(raw, clf, out, interval=0.0, settle_seconds=1,
+              max_cycles=6, max_retries=6, sleep=lambda s: None)
+    assert calls["n"] > attempts  # more retries allowed -> more attempts
