@@ -235,6 +235,15 @@ def torch_efficientnet_to_flax(state_dict: dict) -> dict:
                 _put_bn(params, stats, (mod, f"{role}_bn"), leaf,
                         _to_numpy(value))
 
+    if head_params := _collect_head(head_linears):
+        params["head"] = head_params
+    return {"params": params, "batch_stats": stats}
+
+
+# --- shared pieces of the per-family converters ---------------------------
+
+def _collect_head(head_linears: dict) -> dict:
+    """``head.K`` Linears (torch-Sequential order) -> ``fc0, fc1, ...``."""
     head_params = {}
     for out_i, idx in enumerate(sorted(k for k, v in head_linears.items()
                                        if "weight" in v)):
@@ -242,9 +251,38 @@ def torch_efficientnet_to_flax(state_dict: dict) -> dict:
             "kernel": head_linears[idx]["weight"].transpose(1, 0),
             "bias": head_linears[idx]["bias"],
         }
-    if head_params:
-        params["head"] = head_params
-    return {"params": params, "batch_stats": stats}
+    return head_params
+
+
+def _sd_put(sd: dict, key, arr) -> None:
+    import torch
+
+    sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+
+
+def _sd_put_conv(sd: dict, key, tree) -> None:
+    _sd_put(sd, key, np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+
+
+def _sd_put_bn(sd: dict, prefix, p_tree, s_tree) -> None:
+    import torch
+
+    _sd_put(sd, f"{prefix}.weight", np.asarray(p_tree["scale"]))
+    _sd_put(sd, f"{prefix}.bias", np.asarray(p_tree["bias"]))
+    _sd_put(sd, f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
+    _sd_put(sd, f"{prefix}.running_var", np.asarray(s_tree["var"]))
+    sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+
+def _sd_put_head(sd: dict, params: dict, dropout) -> None:
+    """Export ``params['head']`` as Dropout-shifted ``head.K`` Linears."""
+    head = params.get("head", {})
+    indices = _head_linear_indices(len(head), dropout)
+    for k in range(len(head)):
+        fc = head[f"fc{k}"]
+        _sd_put(sd, f"head.{indices[k]}.weight",
+                np.asarray(fc["kernel"]).transpose(1, 0))
+        _sd_put(sd, f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
 
 
 def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
@@ -326,14 +364,7 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
             _put_bn(params, stats, (mod, f"{role}_bn"), leaf,
                     _to_numpy(value))
 
-    head_params = {}
-    for out_i, idx in enumerate(sorted(k for k, v in head_linears.items()
-                                       if "weight" in v)):
-        head_params[f"fc{out_i}"] = {
-            "kernel": head_linears[idx]["weight"].transpose(1, 0),
-            "bias": head_linears[idx]["bias"],
-        }
-    if head_params:
+    if head_params := _collect_head(head_linears):
         params["head"] = head_params
     return {"params": params, "batch_stats": stats}
 
@@ -395,22 +426,16 @@ def flax_resnet_to_torch(variables: dict, dropout=()) -> dict:
     straight into the original torch pipeline. ``dropout`` must be the
     model dir's ``[model] dropout`` spec — it determines the head's torch
     Sequential indices."""
-    import torch
-
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     inv_children = {v: k for k, v in _BASE_CHILDREN.items()}
     sd: dict = {}
 
     def put(key, arr):
-        sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+        _sd_put(sd, key, arr)
 
     def put_bn(prefix, p_tree, s_tree):
-        put(f"{prefix}.weight", np.asarray(p_tree["scale"]))
-        put(f"{prefix}.bias", np.asarray(p_tree["bias"]))
-        put(f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
-        put(f"{prefix}.running_var", np.asarray(s_tree["var"]))
-        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+        _sd_put_bn(sd, prefix, p_tree, s_tree)
 
     put(f"base.{inv_children['conv1']}.weight",
         np.asarray(params["conv1"]["kernel"]).transpose(3, 2, 0, 1))
@@ -435,14 +460,7 @@ def flax_resnet_to_torch(variables: dict, dropout=()) -> dict:
             else:
                 raise KeyError(f"Unhandled module {mod}.{sub}")
 
-    head = params.get("head", {})
-    n = len(head)
-    indices = _head_linear_indices(n, dropout)
-    for k in range(n):
-        fc = head[f"fc{k}"]
-        put(f"head.{indices[k]}.weight",
-            np.asarray(fc["kernel"]).transpose(1, 0))
-        put(f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
+    _sd_put_head(sd, params, dropout)
     return sd
 
 
@@ -453,24 +471,15 @@ def flax_efficientnet_to_torch(variables: dict, dropout=()) -> dict:
     [features, avgpool]), so every conv/bn key lands under ``base.0.*``;
     the MLP head Linears use the same Dropout-shifted Sequential indices
     as the ResNet exporter."""
-    import torch
-
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd: dict = {}
 
-    def put(key, arr):
-        sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
-
     def put_conv(key, tree):
-        put(key, np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+        _sd_put_conv(sd, key, tree)
 
     def put_bn(prefix, p_tree, s_tree):
-        put(f"{prefix}.weight", np.asarray(p_tree["scale"]))
-        put(f"{prefix}.bias", np.asarray(p_tree["bias"]))
-        put(f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
-        put(f"{prefix}.running_var", np.asarray(s_tree["var"]))
-        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+        _sd_put_bn(sd, prefix, p_tree, s_tree)
 
     stages = sorted(
         {int(m.group(1)) for mod in params
@@ -498,20 +507,14 @@ def flax_efficientnet_to_torch(variables: dict, dropout=()) -> dict:
             if role == "se":
                 for fc in ("fc1", "fc2"):
                     put_conv(f"{prefix}.{fc}.weight", tree["se"][fc])
-                    put(f"{prefix}.{fc}.bias",
-                        np.asarray(tree["se"][fc]["bias"]))
+                    _sd_put(sd, f"{prefix}.{fc}.bias",
+                            np.asarray(tree["se"][fc]["bias"]))
             else:
                 put_conv(f"{prefix}.0.weight", tree[f"{role}_conv"])
                 put_bn(f"{prefix}.1", tree[f"{role}_bn"],
                        stats[mod][f"{role}_bn"])
 
-    head = params.get("head", {})
-    indices = _head_linear_indices(len(head), dropout)
-    for k in range(len(head)):
-        fc = head[f"fc{k}"]
-        put(f"head.{indices[k]}.weight",
-            np.asarray(fc["kernel"]).transpose(1, 0))
-        put(f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
+    _sd_put_head(sd, params, dropout)
     return sd
 
 
@@ -520,24 +523,15 @@ def flax_mobilenet_v3_to_torch(variables: dict, dropout=()) -> dict:
     state dict (``base.0.*`` = features). Inverse of
     :func:`torch_mobilenet_v3_to_flax`; block sub-indices follow the
     torchvision unit order [expand] dw [se] project."""
-    import torch
-
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd: dict = {}
 
-    def put(key, arr):
-        sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
-
     def put_conv(key, tree):
-        put(key, np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+        _sd_put_conv(sd, key, tree)
 
     def put_bn(prefix, p_tree, s_tree):
-        put(f"{prefix}.weight", np.asarray(p_tree["scale"]))
-        put(f"{prefix}.bias", np.asarray(p_tree["bias"]))
-        put(f"{prefix}.running_mean", np.asarray(s_tree["mean"]))
-        put(f"{prefix}.running_var", np.asarray(s_tree["var"]))
-        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+        _sd_put_bn(sd, prefix, p_tree, s_tree)
 
     blocks = sorted(
         {int(m.group(1)) for mod in params
@@ -567,20 +561,14 @@ def flax_mobilenet_v3_to_torch(variables: dict, dropout=()) -> dict:
             if role == "se":
                 for fc in ("fc1", "fc2"):
                     put_conv(f"{prefix}.{fc}.weight", tree["se"][fc])
-                    put(f"{prefix}.{fc}.bias",
-                        np.asarray(tree["se"][fc]["bias"]))
+                    _sd_put(sd, f"{prefix}.{fc}.bias",
+                            np.asarray(tree["se"][fc]["bias"]))
             else:
                 put_conv(f"{prefix}.0.weight", tree[f"{role}_conv"])
                 put_bn(f"{prefix}.1", tree[f"{role}_bn"],
                        stats[mod][f"{role}_bn"])
 
-    head = params.get("head", {})
-    indices = _head_linear_indices(len(head), dropout)
-    for k in range(len(head)):
-        fc = head[f"fc{k}"]
-        put(f"head.{indices[k]}.weight",
-            np.asarray(fc["kernel"]).transpose(1, 0))
-        put(f"head.{indices[k]}.bias", np.asarray(fc["bias"]))
+    _sd_put_head(sd, params, dropout)
     return sd
 
 

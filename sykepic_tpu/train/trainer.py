@@ -264,8 +264,7 @@ class Trainer:
         # epochs 2+ ship only the (B,) index vector per step.
         def gstep(params, batch_stats, opt_state, store, idx, wts, lrs, key):
             g = [jnp.take(store[f], idx, axis=0) for f in self._STORE_FIELDS]
-            return step(params, batch_stats, opt_state, *g[:-1],
-                        g[-1], wts, lrs, key)
+            return step(params, batch_stats, opt_state, *g, wts, lrs, key)
 
         return jax.jit(gstep, donate_argnums=(0, 1, 2))
 
