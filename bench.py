@@ -177,9 +177,10 @@ def inference_benchmark(root: Path) -> None:
     # recorded value is the median pass.
     probability.precompile_for_samples(pass_samples, clf, budget_s=900)
 
+    link_before = measure_link_mbps()
     rates = []
     budget_start = time.perf_counter()
-    for trial in range(5):
+    for trial in range(8):
         out_dir = root / f"out{trial}"
         t0 = time.perf_counter()
         written = probability.process_samples_batched(pass_samples, clf, out_dir)
@@ -190,7 +191,11 @@ def inference_benchmark(root: Path) -> None:
         rates.append(n_rois / elapsed)
         shutil.rmtree(out_dir, ignore_errors=True)
         spent = time.perf_counter() - budget_start
-        if spent > 420.0 or (len(rates) >= 3 and spent > 150.0):
+        # consistent passes can stop early; a >1.5x spread means a link
+        # stall hit some passes, so keep going (within the budget) until
+        # the median reflects more than one weather window
+        consistent = max(rates) / max(min(rates), 1e-9) < 1.5
+        if spent > 420.0 or (len(rates) >= 3 and consistent and spent > 150.0):
             break
 
     import jax
@@ -210,10 +215,10 @@ def inference_benchmark(root: Path) -> None:
                 # a TPU result
                 "platform": jax.default_backend(),
                 # the e2e number is wire-bound on the tunneled chip and the
-                # link swings 5-50 MB/s between runs: record the observed
-                # bandwidth so a low pass reads as link weather, not a code
-                # regression
-                "link_MBps": measure_link_mbps(),
+                # link swings 5-50 MB/s WITHIN a run: bracket the passes
+                # with a bandwidth probe so a low median reads as link
+                # weather, not a code regression
+                "link_MBps": [link_before, measure_link_mbps()],
             }
         )
     )
