@@ -411,6 +411,39 @@ def main(argv=None):
         help="Comma-separated class names to ignore",
     )
 
+    freq_parser = subparsers.add_parser(
+        "frequency",
+        description="Class-frequency time series from a probability CSV "
+        "tree (rows = sample timestamps, columns = classes, cells = "
+        "classification counts); analyze/frequency.py as a CLI",
+    )
+    freq_parser.set_defaults(func=_frequency)
+    freq_parser.add_argument(
+        "predictions", metavar="PROBS",
+        help="Root directory of probability CSVs",
+    )
+    freq_parser.add_argument(
+        "-t", "--thresholds", metavar="FILE",
+        help="Thresholds file ('class value' lines); default 0.0 for all",
+    )
+    freq_parser.add_argument(
+        "-o", "--out", metavar="FILE", required=True,
+        help="Output CSV-file path (required)",
+    )
+    freq_parser.add_argument("--start", help="Start 'YYYY-MM-DD HH:MM'")
+    freq_parser.add_argument("--end", help="End 'YYYY-MM-DD HH:MM'")
+    freq_parser.add_argument(
+        "--hour-window", help="Daily hour-of-day window, e.g. '06:00-18:00'"
+    )
+    freq_parser.add_argument(
+        "--classes", type=_list_of_strings, default=None,
+        help="Comma-separated class columns to keep",
+    )
+    freq_parser.add_argument(
+        "--top", type=int, default=None,
+        help="Keep only the N most frequent classes",
+    )
+
     export_parser = subparsers.add_parser(
         "export",
         description="Export a trained model dir's checkpoint to a "
@@ -457,6 +490,29 @@ def _evaluate(args):
         best_out.parent.mkdir(parents=True, exist_ok=True)
         best_out.write_text("\n".join(lines) + "\n")
         print(f"Wrote {best_out}")
+
+
+def _frequency(args):
+    from pathlib import Path
+
+    from .analyze import frequency
+    from .compute.prediction import threshold_dictionary
+
+    thresholds = (
+        threshold_dictionary(args.thresholds) if args.thresholds else 0.0
+    )
+    df = frequency.frequency_df(
+        args.predictions, thresholds,
+        start=args.start, end=args.end, hour_window=args.hour_window,
+    )
+    if df is None:
+        raise SystemExit(1)  # no samples in range (already printed)
+    if args.classes or args.top:
+        df = frequency.filter_df(df, prediction=args.classes, top=args.top)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out)
+    print(f"Wrote {out}")
 
 
 def _export(args):

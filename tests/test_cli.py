@@ -117,3 +117,27 @@ def test_evaluate_cli(tmp_path):
     out2 = tmp_path / "scores_fixed.csv"
     main(["evaluate", str(select), PROBS, "-t", ZERO, "-o", str(out2)])
     assert out2.is_file()
+
+
+def test_frequency_cli(tmp_path):
+    out = tmp_path / "freq.csv"
+    main(["frequency", PROBS, "-t", ZERO, "-o", str(out)])
+    assert out.is_file()
+    import pandas as pd
+
+    df = pd.read_csv(out, index_col=0)
+    assert len(df) == 1  # one fixture sample timestamp
+    assert df.sum().sum() == 2  # two classified ROIs
+
+    # classes filter + top
+    out2 = tmp_path / "freq_top.csv"
+    main(["frequency", PROBS, "-o", str(out2), "--top", "1"])
+    df2 = pd.read_csv(out2, index_col=0)
+    assert df2.shape[1] == 1
+
+    # empty date range exits nonzero
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["frequency", PROBS, "-o", str(tmp_path / "x.csv"),
+              "--start", "2030-01-01 00:00"])
