@@ -191,10 +191,12 @@ def inference_benchmark(root: Path) -> None:
         rates.append(n_rois / elapsed)
         shutil.rmtree(out_dir, ignore_errors=True)
         spent = time.perf_counter() - budget_start
-        # consistent passes can stop early; a >1.5x spread means a link
-        # stall hit some passes, so keep going (within the budget) until
-        # the median reflects more than one weather window
-        consistent = max(rates) / max(min(rates), 1e-9) < 1.5
+        # consistent RECENT passes can stop early; a >1.5x spread in the
+        # last 3 means a link stall is in play, so keep going (within the
+        # budget). Only the tail is checked: pass 0 may carry a one-off
+        # long-tail compile and must not disable the early stop forever.
+        tail = rates[-3:]
+        consistent = max(tail) / max(min(tail), 1e-9) < 1.5
         if spent > 420.0 or (len(rates) >= 3 and consistent and spent > 150.0):
             break
 

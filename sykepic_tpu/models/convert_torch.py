@@ -274,6 +274,32 @@ def _sd_put_bn(sd: dict, prefix, p_tree, s_tree) -> None:
     sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
 
 
+def _sd_put_block(sd: dict, block_prefix: str, tree: dict,
+                  stats_tree: dict) -> None:
+    """Export one MBConv/InvertedResidual block at ``block_prefix``:
+    torchvision unit order [expand] dw [se] project, each conv+bn pair at
+    ``block.{i}.0/.1`` and SE at ``block.{i}.fc1/fc2``. Roles present are
+    discovered from the tree (expand/se are optional)."""
+    roles = []
+    if "expand_conv" in tree:
+        roles.append("expand")
+    roles.append("dw")
+    if "se" in tree:
+        roles.append("se")
+    roles.append("project")
+    for i, role in enumerate(roles):
+        prefix = f"{block_prefix}.block.{i}"
+        if role == "se":
+            for fc in ("fc1", "fc2"):
+                _sd_put_conv(sd, f"{prefix}.{fc}.weight", tree["se"][fc])
+                _sd_put(sd, f"{prefix}.{fc}.bias",
+                        np.asarray(tree["se"][fc]["bias"]))
+        else:
+            _sd_put_conv(sd, f"{prefix}.0.weight", tree[f"{role}_conv"])
+            _sd_put_bn(sd, f"{prefix}.1", tree[f"{role}_bn"],
+                       stats_tree[f"{role}_bn"])
+
+
 def _sd_put_head(sd: dict, params: dict, dropout) -> None:
     """Export ``params['head']`` as Dropout-shifted ``head.K`` Linears."""
     head = params.get("head", {})
@@ -500,19 +526,7 @@ def flax_efficientnet_to_torch(variables: dict, dropout=()) -> dict:
         if not m:
             continue
         fid, block_r = m.groups()
-        roles = (["expand", "dw", "se", "project"] if "expand_conv" in tree
-                 else ["dw", "se", "project"])
-        for i, role in enumerate(roles):
-            prefix = f"base.0.{fid}.{block_r}.block.{i}"
-            if role == "se":
-                for fc in ("fc1", "fc2"):
-                    put_conv(f"{prefix}.{fc}.weight", tree["se"][fc])
-                    _sd_put(sd, f"{prefix}.{fc}.bias",
-                            np.asarray(tree["se"][fc]["bias"]))
-            else:
-                put_conv(f"{prefix}.0.weight", tree[f"{role}_conv"])
-                put_bn(f"{prefix}.1", tree[f"{role}_bn"],
-                       stats[mod][f"{role}_bn"])
+        _sd_put_block(sd, f"base.0.{fid}.{block_r}", tree, stats[mod])
 
     _sd_put_head(sd, params, dropout)
     return sd
@@ -548,25 +562,7 @@ def flax_mobilenet_v3_to_torch(variables: dict, dropout=()) -> dict:
 
     for fid in blocks:
         mod = f"layer{fid}_0"
-        tree = params[mod]
-        roles = []
-        if "expand_conv" in tree:
-            roles.append("expand")
-        roles.append("dw")
-        if "se" in tree:
-            roles.append("se")
-        roles.append("project")
-        for i, role in enumerate(roles):
-            prefix = f"base.0.{fid}.block.{i}"
-            if role == "se":
-                for fc in ("fc1", "fc2"):
-                    put_conv(f"{prefix}.{fc}.weight", tree["se"][fc])
-                    _sd_put(sd, f"{prefix}.{fc}.bias",
-                            np.asarray(tree["se"][fc]["bias"]))
-            else:
-                put_conv(f"{prefix}.0.weight", tree[f"{role}_conv"])
-                put_bn(f"{prefix}.1", tree[f"{role}_bn"],
-                       stats[mod][f"{role}_bn"])
+        _sd_put_block(sd, f"base.0.{fid}", params[mod], stats[mod])
 
     _sd_put_head(sd, params, dropout)
     return sd

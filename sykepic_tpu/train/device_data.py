@@ -56,6 +56,33 @@ class GatheredBatch:
     labels: np.ndarray  # (B,) int32 host labels (mirrors store gather)
 
 
+def make_store(canvas, heights, widths, labels, spec) -> dict:
+    """Metadata-complete (host) store dict from packed arrays — the single
+    definition of the gathered-step field set (``Trainer._STORE_FIELDS``).
+    Used per bucket by :class:`DeviceDataset` and by the multichip dryrun,
+    so the production and contract-check paths cannot drift apart."""
+    new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
+        heights, widths, spec.target_h, spec.target_w
+    )
+    border = preprocess.border_values(canvas, heights, widths, spec.border)
+    lim_x, lim_y = augment_ops.translate_limits(
+        heights, widths, new_h, new_w, spec.target_h, spec.target_w
+    )
+    return {
+        "canvas": canvas,
+        "heights": heights,
+        "widths": widths,
+        "new_h": new_h,
+        "new_w": new_w,
+        "pad_top": pad_top,
+        "pad_left": pad_left,
+        "border": border,
+        "lim_x": lim_x,
+        "lim_y": lim_y,
+        "labels": np.asarray(labels, np.int32),
+    }
+
+
 def estimate_nbytes(paths, spec, buckets=None) -> int:
     """Predicted device bytes for a :class:`DeviceDataset` over ``paths``
     WITHOUT decoding any pixels: PNG IHDR dims -> pre-shrink prediction ->
@@ -175,31 +202,10 @@ class DeviceDataset:
                 widths[j] = w
                 self._bucket_of_row[row] = bi
                 self._local_of_row[row] = j
-            new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
-                heights, widths, spec.target_h, spec.target_w
-            )
-            border = preprocess.border_values(
-                canvas, heights, widths, spec.border
-            )
-            lim_x, lim_y = augment_ops.translate_limits(
-                heights, widths, new_h, new_w, spec.target_h, spec.target_w
-            )
             store_labels = np.zeros(n, np.int32)
             store_labels[: len(rows)] = row_label[rows]
             self._host_labels[(bh, bw)] = store_labels
-            store = {
-                "canvas": canvas,
-                "heights": heights,
-                "widths": widths,
-                "new_h": new_h,
-                "new_w": new_w,
-                "pad_top": pad_top,
-                "pad_left": pad_left,
-                "border": border,
-                "lim_x": lim_x,
-                "lim_y": lim_y,
-                "labels": store_labels,
-            }
+            store = make_store(canvas, heights, widths, store_labels, spec)
             self.nbytes += sum(a.nbytes for a in store.values())
             if sharding is not None:
                 store = {k: jax.device_put(v, sharding)
