@@ -29,7 +29,7 @@ from ..ingest import pack
 from ..models import checkpoint
 from ..ops import preprocess
 from ..train import config as train_config
-from ..utils import logger
+from ..utils import logger, profiling
 
 SOFTMAX_EXP = 1.3
 
@@ -138,6 +138,9 @@ class Classifier:
         else:
             self.variables = jax.device_put(variables)
         self._infer = self._build_infer()
+        # per-stage wall clocks, printed at stream end when SYKEPIC_PROFILE
+        # is set (no-op stages otherwise)
+        self.timer = profiling.StageTimer()
 
     def _build_infer(self):
         # Weights ride in the jit closure as device-resident captured
@@ -213,18 +216,19 @@ class Classifier:
         if meta is None:
             meta = self._host_meta(batch)
         new_h, new_w, pad_top, pad_left, border = meta
-        args = tuple(
-            self._put(a)
-            for a in (
-                batch.canvas, batch.heights, batch.widths,
-                new_h, new_w, pad_top, pad_left, border,
+        with self.timer.stage("device.dispatch"):
+            args = tuple(
+                self._put(a)
+                for a in (
+                    batch.canvas, batch.heights, batch.widths,
+                    new_h, new_w, pad_top, pad_left, border,
+                )
             )
-        )
-        return self._infer(
-            *args,
-            target_h=self.spec.target_h,
-            target_w=self.spec.target_w,
-        )
+            return self._infer(
+                *args,
+                target_h=self.spec.target_h,
+                target_w=self.spec.target_w,
+            )
 
     def infer_packed(self, batch: pack.PackedBatch) -> np.ndarray:
         """Class probabilities for one packed batch: (B, num_classes)."""
@@ -289,14 +293,24 @@ class Classifier:
 
         def produce():
             try:
-                for batch in pack.pack_rois(
+                gen = pack.pack_rois(
                     tagged_rois, batch_size=self.batch_size,
                     buckets=self.buckets,
                     batch_multiple=self._batch_multiple,
                     pre_shrink_to=pre_shrink_to,
                     compute_modes=(self.spec.border == "mode"),
-                ):
-                    if not offer((batch, self._host_meta(batch))):
+                )
+                while True:
+                    # decode+pack pulls the upstream ROI generator; meta is
+                    # the geometry/border pass. Separate stages on THIS
+                    # thread only (no cross-thread accumulator races).
+                    with self.timer.stage("host.decode+pack"):
+                        batch = next(gen, None)
+                    if batch is None:
+                        break
+                    with self.timer.stage("host.meta"):
+                        meta = self._host_meta(batch)
+                    if not offer((batch, meta)):
                         return
             except BaseException as e:  # re-raised on the consumer side
                 offer(e)
@@ -351,10 +365,11 @@ class Classifier:
                 yield from self._drain(*in_flight.popleft())
         while in_flight:
             yield from self._drain(*in_flight.popleft())
+        self.timer.report()
 
-    @staticmethod
-    def _drain(batch: pack.PackedBatch, device_probs):
-        probs = np.asarray(device_probs)
+    def _drain(self, batch: pack.PackedBatch, device_probs):
+        with self.timer.stage("device.drain"):
+            probs = np.asarray(device_probs)
         for i in range(batch.n_valid):
             yield (
                 int(batch.sample_idx[i]),
@@ -376,8 +391,9 @@ class Classifier:
         in_flight: deque = deque()
 
         def drain(batch, device_probs, device_feats):
-            probs = np.asarray(device_probs)
-            feats = np.asarray(device_feats)  # (B, 4): area, biovol, maj, min
+            with self.timer.stage("device.drain"):
+                probs = np.asarray(device_probs)
+                feats = np.asarray(device_feats)  # (B, 4): area/biovol/axes
             for i in range(batch.n_valid):
                 yield (
                     int(batch.sample_idx[i]),
@@ -390,18 +406,20 @@ class Classifier:
             # metadata from the producer thread, canvas uploaded ONCE and
             # shared by both device programs
             new_h, new_w, pad_top, pad_left, border = meta
-            canvas = self._put(batch.canvas)
-            heights = self._put(batch.heights)
-            widths = self._put(batch.widths)
-            device_probs = self._infer(
-                canvas, heights, widths,
-                self._put(new_h), self._put(new_w),
-                self._put(pad_top), self._put(pad_left), self._put(border),
-                target_h=self.spec.target_h, target_w=self.spec.target_w,
-            )
-            device_feats = features_device.device_features(
-                canvas, heights, widths
-            )
+            with self.timer.stage("device.dispatch"):
+                canvas = self._put(batch.canvas)
+                heights = self._put(batch.heights)
+                widths = self._put(batch.widths)
+                device_probs = self._infer(
+                    canvas, heights, widths,
+                    self._put(new_h), self._put(new_w),
+                    self._put(pad_top), self._put(pad_left),
+                    self._put(border),
+                    target_h=self.spec.target_h, target_w=self.spec.target_w,
+                )
+                device_feats = features_device.device_features(
+                    canvas, heights, widths
+                )
             try:
                 device_probs.copy_to_host_async()
                 device_feats.copy_to_host_async()
@@ -412,3 +430,4 @@ class Classifier:
                 yield from drain(*in_flight.popleft())
         while in_flight:
             yield from drain(*in_flight.popleft())
+        self.timer.report()
