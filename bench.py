@@ -19,10 +19,17 @@ the reference's .pth is not distributed).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+# The persistent-compile-cache loader logs a multi-KB machine-feature E-line
+# per cache hit (harmless: cross-machine AOT entries fall back to a fresh
+# compile); round 2's driver-captured tail was mostly this spam. Silence
+# non-fatal XLA logging so the JSON metric lines stay in the tail.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 from datetime import datetime, timedelta
 from pathlib import Path
 
@@ -34,8 +41,6 @@ sys.path.insert(0, str(REPO))
 from sykepic_tpu.utils import jaxcache  # noqa: E402
 
 jaxcache.enable()
-
-import os
 
 N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 50_000))
 # 2048-slot batches amortize the tunnel's ~65 ms per-batch round trip
@@ -139,6 +144,49 @@ def build_workload(root: Path, n_rois: int) -> list[Path]:
     return sample_paths
 
 
+def measure_bytes_per_roi(sample_paths, clf) -> float:
+    """Raw host->device canvas bytes per real ROI on the exact packing the
+    timed passes use (same buckets, batch multiple, pre-shrink). Self-
+    interpreting context for the throughput number: the e2e path is
+    wire-bound, so value ~= link_MBps * 1e6 / bytes_per_roi."""
+    from sykepic_tpu.ingest import ifcb, pack
+
+    def stream():
+        for idx, p in enumerate(sample_paths):
+            rois = ifcb.read_sample(p)
+            for rid, img in rois.images():
+                yield idx, rid, img
+
+    total_bytes = 0
+    total_rois = 0
+    for batch in pack.pack_rois(
+        stream(), batch_size=clf.batch_size, buckets=clf.buckets,
+        batch_multiple=clf._batch_multiple,
+        pre_shrink_to=(clf.spec.target_h, clf.spec.target_w),
+    ):
+        total_bytes += batch.canvas.nbytes
+        total_rois += batch.n_valid
+    return total_bytes / max(total_rois, 1)
+
+
+def check_output_sanity(out_dir: Path, n_classes: int, per_sample: int):
+    """A fast wrong program must not ride to a record: parse one CSV back,
+    check the schema, row count, and that each row's probabilities sum to
+    ~1 (5-decimal rounding over n_classes columns bounds the drift)."""
+    csvs = sorted(out_dir.glob("**/*.csv"))
+    assert csvs, "no output CSVs written"
+    with open(csvs[0]) as f:
+        header = f.readline().rstrip("\n").split(",")
+        rows = [line.rstrip("\n").split(",") for line in f]
+    assert header[0] == "roi" and len(header) == 1 + n_classes, header[:3]
+    assert len(rows) == per_sample, f"{len(rows)} rows != {per_sample}"
+    probs = np.array([[float(v) for v in r[1:]] for r in rows[:32]])
+    sums = probs.sum(axis=1)
+    tol = n_classes * 1e-5 + 1e-4
+    assert np.all(np.abs(sums - 1.0) < tol), f"prob rows don't sum to 1: {sums[:4]}"
+    assert np.all(probs >= 0.0), "negative probabilities in output"
+
+
 def inference_benchmark(root: Path) -> None:
     model_dir = build_model_dir(root)
     samples = build_workload(root, N_ROIS)
@@ -177,6 +225,7 @@ def inference_benchmark(root: Path) -> None:
     # recorded value is the median pass.
     probability.precompile_for_samples(pass_samples, clf, budget_s=900)
 
+    bytes_per_roi = measure_bytes_per_roi(pass_samples, clf)
     link_before = measure_link_mbps()
     rates = []
     budget_start = time.perf_counter()
@@ -188,6 +237,7 @@ def inference_benchmark(root: Path) -> None:
         assert len(written) == len(pass_samples), "benchmark dropped samples"
         csvs = list(out_dir.glob("**/*.csv"))
         assert len(csvs) == len(pass_samples)
+        check_output_sanity(out_dir, len(clf.classes), per_sample=500)
         rates.append(n_rois / elapsed)
         shutil.rmtree(out_dir, ignore_errors=True)
         spent = time.perf_counter() - budget_start
@@ -219,8 +269,10 @@ def inference_benchmark(root: Path) -> None:
                 # the e2e number is wire-bound on the tunneled chip and the
                 # link swings 5-50 MB/s WITHIN a run: bracket the passes
                 # with a bandwidth probe so a low median reads as link
-                # weather, not a code regression
+                # weather, not a code regression. bytes_per_roi makes the
+                # number self-interpreting: value ~= link * 1e6 / bytes
                 "link_MBps": [link_before, measure_link_mbps()],
+                "bytes_per_roi": round(bytes_per_roi, 1),
             }
         )
     )
@@ -314,18 +366,39 @@ def train_benchmark(root: Path) -> None:
 
     t0 = time.perf_counter()
     loss_sum = None
+    last_batch = None
     for b in loader:
         ls, _, _ = trainer.train_batch(b, stage=2, lrs=lrs)
         loss_sum = ls  # metrics stay device scalars (no per-step syncs)
+        last_batch = b
     np.asarray(loss_sum)  # real D2H drain = honest wall clock
     epoch_s = time.perf_counter() - t0
+
+    # Utilization denominator: XLA's own cost model for one compiled
+    # gathered step (conv FLOPs dominate and are bucket-independent at the
+    # fixed 180x180 post-preprocess shape, so one representative batch
+    # scales to the epoch within a few %). v5e bf16 peak = 197 TFLOP/s.
+    V5E_BF16_PEAK = 197e12
+    utilization = achieved_tflops = None
+    try:
+        per_img_flops = _train_step_flops(trainer, last_batch, lrs)
+        per_img_flops /= max(len(last_batch.idx), 1)
+        achieved = per_img_flops * n_imgs / epoch_s
+        achieved_tflops = round(achieved / 1e12, 1)
+        utilization = round(achieved / V5E_BF16_PEAK, 3)
+    except Exception:  # cost model unavailable: the wall clock still prints
+        pass
     print(
         json.dumps(
             {
                 "metric": "train_epoch_wall_clock",
                 "value": round(epoch_s, 2),
                 "unit": "s",
-                "vs_baseline": None,
+                # fraction of v5e bf16 peak the steady-state epoch achieves
+                # (the reference publishes no training numbers, BASELINE.md)
+                "vs_baseline": utilization,
+                "baseline": "v5e bf16 peak 197 TFLOP/s",
+                "achieved_tflops": achieved_tflops,
                 "images": n_imgs,
                 "img_per_sec": round(n_imgs / epoch_s, 1),
                 "dataset_build_s": round(build_s, 2),
@@ -335,15 +408,44 @@ def train_benchmark(root: Path) -> None:
     )
 
 
+def _train_step_flops(trainer, batch, lrs) -> float:
+    """FLOPs of one compiled gathered train step from XLA's cost model.
+    The warm epoch already compiled this program, so ``.compile()`` is a
+    cache hit (persistent disk cache included)."""
+    import jax.numpy as jnp
+
+    step = trainer._steps[("train_gather", 2)]
+    idx, wts = trainer._put_indices(batch.idx, batch.weights)
+    lowered = step.lower(
+        trainer.params, trainer.batch_stats, trainer.opt_state,
+        batch.store, idx, wts, jnp.asarray(lrs, jnp.float32), trainer.key,
+    )
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost["flops"])
+
+
 def main() -> None:
+    # The driver records the LAST JSON line: the primary metric (inference
+    # ROIs/s, BASELINE.json) prints last; training prints first so its
+    # number still lands in the captured tail above it.
     root = Path(tempfile.mkdtemp(prefix="sykepic_bench_"))
     try:
-        inference_benchmark(root)
         try:
             train_benchmark(root)
-        except Exception as e:  # the primary metric line must survive
+        except Exception as e:
             print(json.dumps({"metric": "train_epoch_wall_clock",
                               "error": str(e)[:200]}))
+        try:
+            inference_benchmark(root)
+        except Exception as e:  # a parseable last line even on failure
+            print(json.dumps({
+                "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+                "value": None, "unit": "ROIs/s", "vs_baseline": None,
+                "error": str(e)[:200],
+            }))  # no re-raise: a traceback after this line would push the
+            # parseable JSON out of the captured tail
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
