@@ -396,7 +396,11 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
 
 
 def _looks_like_efficientnet(state_dict: dict) -> bool:
-    return any(".block." in k or k.startswith(("features.", "base.0.0.0"))
+    """MBConv fingerprints: a ``.block.`` module inside a NUMBERED
+    features stage (densenet's ``features.denseblock1`` must not match)."""
+    return any(".block." in k
+               or re.match(r"^(base\.0\.)?features\.\d+\.", k)
+               or k.startswith("base.0.0.0")
                for k in state_dict)
 
 
@@ -407,20 +411,56 @@ def _looks_like_mobilenet_v3(state_dict: dict) -> bool:
                for k in state_dict)
 
 
+def _looks_like_resnet(state_dict: dict) -> bool:
+    """ResNet fingerprints, raw torchvision (``layer1.0.conv1``) or
+    TorchVisionNet-wrapped (``base.4.0.conv1``)."""
+    return any(
+        re.match(r"^(base\.\d+|layer\d+)\.\d+\.conv\d", k) or
+        k in ("conv1.weight", "base.0.weight")
+        for k in state_dict
+    )
+
+
+SUPPORTED_FAMILIES = "resnet*, efficientnet_b*, mobilenet_v3_*"
+
+
+class UnsupportedArchitectureError(ValueError):
+    """A ``.pth`` state dict (or network name) from a torchvision family
+    this framework does not implement. The reference instantiates ANY
+    ``torchvision.models.<name>`` by string (``train/network.py:46-48``);
+    we cover the families used in production and fail loudly otherwise."""
+
+
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
     """Family dispatcher: pick the converter from ``network_name`` when
-    given (e.g. "resnet18", "efficientnet_b0"), else sniff the keys."""
-    if network_name and network_name.startswith("mobilenet_v3"):
-        return torch_mobilenet_v3_to_flax(state_dict)
-    if network_name and network_name.startswith("efficientnet"):
-        return torch_efficientnet_to_flax(state_dict)
-    if network_name and network_name.startswith("resnet"):
-        return torch_resnet_to_flax(state_dict)
+    given (e.g. "resnet18", "efficientnet_b0"), else sniff the keys.
+
+    Raises :class:`UnsupportedArchitectureError` for anything outside the
+    three implemented families instead of mis-converting it (e.g. a
+    ``densenet121`` checkpoint must not fall through to the resnet
+    converter and die with an opaque key error)."""
+    if network_name:
+        if network_name.startswith("mobilenet_v3"):
+            return torch_mobilenet_v3_to_flax(state_dict)
+        if network_name.startswith("efficientnet"):
+            return torch_efficientnet_to_flax(state_dict)
+        if network_name.startswith("resnet"):
+            return torch_resnet_to_flax(state_dict)
+        raise UnsupportedArchitectureError(
+            f"Network '{network_name}' is not supported; "
+            f"supported families: {SUPPORTED_FAMILIES}"
+        )
     if _looks_like_mobilenet_v3(state_dict):
         return torch_mobilenet_v3_to_flax(state_dict)
     if _looks_like_efficientnet(state_dict):
         return torch_efficientnet_to_flax(state_dict)
-    return torch_resnet_to_flax(state_dict)
+    if _looks_like_resnet(state_dict):
+        return torch_resnet_to_flax(state_dict)
+    raise UnsupportedArchitectureError(
+        "State dict matches none of the supported architecture families "
+        f"({SUPPORTED_FAMILIES}); example keys: "
+        f"{sorted(state_dict)[:3]}"
+    )
 
 
 def load_pth(path, network_name: str | None = None) -> dict:

@@ -247,3 +247,26 @@ def test_flax_to_torch_roundtrip(tmp_path):
     got_s = flatten_dict(back["batch_stats"])
     assert set(want_s) == set(got_s)
     del torch
+
+
+def test_unsupported_architecture_errors():
+    """A non-implemented torchvision family must fail with a named error
+    listing the supported families, not fall through to the resnet
+    converter (the reference loads ANY torchvision model by string,
+    ``train/network.py:46-48`` — we approximate with three families)."""
+    import pytest
+
+    from sykepic_tpu.models import convert_torch
+
+    # densenet-style keys: neither resnet, efficientnet, nor mobilenet
+    sd = {
+        "features.denseblock1.denselayer1.conv1.weight": np.zeros((4, 4, 1, 1)),
+        "features.norm0.weight": np.zeros(4),
+        "classifier.weight": np.zeros((10, 4)),
+    }
+    with pytest.raises(convert_torch.UnsupportedArchitectureError,
+                       match="resnet\\*, efficientnet_b\\*, mobilenet_v3_\\*"):
+        convert_torch.torch_to_flax(None, sd)
+    with pytest.raises(convert_torch.UnsupportedArchitectureError,
+                       match="densenet121"):
+        convert_torch.torch_to_flax("densenet121", sd)
