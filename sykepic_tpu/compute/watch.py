@@ -65,23 +65,35 @@ def run(
     sleep=time.sleep,
 ):
     """Poll loop. ``max_cycles``/``sleep`` are injectable for tests.
-    A sample that fails ``max_retries`` consecutive cycles is abandoned
-    (logged) so a corrupt .roi is not re-decoded forever.
+
+    Failure policy (a corrupt .roi must not be re-decoded for the daemon's
+    lifetime, but an infrastructure outage must not abandon healthy
+    pending samples either):
+
+    - a failed attempt schedules the sample's next attempt with
+      exponential backoff (``2**failures * interval``), so the
+      ``max_retries`` attempts span a window much longer than a transient
+      TPU/link blip instead of three back-to-back poll cycles;
+    - a cycle in which EVERY attempted sample (>= 2 of them) failed bears
+      the signature of a systemic outage, not per-sample corruption, and
+      does not count toward any sample's retry budget;
+    - a sample is abandoned (marked done, logged) after ``max_retries``
+      counted failures.
 
     Returns the set of sample names processed over the run.
     """
     feat_out_dir = feat_out_dir or prob_out_dir
     done: set[str] = set()
-    # consecutive failed attempts per sample: transient errors (IO, link)
-    # deserve retries, but a permanently corrupt .roi would otherwise be
-    # re-read and re-decoded every cycle for the daemon's lifetime
-    failures: dict[str, int] = {}
+    failures: dict[str, int] = {}  # counted failed attempts per sample
+    next_attempt: dict[str, float] = {}  # backoff deadline per sample
     cycles = 0
     while True:
         try:
+            now = time.time()
             ready = [
                 p for p in find_ready_samples(raw_dir, settle_seconds)
                 if p.name not in done
+                and next_attempt.get(p.name, 0.0) <= now
             ]
             # same oversize guard as the prob/feat/pipeline CLIs (reference
             # feature_python.py:22-28): never decode a >1 GB .roi in-process
@@ -119,17 +131,33 @@ def run(
                         p, feat_out_dir, feature_native.FILE_SUFFIX
                     ).is_file()
                 }
+                failed = [p for p in ready if p.name not in done]
                 for p in ready:
                     if p.name in done:
                         failures.pop(p.name, None)
-                        continue
-                    failures[p.name] = failures.get(p.name, 0) + 1
-                    if failures[p.name] >= max_retries:
-                        log.error(
-                            f"{p.name} failed {max_retries} attempts "
-                            "(corrupt sample?), giving up on it"
-                        )
-                        done.add(p.name)
+                        next_attempt.pop(p.name, None)
+                if failed and len(failed) == len(ready) and len(ready) > 1:
+                    # every attempted sample failed: systemic signature
+                    # (outage, disk full) — retry next cycle, burn no
+                    # per-sample retries
+                    log.warning(
+                        f"all {len(ready)} attempted samples failed this "
+                        "cycle — treating as a systemic failure, not "
+                        "counting toward per-sample retries"
+                    )
+                else:
+                    for p in failed:
+                        failures[p.name] = failures.get(p.name, 0) + 1
+                        if failures[p.name] >= max_retries:
+                            log.error(
+                                f"{p.name} failed {max_retries} attempts "
+                                "(corrupt sample?), giving up on it"
+                            )
+                            done.add(p.name)
+                        else:
+                            next_attempt[p.name] = time.time() + (
+                                2 ** failures[p.name]
+                            ) * interval
         except Exception:
             log.exception("watch cycle failed; continuing")
         cycles += 1

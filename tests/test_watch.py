@@ -153,3 +153,43 @@ def test_watch_gives_up_on_permanent_failures(tmp_path, model_dir, monkeypatch):
     watch.run(raw, clf, out, interval=0.0, settle_seconds=1,
               max_cycles=6, max_retries=6, sleep=lambda s: None)
     assert calls["n"] > attempts  # more retries allowed -> more attempts
+
+
+def test_watch_systemic_failures_do_not_burn_retries(tmp_path, model_dir,
+                                                     monkeypatch):
+    """A cycle in which EVERY attempted sample fails looks like an
+    infrastructure outage (TPU/link down, disk full), not per-sample
+    corruption: it must not count toward retry budgets, and the samples
+    must process once the fault clears."""
+    from sykepic_tpu.compute import pipeline
+
+    raw = tmp_path / "raw"
+    copy_sample(raw, old=True)
+    # a second sample (same fixture content under a different timestamp)
+    past = time.time() - 3600
+    for f in SRC.iterdir():
+        dst = raw / f.name.replace("T065600", "T070000")
+        shutil.copy(f, dst)
+        os.utime(dst, (past, past))
+    clf = probability.prepare_model(model_dir, batch_size=4)
+
+    broken = {"on": True}
+    real_compute = pipeline.compute_features
+
+    def outage(img):
+        if broken["on"]:
+            raise OSError("no space left on device")
+        return real_compute(img)
+
+    monkeypatch.setattr(pipeline, "compute_features", outage)
+    out = tmp_path / "out"
+    # far more cycles than max_retries: with the old counting, both
+    # samples would be abandoned by cycle 2
+    done = watch.run(raw, clf, out, interval=0.0, settle_seconds=1,
+                     max_cycles=5, max_retries=2, sleep=lambda s: None)
+    assert done == set()  # still pending, NOT abandoned
+    broken["on"] = False
+    done = watch.run(raw, clf, out, interval=0.0, settle_seconds=1,
+                     max_cycles=2, max_retries=2, sleep=lambda s: None)
+    assert done == {SAMPLE, SAMPLE.replace("T065600", "T070000")}
+    assert len(list(out.glob("**/*.feat.csv"))) == 2
