@@ -239,10 +239,15 @@ def pack_rois(
             while pow2 < n:
                 pow2 *= 2
             pow2 = min(pow2, full)
-            # split piece must stay a batch_multiple multiple (a data mesh
-            # shards every batch by device count); pow2 itself always is,
-            # but its half need not be when full is not a power of two
-            piece = (pow2 // 2) - (pow2 // 2) % min_piece
+            # split pieces stay ON THE LADDER (min_piece * 2**k): the
+            # largest ladder value below pow2, never pow2//2 rounded to a
+            # multiple — that produced off-ladder batch sizes (e.g. 126)
+            # when full is not itself a ladder value, expanding the
+            # compiled (canvas, batch) shape set this split exists to keep
+            # small
+            piece = min_piece
+            while piece * 2 < pow2:
+                piece *= 2
             if pow2 - n > 64 and pow2 > 128 and 0 < piece < n:
                 yield _emit(group[:piece], bh, bw, piece, pad_to_batch,
                             compute_modes)

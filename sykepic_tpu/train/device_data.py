@@ -83,15 +83,18 @@ def make_store(canvas, heights, widths, labels, spec) -> dict:
     }
 
 
-def estimate_nbytes(paths, spec, buckets=None) -> int:
+def estimate_nbytes(paths, spec, buckets=pack.DEFAULT_BUCKETS) -> int:
     """Predicted device bytes for a :class:`DeviceDataset` over ``paths``
     WITHOUT decoding any pixels: PNG IHDR dims -> pre-shrink prediction ->
     bucket -> per-bucket power-of-two row rounding, exactly mirroring the
     constructor. Lets callers budget-check a large set cheaply before
     committing to the decode+upload. Non-PNG files are assumed
-    target-sized."""
-    if buckets is None:
-        buckets = pack.DEFAULT_BUCKETS
+    target-sized.
+
+    ``buckets`` follows the pack-wide convention (``None`` = dynamic snap
+    grid) and defaults to :data:`pack.DEFAULT_BUCKETS` — the same default
+    as the :class:`DeviceDataset` constructor, so the estimate budgets
+    against the bucketing the dataset will actually use."""
     counts: dict[tuple[int, int], int] = {}
     seen: set = set()
     for p in paths:
@@ -149,16 +152,30 @@ class DeviceDataset:
         self.batch_multiple = batch_multiple
         self.shuffle = shuffle  # default for the __iter__ protocol
         self.rng = np.random.default_rng(seed)
-        # one store row per unique file; occurrences map onto rows
+        # one store row per unique file; occurrences map onto rows. A file
+        # listed under TWO different labels cannot share a row (the store
+        # keeps one label per row; last-write-wins would silently relabel
+        # every occurrence) — fail loudly, the host BatchLoader honors
+        # per-occurrence labels and is the escape hatch.
         unique: dict = {}
+        row_label_of: dict = {}
         self.occ_rows = np.empty(len(self.paths), np.int64)
         occ_labels = np.zeros(len(self.paths), np.int32)
         for i, p in enumerate(self.paths):
             key = str(p)
+            label = 0 if labels is None else int(labels[i])
             if key not in unique:
                 unique[key] = len(unique)
+                row_label_of[key] = label
+            elif row_label_of[key] != label:
+                raise ValueError(
+                    f"{p} appears with conflicting labels "
+                    f"({row_label_of[key]} and {label}); a device-resident "
+                    "store keeps one label per unique file — use the host "
+                    "loader (device_cache = no) for per-occurrence labels"
+                )
             self.occ_rows[i] = unique[key]
-            occ_labels[i] = 0 if labels is None else labels[i]
+            occ_labels[i] = label
 
         with ThreadPoolExecutor(max_workers=num_threads) as pool:
             imgs = list(pool.map(

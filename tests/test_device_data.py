@@ -159,3 +159,19 @@ def test_gathered_batch_carries_host_labels(dataset_dir):
     for gb in ds:
         store_labels = np.asarray(gb.store["labels"])
         np.testing.assert_array_equal(gb.labels, store_labels[gb.idx])
+
+
+def test_conflicting_labels_for_duplicate_path_raise(dataset_dir):
+    """A file listed under two classes cannot share one store row: the
+    dataset must refuse instead of silently relabeling every occurrence
+    (the host BatchLoader honors per-occurrence labels)."""
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    dup_paths = list(paths) + [paths[0]]
+    dup_labels = list(labels) + [(labels[0] + 1) % 3]  # conflicting class
+    with pytest.raises(ValueError, match="conflicting labels"):
+        DeviceDataset(dup_paths, dup_labels, spec, batch_size=8)
+    # same label twice is fine (oversampling shares the row)
+    ok = DeviceDataset(list(paths) + [paths[0]], list(labels) + [labels[0]],
+                       spec, batch_size=8)
+    assert ok.num_samples == len(paths) + 1

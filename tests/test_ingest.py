@@ -273,6 +273,26 @@ def test_pack_respects_batch_multiple_in_tail_pieces():
     assert sum(b.n_valid for b in batches) == 10
 
 
+def test_pack_tail_pieces_stay_on_ladder_with_non_pow2_multiple():
+    """A 3-device data mesh (batch_multiple=3) must not mint off-ladder
+    tail batch sizes (the old pow2//2-minus-remainder split produced e.g.
+    126): every emitted size is min_piece * 2**k, keeping the compiled
+    (canvas, batch) shape set small."""
+    img = np.full((30, 50), 90, np.uint8)
+    for n in (700, 1200, 95):
+        tagged = [(0, i + 1, img) for i in range(n)]
+        batches = list(pack.pack_rois(tagged, batch_size=2048,
+                                      batch_multiple=3))
+        for b in batches:
+            size = b.canvas.shape[0]
+            assert size % 3 == 0
+            # on the ladder: size / min_piece is a power of two
+            k = size // 3
+            assert k & (k - 1) == 0, f"off-ladder batch size {size}"
+        ids = [rid for b in batches for rid in b.roi_ids[: b.n_valid]]
+        assert ids == list(range(1, n + 1))
+
+
 def test_pack_modes_match_cv2_histogram():
     import cv2
 
