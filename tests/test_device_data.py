@@ -175,3 +175,65 @@ def test_conflicting_labels_for_duplicate_path_raise(dataset_dir):
     ok = DeviceDataset(list(paths) + [paths[0]], list(labels) + [labels[0]],
                        spec, batch_size=8)
     assert ok.num_samples == len(paths) + 1
+
+
+def test_bucket_pure_batches_learn_size_correlated_classes(tmp_path):
+    """ROI size correlates with class in plankton data, so device-cache
+    batches (canvas-shape-pure by construction) are near-single-class.
+    The worried failure mode is skewed BatchNorm statistics breaking
+    training. Evidence to the contrary: on a dataset where size and class
+    are perfectly correlated, BOTH loaders must learn it (bucket order is
+    shuffled every epoch, so BN running stats average across buckets)."""
+    import cv2
+
+    from sykepic_tpu.train.input import BatchLoader
+
+    rng = np.random.default_rng(11)
+    paths, labels = [], []
+    for i in range(200):
+        cls = i % 2
+        if cls == 0:  # small and dark
+            h, w = int(rng.integers(10, 20)), int(rng.integers(12, 24))
+            mean = 60
+        else:  # large and bright
+            h, w = int(rng.integers(40, 60)), int(rng.integers(40, 60))
+            mean = 180
+        img = np.clip(rng.normal(mean, 25, (h, w)), 0, 255).astype(np.uint8)
+        p = tmp_path / f"img_{i:03}.png"
+        cv2.imwrite(str(p), img)
+        paths.append(p)
+        labels.append(cls)
+    train_x, train_y = paths[:160], labels[:160]
+    val_x, val_y = paths[160:], labels[160:]
+    spec = PreprocessSpec(32, 32, 3, border="black")
+
+    def accuracy_after_training(make_loader):
+        model = build_model("resnet18", num_classes=2, head=(16,))
+        variables = init_variables(model, (32, 32, 3), seed=0)
+        trainer = Trainer(model, variables, optimizer="Adam",
+                          preprocess_spec=spec, seed=0)
+        loader = make_loader(trainer)
+        best = 0.0
+        for _ in range(5):  # best-epoch accuracy, like the real loop's
+            for b in loader:  # best-checkpoint selection
+                trainer.train_batch(b, stage=0, lrs=(0.01, 0.0, 0.0))
+            val = BatchLoader(val_x, val_y, batch_size=8)
+            correct = n = 0.0
+            for b in val:
+                _, c, k, _ = trainer.eval_batch(b)
+                correct += float(c)
+                n += float(k)
+            best = max(best, correct / n)
+        return best
+
+    acc_device = accuracy_after_training(
+        lambda t: DeviceDataset(train_x, train_y, spec, batch_size=8,
+                                seed=0, shuffle=True,
+                                sharding=t._replicated)
+    )
+    acc_host = accuracy_after_training(
+        lambda t: BatchLoader(train_x, train_y, batch_size=8, shuffle=True,
+                              seed=0)
+    )
+    assert acc_device >= 0.9, f"device-cache path failed to learn: {acc_device}"
+    assert acc_host >= 0.9, f"host path failed to learn: {acc_host}"
