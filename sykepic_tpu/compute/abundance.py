@@ -4,7 +4,7 @@
 The Total column is the number of ROIs in the sample (classified or not).
 The reference accumulates totals in a module-level global list appended per
 sample (``abundance.py:86,105,121-124``), which silently misaligns when a
-sample yields an empty frame; here the total is carried per sample.
+sample yields an empty frame; here the total rides with its sample row.
 """
 
 from __future__ import annotations
@@ -12,43 +12,35 @@ from __future__ import annotations
 from pathlib import Path
 
 import pandas as pd
-from tqdm import tqdm
 
 from ..ingest.ifcb import filter_out_quality_flagged_samples
-from ..utils import logger
 from ..utils.timefmt import sample_to_datetime
 from .classification import join_sample, match_prob_feat
+from .output import csv_tree, matched_sample_results, resolve_output, write_frame
 from .prediction import threshold_dictionary
-
-log = logger.get_logger("abundance")
 
 
 def main(args):
-    """CLI adapter (reference ``abundance.py:12-38``)."""
-    all_probs = sorted(Path(args.probabilities).glob("**/*.csv"))
-    if args.exclusion_list:
-        probs = filter_out_quality_flagged_samples(all_probs, Path(args.exclusion_list))
-    else:
-        probs = all_probs
-
-    out_file = Path(args.out)
-    if out_file.suffix != ".csv":
-        raise ValueError("Make sure output file ends with .csv")
-    if out_file.is_file():
-        if not (args.append or args.force):
-            raise FileExistsError(f"{args.out} exists, --append or --force not used")
+    """CLI adapter (argument surface = reference ``abundance.py:12-38``)."""
+    out_file = resolve_output(args.out, args.append, args.force)
     if not args.feat:
-        raise ValueError("abundance requires --feat")
-    feats = sorted(Path(args.feat).glob("**/*.csv"))
+        raise ValueError(
+            "abundance needs --feat: counts only cover ROIs present in "
+            "both the probability and feature trees"
+        )
+    probs = csv_tree(args.probabilities)
+    if args.exclusion_list:
+        probs = filter_out_quality_flagged_samples(
+            probs, Path(args.exclusion_list)
+        )
     df = class_df(
         probs,
-        feats,
+        csv_tree(args.feat),
         thresholds_file=args.thresholds,
         summary_feature=args.value_column,
         progress_bar=True,
     )
-    df = swell_df(df)
-    df_to_csv(df, out_file, args.append)
+    write_frame(swell_df(df), out_file, args.append, as_int=True)
 
 
 def class_df(
@@ -60,33 +52,24 @@ def class_df(
 ):
     """Per-sample counts of classified ROIs per class (reference ``:40-89``)."""
     thresholds = threshold_dictionary(thresholds_file)
-    df_rows = []
+    rows = []
     totals = []
-    iterator = match_prob_feat(probs, feats)
-    if progress_bar:
-        iterator = tqdm(iterator, desc=f"Processing {len(feats)} samples")
-
-    for prob_csv, feat_csv in iterator:
-        if prob_csv.with_suffix("").stem != feat_csv.with_suffix("").stem:
-            raise ValueError(f"CSV mismatch: {prob_csv.name} & {feat_csv.name}")
-        sample = prob_csv.with_suffix("").stem
-        try:
-            sample_df, total = process_sample(prob_csv, feat_csv, thresholds)
-        except KeyError:
-            log.exception(prob_csv.with_suffix("").stem)
-            continue
-        sample_column = sample_df[summary_feature]
-        sample_column.name = sample
-        df_rows.append(sample_column)
+    results = matched_sample_results(
+        match_prob_feat(probs, feats),
+        lambda p, f, sample: process_sample(p, f, thresholds),
+        desc=f"Processing {len(feats)} samples" if progress_bar else None,
+    )
+    for sample, (counts, total) in results:
+        column = counts[summary_feature]
+        column.name = sample
+        rows.append(column)
         totals.append(total)
 
     classes = sorted(thresholds.keys())
-    classes.append("Total")
-    df = pd.DataFrame(df_rows, columns=classes)
+    df = pd.DataFrame(rows, columns=classes + ["Total"])
     df["Total"] = totals
     df.index.name = "sample"
-    df.fillna(0, inplace=True)
-    return df
+    return df.fillna(0)
 
 
 def swell_df(df):
@@ -96,13 +79,6 @@ def swell_df(df):
     df.index.name = "Time"
     df.columns = df.columns.str.replace("_", " ")
     return df
-
-
-def df_to_csv(df, out_file, append=False):
-    df = df.astype(int)
-    append = append and Path(out_file).is_file()
-    mode = "a" if append else "w"
-    df.to_csv(out_file, mode=mode, header=not append)
 
 
 def process_sample(prob_csv, feat_csv, thresholds):

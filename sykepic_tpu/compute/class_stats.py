@@ -8,70 +8,43 @@ axis lengths per predicted class; the column MultiIndex is flattened with
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import pandas as pd
-from tqdm import tqdm
 
-from ..utils import logger
 from .classification import join_sample, match_prob_feat
+from .output import csv_tree, matched_sample_results, resolve_output, write_frame
 from .prediction import threshold_dictionary
-
-log = logger.get_logger("class_stats")
 
 STAT_FEATURES = ["biovolume_um3", "area", "major_axis_length", "minor_axis_length"]
 STATS = ["mean", "median", "min", "max"]
 
 
 def main(args):
-    """CLI adapter (reference ``class_stats.py:10-30``)."""
-    probs = sorted(Path(args.probabilities).glob("**/*.csv"))
-    classes = args.classes
-    out_file = Path(args.out)
-    if out_file.suffix != ".csv":
-        raise ValueError("Make sure output file ends with .csv")
-    if out_file.is_file():
-        if not (args.append or args.force):
-            raise FileExistsError(f"{args.out} exists, --append or --force not used")
+    """CLI adapter (argument surface = reference ``class_stats.py:10-30``)."""
+    out_file = resolve_output(args.out, args.append, args.force)
     if not args.feat:
-        raise ValueError("class_stats requires --feat")
-    feats = sorted(Path(args.feat).glob("**/*.csv"))
+        raise ValueError(
+            "class_stats needs --feat: the statistics summarize feature "
+            "columns (biovolume/area/axes)"
+        )
     df = class_df(
-        probs,
-        feats,
-        classes,
+        csv_tree(args.probabilities),
+        csv_tree(args.feat),
+        args.classes,
         thresholds_file=args.thresholds,
         progress_bar=True,
     )
-    df_to_csv(df, out_file, args.append)
+    write_frame(df, out_file, args.append)
 
 
 def class_df(probs, feats, classes, thresholds_file, progress_bar=False):
     """Concatenated per-sample stats frames (reference ``:32-72``)."""
     thresholds = threshold_dictionary(thresholds_file)
-    df_rows = []
-    iterator = match_prob_feat(probs, feats)
-    if progress_bar:
-        iterator = tqdm(iterator, desc=f"Processing {len(feats)} samples")
-
-    for prob_csv, feat_csv in iterator:
-        if prob_csv.with_suffix("").stem != feat_csv.with_suffix("").stem:
-            raise ValueError(f"CSV mismatch: {prob_csv.name} & {feat_csv.name}")
-        sample = prob_csv.with_suffix("").stem
-        try:
-            sample_df = process_sample(prob_csv, feat_csv, thresholds, sample, classes)
-        except KeyError:
-            log.exception(prob_csv.with_suffix("").stem)
-            continue
-        df_rows.append(sample_df)
-
-    return pd.concat(df_rows)
-
-
-def df_to_csv(df, out_file, append=False):
-    append = append and Path(out_file).is_file()
-    mode = "a" if append else "w"
-    df.to_csv(out_file, mode=mode, header=not append)
+    frames = matched_sample_results(
+        match_prob_feat(probs, feats),
+        lambda p, f, sample: process_sample(p, f, thresholds, sample, classes),
+        desc=f"Processing {len(feats)} samples" if progress_bar else None,
+    )
+    return pd.concat([frame for _, frame in frames])
 
 
 def process_sample(prob_csv, feat_csv, thresholds, sample, classes):

@@ -62,14 +62,10 @@ log = logger.get_logger("class")
 
 def main(args):
     """CLI adapter (reference ``classification.py:21-48``)."""
-    out_path = Path(args.out)
-    if out_path.suffix != ".csv":
-        raise ValueError(f"Output must be a .csv file, got {out_path.name}")
-    if out_path.is_file() and not (args.append or args.force):
-        raise FileExistsError(
-            f"{out_path} already exists; pass --append or --force"
-        )
-    prob_csvs = sorted(Path(args.probabilities).glob("**/*.csv"))
+    from .output import csv_tree, resolve_output
+
+    out_path = resolve_output(args.out, args.append, args.force)
+    prob_csvs = csv_tree(args.probabilities)
     if args.exclusion_list:
         prob_csvs = filter_out_quality_flagged_samples(
             prob_csvs, Path(args.exclusion_list)
@@ -77,7 +73,7 @@ def main(args):
     if args.feat:
         table = class_df(
             prob_csvs,
-            sorted(Path(args.feat).glob("**/*.csv")),
+            csv_tree(args.feat),
             thresholds_file=args.thresholds,
             divisions_file=args.divisions,
             summary_feature=args.value_column,

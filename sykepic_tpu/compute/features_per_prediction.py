@@ -11,16 +11,11 @@ clean single suffix.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import pandas as pd
-from tqdm import tqdm
 
-from ..utils import logger
 from .classification import join_sample, match_prob_feat
+from .output import csv_tree, matched_sample_results, resolve_output, write_frame
 from .prediction import threshold_dictionary
-
-log = logger.get_logger("features_per_prediction")
 
 FILAMENT_LABELS = [
     "Dolichospermum-Anabaenopsis",
@@ -42,60 +37,48 @@ FPP_FEATURES = [
 
 
 def main(args):
-    """CLI adapter (reference ``features_per_prediction.py:12-37``)."""
-    probs = sorted(Path(args.probabilities).glob("**/*.csv"))
-    out_file = Path(args.out)
-    if out_file.suffix != ".csv":
-        raise ValueError("Make sure output file ends with .csv")
-    if out_file.is_file():
-        if not (args.append or args.force):
-            raise FileExistsError(f"{args.out} exists, --append or --force not used")
+    """CLI adapter (argument surface = reference
+    ``features_per_prediction.py:12-37``)."""
+    out_file = resolve_output(args.out, args.append, args.force)
     if not args.feat:
-        raise ValueError("features_per_prediction requires --feat")
-    feats = sorted(Path(args.feat).glob("**/*.csv"))
-    df_list = class_df(probs, feats, thresholds_file=args.thresholds, progress_bar=True)
-
-    for identifier, df in enumerate(df_list, start=1):
-        chunk_path = out_file.with_name(f"{out_file.stem}{identifier}{out_file.suffix}")
-        df_to_csv(df, chunk_path, args.append)
+        raise ValueError(
+            "features_per_prediction needs --feat: it emits per-ROI "
+            "feature rows"
+        )
+    chunks = class_df(
+        csv_tree(args.probabilities),
+        csv_tree(args.feat),
+        thresholds_file=args.thresholds,
+        progress_bar=True,
+    )
+    for number, chunk in enumerate(chunks, start=1):
+        chunk_path = out_file.with_name(
+            f"{out_file.stem}{number}{out_file.suffix}"
+        )
+        write_frame(chunk, chunk_path, args.append)
 
 
 def class_df(probs, feats, thresholds_file, progress_bar=False):
     """List of month-chunk frames in sample order (reference ``:39-105``)."""
     thresholds = threshold_dictionary(thresholds_file)
-    iterator = match_prob_feat(probs, feats)
-    if progress_bar:
-        iterator = tqdm(iterator, desc=f"Processing {len(feats)} samples")
-
+    results = matched_sample_results(
+        match_prob_feat(probs, feats),
+        lambda p, f, sample: process_sample(p, f, thresholds, sample),
+        desc=f"Processing {len(feats)} samples" if progress_bar else None,
+    )
     chunks: list[pd.DataFrame] = []
-    chunk_rows: list[pd.DataFrame] = []
-    current_month = None
-    for prob_csv, feat_csv in iterator:
-        if prob_csv.with_suffix("").stem != feat_csv.with_suffix("").stem:
-            raise ValueError(f"CSV mismatch: {prob_csv.name} & {feat_csv.name}")
-        sample = prob_csv.with_suffix("").stem
-        sample_month = sample[5:7]
-        try:
-            sample_df = process_sample(prob_csv, feat_csv, thresholds, sample)
-        except KeyError:
-            log.exception(sample)
-            continue
-        if current_month is None:
-            current_month = sample_month
-        if sample_month != current_month:
-            chunks.append(pd.concat(chunk_rows))
-            chunk_rows = []
-            current_month = sample_month
-        chunk_rows.append(sample_df)
-    if chunk_rows:
-        chunks.append(pd.concat(chunk_rows))
+    pending: list[pd.DataFrame] = []
+    pending_month = None
+    for sample, frame in results:
+        month = sample[5:7]
+        if pending and month != pending_month:
+            chunks.append(pd.concat(pending))
+            pending = []
+        pending_month = month
+        pending.append(frame)
+    if pending:
+        chunks.append(pd.concat(pending))
     return chunks
-
-
-def df_to_csv(df, out_file, append=False):
-    append = append and Path(out_file).is_file()
-    mode = "a" if append else "w"
-    df.to_csv(out_file, mode=mode, header=not append)
 
 
 def process_sample(prob_csv, feat_csv, thresholds, sample):

@@ -146,17 +146,15 @@ def main(
 
 def call(args):
     """CLI adapter (argument surface = reference ``size_group.py:10-37``)."""
-    all_feats = sorted(Path(args.features).glob("**/*.csv"))
+    from .output import csv_tree, resolve_output
+
+    all_feats = csv_tree(args.features)
     feats = (
         filter_out_quality_flagged_samples(all_feats, Path(args.exclusion_list))
         if args.exclusion_list
         else all_feats
     )
-    out_file = Path(args.out)
-    if out_file.suffix != ".csv":
-        raise ValueError("Make sure output file ends with .csv")
-    if out_file.is_file() and not (args.append or args.force):
-        raise FileExistsError(f"{out_file} exists, --append or --force not used")
+    resolve_output(args.out, args.append, args.force)
     return main(
         feats=feats,
         groups_file=args.groups,
