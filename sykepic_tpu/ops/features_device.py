@@ -16,17 +16,29 @@ same calibrated ifcb-analysis-lineage pipeline:
   MATLAB border semantics (out-of-image counts as foreground),
 - union with the **dark mask** (``img <= 0.7 * otsu``; per-image Otsu via
   one-hot histograms) and a re-fill,
-- **largest blob**: flood from each image's distance-map argmax (the
-  deepest interior pixel) — equals the host's largest-area blob whenever
-  the largest blob is also the thickest, which holds for plankton ROIs,
+- **largest blob**: candidate floods from the deepest unclaimed pixels
+  (4 rounds), keeping the largest-area flood — the host's largest-area
+  convention, robust to thin-filament-next-to-compact-cell ROIs,
 - area / biovolume ``sum(4D - 3)`` / MATLAB-style ellipse axes from masked
   moment sums; the distance transform is a chamfer 3-4 approximation of
   the exact EDT (error <4% on plankton-scale blobs).
 
 Deviations from the host path (documented, tested in
-tests/test_features_device.py): the FFT window is the padded slot, not the
-exact ROI (padding is filled with the per-ROI mean so the spectrum stays
-close); chamfer vs exact EDT; thickest- vs largest-blob selection.
+tests/test_features_device.py, measured on a randomized 40-ROI
+fixture-derived set):
+
+- With the FFT window equal to the exact ROI, the pipeline is
+  algorithm-identical: area/axes bit-equal on >=90% of ROIs, biovolume
+  within the <=3% chamfer-vs-exact-EDT bound. The residual class is a
+  float32-vs-float64 hysteresis flip on marginal edges (~1 ROI in 40).
+- On packed slots the FFT window carries padding, REPLICATE-FILLED by
+  propagating border values outward (:func:`_replicate_fill` — a
+  constant fill is catastrophic: phase congruency is amplitude-
+  normalized, so even a weak boundary step rings the ROI with phantom
+  edges and hole-filling then floods the entire window). The remaining
+  spectral difference perturbs marginal decisions: <=10% of ROIs shift
+  >20% (threshold flips); the rest track the host at ~0.2% median /
+  <=6% p90 (area, axes) and ~1.4% median / <=8% p90 (biovolume).
 """
 
 from __future__ import annotations
@@ -348,14 +360,79 @@ def moments_features(mask):
     )
 
 
-def _largest_blob(mask, d, iterations: int):
-    """Select the blob containing each image's deepest (max-distance) pixel
-    — the host's largest blob whenever largest == thickest."""
+def _largest_blob(mask, d, iterations: int, candidates: int = 4):
+    """Largest-area blob via candidate floods: flood from the deepest
+    (max-distance) unclaimed pixel, remove the claimed blob, repeat
+    ``candidates`` times, keep the flood with the largest area.
+
+    A single deepest-pixel flood picks the THICKEST blob, which diverges
+    from the host's largest-AREA blob on e.g. a long thin filament next
+    to a compact cell (measured on a randomized fixture-derived set: one
+    ROI in ~30 picked a 47 px blob over the host's 67 px choice). Four
+    candidates cover every multi-blob ROI observed; a blob that is
+    neither among the 4 thickest nor the largest would have to hide
+    among 5+ comparably-deep blobs, which plankton ROIs do not produce.
+    """
     b, h, w = mask.shape
-    flat = d.reshape(b, -1)
-    peak = jnp.argmax(flat, axis=1)
-    seed = jax.nn.one_hot(peak, h * w, dtype=jnp.float32).reshape(b, h, w) > 0.5
-    return _flood(seed & mask, mask, iterations)
+
+    def pick(carry, _):
+        remaining, best, best_area = carry
+        flat = jnp.where(remaining, d, -1.0).reshape(b, -1)
+        peak = jnp.argmax(flat, axis=1)
+        seed = jax.nn.one_hot(peak, h * w, dtype=jnp.float32).reshape(b, h, w) > 0.5
+        blob = _flood(seed & remaining, remaining, iterations)
+        area = blob.sum(axis=(1, 2))
+        take = area > best_area
+        best = jnp.where(take[:, None, None], blob, best)
+        best_area = jnp.where(take, area, best_area)
+        return (remaining & ~blob, best, best_area), None
+
+    init = (mask, jnp.zeros_like(mask), jnp.zeros((b,), jnp.int32))
+    (_, best, _), _ = jax.lax.scan(pick, init, None, length=candidates)
+    return best
+
+
+def _sum3(x):
+    """3x3 box sum of a (B, H, W) float array (zero padding)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3), (1, 1, 1),
+        [(0, 0), (1, 1), (1, 1)],
+    )
+
+
+def _replicate_fill(x, valid, iterations: int):
+    """Fill invalid (slot padding) pixels by propagating the nearest valid
+    values outward (mean of already-filled 3x3 neighbors), like an
+    edge-replicate pad for a per-image dynamic window.
+
+    Why not fill with the per-ROI mean: phase congruency is amplitude-
+    normalized, so even a WEAK step from the ROI's border pixels to a
+    constant fill is a coherent edge — it rings the whole valid region
+    with phantom edges, and when that ring closes, hole-filling floods the
+    entire ROI (measured: a 65x110 ROI in an 81x126 slot reported the full
+    7150-px window as its blob, with negative biovolume). Replicated
+    values continue the border smoothly, so no boundary step exists and
+    the spectrum stays consistent with the host's exact-window FFT.
+    """
+    filled = valid.astype(jnp.float32)
+    vals = x * filled
+
+    def cond(carry):
+        i, vals, filled, done = carry
+        return jnp.logical_and(i < iterations, jnp.logical_not(done))
+
+    def body(carry):
+        i, vals, filled, _ = carry
+        cnt = _sum3(filled)
+        avg = jnp.where(cnt > 0, _sum3(vals) / jnp.maximum(cnt, 1.0), 0.0)
+        new_filled = jnp.minimum(_dilate3(filled), 1.0)
+        new_vals = jnp.where(filled > 0.5, vals, avg * new_filled)
+        return i + 1, new_vals, new_filled, jnp.all(new_filled > 0.5)
+
+    _, vals, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), vals, filled, jnp.bool_(False))
+    )
+    return vals
 
 
 @functools.partial(jax.jit, static_argnames=("fill_iters", "edt_iters"))
@@ -379,12 +456,11 @@ def device_features(canvas, heights, widths, fill_iters: int | None = None,
         edt_iters = ch * cw
     t, valid = batched_otsu(canvas, heights, widths)
 
-    # FFT input: valid pixels, padding filled with the per-ROI mean so the
-    # slot padding stays spectrum-neutral (host FFT sees the exact ROI).
+    # FFT input: valid pixels, slot padding filled by replicating the
+    # nearest border values outward (see _replicate_fill for why a
+    # constant fill is catastrophic here).
     xf = canvas.astype(jnp.float32)
-    vf = valid.astype(jnp.float32)
-    mean = (xf * vf).sum(axis=(1, 2)) / jnp.maximum(vf.sum(axis=(1, 2)), 1.0)
-    xfill = jnp.where(valid, xf, mean[:, None, None])
+    xfill = _replicate_fill(xf, valid, max(ch, cw))
 
     mm = phasecong_Mm_batched(xfill, valid)
     weak = (mm > HYST_LOW) & valid

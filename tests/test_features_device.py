@@ -127,3 +127,120 @@ def test_moments_on_rectangle():
         2 * np.sqrt(2) * np.sqrt(uxx + uyy - abs(uxx - uyy)), rel=1e-6
     )
     del exp_major
+
+
+def _random_testset(n=40, seed=5):
+    """Fixture-content ROIs resized to random shapes: realistic texture,
+    deterministic set."""
+    import cv2
+
+    rois = ifcb.read_sample("tests/data/raw/valid/D20180712T065600_IFCB114")
+    images = [img for _, img in rois.images()]
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        h = int(rng.integers(24, 100))
+        w = int(rng.integers(30, 120))
+        out.append(cv2.resize(images[i % len(images)], (w, h),
+                              interpolation=cv2.INTER_AREA))
+    return out
+
+
+def _host_rows(testset):
+    rows = {}
+    for i, img in enumerate(testset):
+        _, hf = host_features.compute_features(img)
+        rows[i] = dict(hf)
+    return rows
+
+
+def test_device_matches_host_at_exact_window():
+    """With the FFT window equal to the exact ROI (no slot padding), the
+    device pipeline is ALGORITHM-IDENTICAL to the host: area and axes are
+    bit-equal on >=90% of a randomized 40-ROI set, and biovolume differs
+    only by the chamfer-3-4-vs-exact-EDT approximation (<=3%). The rare
+    residual class is a float32-vs-float64 hysteresis threshold flip on
+    marginal edges (documented in the module docstring)."""
+    testset = _random_testset()
+    hosts = _host_rows(testset)
+    exact = flips = 0
+    bv_errs = []
+    n_checked = 0
+    for i, img in enumerate(testset):
+        if i % 2:  # every other ROI: one compiled program per distinct
+            continue  # shape makes the full set needlessly slow
+        hf = hosts[i]
+        if hf["Area"] < 50:  # degenerate speck masks: % error meaningless
+            continue
+        n_checked += 1
+        h, w = img.shape
+        canvas = np.zeros((1, h, w), np.uint8)
+        canvas[0] = img
+        out = np.asarray(features_device.device_features(
+            canvas, np.array([h], np.int32), np.array([w], np.int32)))[0]
+        a_err = abs(out[0] / hf["Area"] - 1)
+        if a_err > 0.2:
+            flips += 1
+            continue
+        if (a_err < 1e-6
+                and abs(out[2] / hf["MajorAxisLength"] - 1) < 1e-5
+                and abs(out[3] / hf["MinorAxisLength"] - 1) < 1e-5):
+            exact += 1
+        bv_errs.append(abs(out[1] / hf["Biovolume"] - 1))
+    assert flips <= 2, f"{flips} threshold-flip outliers (expected <=2)"
+    assert exact >= 0.9 * n_checked, f"only {exact}/{n_checked} exact"
+    assert float(np.percentile(bv_errs, 90)) <= 0.03  # chamfer bound
+
+
+def test_device_tracks_host_on_packed_batches():
+    """Production path: ROIs ride snap-grid slots, so the FFT window
+    carries replicate-filled padding. The spectral difference perturbs
+    marginal segmentation decisions; bounds are statistical: at most 10%
+    of ROIs flip (>20% area delta), the rest track the host tightly."""
+    testset = _random_testset()
+    hosts = _host_rows(testset)
+    tagged = [(0, i + 1, img) for i, img in enumerate(testset)]
+    errs = {k: [] for k in ("area", "bv", "maj", "min")}
+    flips = 0
+    n_checked = 0
+    for batch in pack.pack_rois(tagged, batch_size=8):
+        out = np.asarray(features_device.device_features(
+            batch.canvas, batch.heights, batch.widths))
+        for j in range(batch.n_valid):
+            hf = hosts[batch.roi_ids[j] - 1]
+            if hf["Area"] < 50:
+                continue
+            n_checked += 1
+            a, bv, mj, mi = out[j]
+            a_err = a / hf["Area"] - 1
+            if abs(a_err) > 0.2:
+                flips += 1
+                continue
+            errs["area"].append(abs(a_err))
+            errs["bv"].append(abs(bv / hf["Biovolume"] - 1))
+            errs["maj"].append(abs(mj / hf["MajorAxisLength"] - 1))
+            errs["min"].append(abs(mi / hf["MinorAxisLength"] - 1))
+    assert flips <= 0.1 * n_checked, f"{flips}/{n_checked} flips"
+    assert float(np.median(errs["area"])) <= 0.01
+    assert float(np.median(errs["maj"])) <= 0.01
+    assert float(np.median(errs["min"])) <= 0.01
+    assert float(np.median(errs["bv"])) <= 0.025
+    assert float(np.percentile(errs["area"], 90)) <= 0.06
+    assert float(np.percentile(errs["maj"], 90)) <= 0.05
+    assert float(np.percentile(errs["min"], 90)) <= 0.05
+    assert float(np.percentile(errs["bv"], 90)) <= 0.08
+
+
+def test_largest_blob_selection_prefers_area_over_thickness():
+    """A long thin filament (large area) next to a compact cell (deeper
+    distance map): the candidate-flood selection must pick the filament,
+    matching the host's largest-area convention."""
+    import jax.numpy as jnp
+
+    mask = np.zeros((1, 40, 80), bool)
+    mask[0, 18:22, 2:78] = True  # 4x76 filament: area 304, depth ~2
+    mask[0, 28:38, 10:20] = True  # 10x10 cell: area 100, depth ~5
+    d = features_device.chamfer_distance(jnp.asarray(mask), 400)
+    blob = np.asarray(features_device._largest_blob(jnp.asarray(mask), d, 400))
+    assert blob[0, 20, 40] and not blob[0, 33, 15]
+    assert int(blob.sum()) == 304
