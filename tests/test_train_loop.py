@@ -191,3 +191,83 @@ def test_resume_continues_in_same_dir(trained_model_dir, tmp_path):
     after = serialization.msgpack_restore(state_path.read_bytes())
     assert int(after["epoch"]) == 3
     assert best.read_bytes() == marker  # best checkpoint untouched
+
+
+def test_full_deployment_round_trip(trained_model_dir, tmp_path):
+    """The whole deployment contract in one walk (reference
+    ``train/train.py:107-198`` + ``compute/probability.py`` +
+    ``analyze/evaluation.py``): train (module fixture) -> classify a raw
+    sample -> evaluate against human labels with threshold search ->
+    export a reference-loadable .pth -> reload the export through the
+    converter into a fresh model dir -> identical prediction CSV."""
+    import shutil
+
+    import cv2
+
+    from sykepic_tpu.__main__ import main as cli
+
+    # one synthetic raw sample built from class-typical images
+    rng = np.random.default_rng(4)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    name = "D20240101T000000_IFCB114"
+    adc_rows, roi_bytes, start = [], bytearray(), 0
+    makers = [
+        lambda h, w: np.full((h, w), 30, np.uint8),   # dark
+        lambda h, w: np.full((h, w), 220, np.uint8),  # bright
+    ]
+    def striped(h, w):
+        img = np.zeros((h, w), np.uint8)
+        img[::2] = 255
+        return img
+    makers.append(striped)
+    for i in range(6):
+        h, w = int(rng.integers(20, 40)), int(rng.integers(15, 30))
+        img = np.clip(makers[i % 3](h, w).astype(int)
+                      + rng.integers(-10, 10, (h, w)), 0, 255).astype(np.uint8)
+        cols = ["0"] * 24
+        cols[15], cols[16], cols[17] = str(w), str(h), str(start)
+        adc_rows.append(",".join(cols))
+        roi_bytes.extend(img.tobytes())
+        start += h * w
+    (raw / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
+    (raw / f"{name}.roi").write_bytes(bytes(roi_bytes))
+    (raw / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
+
+    # 1. classify with the TRAINED model dir
+    probs_a = tmp_path / "probs_a"
+    cli(["prob", "-r", str(raw), "-m", str(trained_model_dir),
+         "-o", str(probs_a)])
+    (csv_a,) = sorted(probs_a.glob("**/*.prob.csv"))
+
+    # 2. evaluate against labels: alternate dark/bright/striped as built
+    labels = ["dark", "bright", "striped"] * 2
+    select = tmp_path / "evals" / f"{name}.select.csv"
+    select.parent.mkdir()
+    select.write_text("".join(f"{i+1},{labels[i]}\n" for i in range(6)))
+    scores = tmp_path / "scores.csv"
+    best = tmp_path / "thresholds.txt"
+    cli(["evaluate", str(select.parent), str(probs_a), "--search",
+         "-p", "0.1", "-o", str(scores), "--best-out", str(best)])
+    assert scores.is_file()
+    lines = best.read_text().splitlines()
+    assert sorted(line.split()[0] for line in lines) == [
+        "bright", "dark", "striped"
+    ]
+
+    # 3. export the reference-loadable artifact and rebuild a model dir
+    #    holding ONLY config + class names + the exported .pth
+    pth = tmp_path / "best_state.pth"
+    cli(["export", str(trained_model_dir), "-o", str(pth)])
+    ported = tmp_path / "ported_model"
+    ported.mkdir()
+    shutil.copy(trained_model_dir / "config.ini", ported / "config.ini")
+    shutil.copy(trained_model_dir / "class_names.txt",
+                ported / "class_names.txt")
+    shutil.copy(pth, ported / "best_state.pth")
+
+    # 4. classify with the round-tripped model: byte-identical CSV
+    probs_b = tmp_path / "probs_b"
+    cli(["prob", "-r", str(raw), "-m", str(ported), "-o", str(probs_b)])
+    (csv_b,) = sorted(probs_b.glob("**/*.prob.csv"))
+    assert csv_a.read_bytes() == csv_b.read_bytes()
