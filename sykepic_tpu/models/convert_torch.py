@@ -426,9 +426,16 @@ SUPPORTED_FAMILIES = "resnet*, efficientnet_b*, mobilenet_v3_*"
 
 class UnsupportedArchitectureError(ValueError):
     """A ``.pth`` state dict (or network name) from a torchvision family
-    this framework does not implement. The reference instantiates ANY
-    ``torchvision.models.<name>`` by string (``train/network.py:46-48``);
-    we cover the families used in production and fail loudly otherwise."""
+    this framework does not implement. The reference nominally
+    instantiates ANY ``torchvision.models.<name>`` by string
+    (``train/network.py:46-48``), but its construction — ``base =
+    Sequential(children[:-1])`` followed by flatten into a Linear sized
+    from ``children[-1].in_features`` — only actually works for families
+    whose global pooling is a CHILD MODULE (resnet, efficientnet,
+    mobilenet, ...). densenet-style models pool functionally inside
+    ``forward()``, so the reference feeds a (1024*5*5)-dim flatten into a
+    1024-dim Linear and crashes; the three families implemented here are
+    the reference's real coverage for its production input size."""
 
 
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
