@@ -265,7 +265,8 @@ class Classifier:
             np.asarray(r)  # drain: compilation + first execution done
         return len(results)
 
-    def _prepared_batches(self, tagged_rois, pre_shrink_to=None):
+    def _prepared_batches(self, tagged_rois, pre_shrink_to=None,
+                          consolidate_tails=True):
         """Pack ROIs and compute host metadata on a PRODUCER THREAD,
         yielding ``(batch, meta)`` ready to dispatch.
 
@@ -299,6 +300,7 @@ class Classifier:
                     batch_multiple=self._batch_multiple,
                     pre_shrink_to=pre_shrink_to,
                     compute_modes=(self.spec.border == "mode"),
+                    consolidate_tails=consolidate_tails,
                 )
                 while True:
                     # decode+pack pulls the upstream ROI generator; meta is
@@ -402,7 +404,12 @@ class Classifier:
                     tuple(float(v) for v in feats[i]),
                 )
 
-        for batch, meta in self._prepared_batches(tagged_rois):
+        # consolidate_tails=False: migrating a tail ROI to a bigger canvas
+        # changes its FFT window and therefore its device FEATURE values
+        # (pack.pack_rois docstring) — the fused path keeps windows stable
+        # so features do not depend on mesh size or stream composition
+        for batch, meta in self._prepared_batches(tagged_rois,
+                                                  consolidate_tails=False):
             # metadata from the producer thread, canvas uploaded ONCE and
             # shared by both device programs
             new_h, new_w, pad_top, pad_left, border = meta

@@ -151,11 +151,13 @@ def precompile_for_samples(sample_paths, clf: Classifier,
     for batch in pack.pack_rois(
         stream(), batch_size=clf.batch_size, buckets=clf.buckets,
         batch_multiple=clf._batch_multiple,
-        # the fused path keeps original pixel units (no pre-shrink)
+        # the fused path keeps original pixel units (no pre-shrink) and
+        # stable per-ROI FFT windows (no tail consolidation)
         pre_shrink_to=(
             None if fused
             else (clf.spec.target_h, clf.spec.target_w)
         ),
+        consolidate_tails=not fused,
     ):
         key = batch.canvas.shape
         volume[key] = volume.get(key, 0) + batch.n_valid

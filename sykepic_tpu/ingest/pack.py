@@ -184,6 +184,7 @@ def pack_rois(
     batch_multiple: int = 1,
     pre_shrink_to: tuple[int, int] | None = None,
     compute_modes: bool = False,
+    consolidate_tails: bool = True,
 ):
     """Group ROIs by bucket and pack them into :class:`PackedBatch` es.
 
@@ -219,7 +220,73 @@ def pack_rois(
                                               multiple=batch_multiple):
             yield _emit(group, bh, bw, len(group), pad_to_batch, compute_modes)
             groups[(bh, bw)] = []
+    # Tail consolidation: at stream end every bucket shape holds a partial
+    # batch, and each would ship a pow2-padded tail of mostly EMPTY slots
+    # (measured ~12% of all shipped bytes on a realistic mix with ~90
+    # shapes in play). Migrating a small group's ROIs into the tail of a
+    # LARGER canvas costs extra per-ROI padding but can erase a whole
+    # padded tail batch; do it whenever the exact shipped-byte accounting
+    # says it is cheaper. Uses only canvas shapes already in play, so the
+    # compiled-shape set never grows.
+    #
+    # ``consolidate_tails=False`` opts a caller out: migrating a ROI to a
+    # bigger canvas changes its FFT window, so the fused on-device FEATURE
+    # path (whose segmentation is window-sensitive, ops/features_device.py)
+    # keeps every ROI on its own snapped canvas — otherwise feature values
+    # would depend on the mesh's batch_multiple. Classification is
+    # window-invariant (the resize einsums sample only [0,h)x[0,w)), so
+    # the default stays on for the pure classify path.
+    min_piece = max(batch_multiple, 1)
+
+    def _tail_slots(n: int, shape: tuple[int, int]) -> int:
+        """Shipped slots for an n-item leftover at ``shape`` under the
+        ladder-splitting rules below (simulation, no emission)."""
+        full = effective_batch_size(batch_size, shape, multiple=batch_multiple)
+        slots = 0
+        while n > 0:
+            if n >= full:
+                slots += full
+                n -= full
+                continue
+            pow2 = min_piece
+            while pow2 < n:
+                pow2 *= 2
+            pow2 = min(pow2, full)
+            piece = min_piece
+            while piece * 2 < pow2:
+                piece *= 2
+            if pow2 - n > 64 and pow2 > 128 and 0 < piece < n:
+                slots += piece
+                n -= piece
+            else:
+                slots += pow2
+                n = 0
+        return slots
+
+    keys = (sorted((k for k in groups if groups[k]),
+                   key=lambda k: (k[0] * k[1], k))
+            if consolidate_tails else [])
+    for i, key in enumerate(keys):
+        group = groups[key]
+        if not group:
+            continue
+        fits = [k for k in keys[i + 1:]
+                if k[0] >= key[0] and k[1] >= key[1] and groups[k]]
+        if not fits:
+            continue
+        target = min(fits, key=lambda k: k[0] * k[1])
+        s_area = key[0] * key[1]
+        t_area = target[0] * target[1]
+        separate = (_tail_slots(len(group), key) * s_area
+                    + _tail_slots(len(groups[target]), target) * t_area)
+        merged = _tail_slots(len(group) + len(groups[target]), target) * t_area
+        if merged < separate:
+            groups[target].extend(group)
+            groups[key] = []
+
     for (bh, bw), group in groups.items():
+        if not group:
+            continue
         full = effective_batch_size(batch_size, (bh, bw),
                                     multiple=batch_multiple)
         # Tail batches ride the power-of-two ladder so the set of compiled

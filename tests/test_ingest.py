@@ -310,3 +310,37 @@ def test_pack_modes_match_cv2_histogram():
     # without the flag, no mode work is done
     (plain,) = list(pack.pack_rois(tagged, batch_size=8))
     assert plain.modes is None
+
+
+def test_tail_consolidation_ships_fewer_bytes():
+    """Stream-end leftovers across many bucket shapes migrate into larger
+    canvases when that ships fewer bytes: every ROI still appears exactly
+    once, and total canvas bytes beat per-shape pow2-padded tails."""
+    rng = np.random.default_rng(9)
+    tagged = []
+    rid = 0
+    # many shapes, each with a small leftover (the consolidation regime)
+    for h, w in [(25, 41), (30, 50), (33, 57), (40, 60), (45, 62)]:
+        for _ in range(int(rng.integers(3, 9))):
+            rid += 1
+            tagged.append((0, rid, np.full((h, w), 90, np.uint8)))
+    batches = list(pack.pack_rois(tagged, batch_size=2048))
+    ids = [r for b in batches for r in b.roi_ids[: b.n_valid]]
+    assert sorted(ids) == list(range(1, rid + 1))
+    shipped = sum(b.canvas.nbytes for b in batches)
+    # naive per-shape tails: each shape pads to its own pow2
+    naive = 0
+    groups = {}
+    for _, _, img in tagged:
+        key = (pack.snap_dim(img.shape[0]), pack.snap_dim(img.shape[1]))
+        groups[key] = groups.get(key, 0) + 1
+    for (bh, bw), n in groups.items():
+        p = 1
+        while p < n:
+            p *= 2
+        naive += p * bh * bw
+    assert shipped < naive
+    # every slot's ROI still fits its canvas
+    for b in batches:
+        assert (b.heights[: b.n_valid] <= b.canvas.shape[1]).all()
+        assert (b.widths[: b.n_valid] <= b.canvas.shape[2]).all()
