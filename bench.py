@@ -253,6 +253,8 @@ def inference_benchmark(root: Path) -> None:
     import jax
 
     rps = float(np.median(rates))
+    link_after = measure_link_mbps()
+    link_mean = max((link_before + link_after) / 2.0, 1e-9)
     print(
         json.dumps(
             {
@@ -271,8 +273,14 @@ def inference_benchmark(root: Path) -> None:
                 # with a bandwidth probe so a low median reads as link
                 # weather, not a code regression. bytes_per_roi makes the
                 # number self-interpreting: value ~= link * 1e6 / bytes
-                "link_MBps": [link_before, measure_link_mbps()],
+                "link_MBps": [link_before, link_after],
                 "bytes_per_roi": round(bytes_per_roi, 1),
+                # shipped bytes/s over probed link bandwidth: ~1.0 means
+                # the pipeline is perfectly wire-saturated and the value
+                # IS the link; less means host/device overhead is showing
+                "wire_saturation": round(
+                    rps * bytes_per_roi / (link_mean * 1e6), 2
+                ),
             }
         )
     )
