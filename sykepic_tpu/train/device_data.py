@@ -236,21 +236,48 @@ class DeviceDataset:
     def num_samples(self) -> int:
         return len(self.paths)
 
+    def _pieces(self, n: int, b: int):
+        """Ladder piece sizes (b, b/2, b/4) covering ``n`` occurrences;
+        the single source of truth for :meth:`epoch` and :meth:`__len__`.
+        Yields ``(piece, real)`` with ``real <= piece`` only for the
+        final wrapped-pad piece."""
+        min_piece = max(self.batch_multiple, b // 4, 1)
+        remaining = n
+        while remaining > 0:
+            piece = b
+            while piece > min_piece and piece > remaining:
+                piece //= 2
+            real = min(piece, remaining)
+            yield piece, real
+            remaining -= real
+
     def __len__(self) -> int:
         """Batches per epoch."""
         total = 0
         for bi, key in enumerate(self._bucket_keys):
-            occ = np.sum(self._bucket_of_row[self.occ_rows] == bi)
+            occ = int(np.sum(self._bucket_of_row[self.occ_rows] == bi))
+            if occ == 0:
+                continue
             b = pack.effective_batch_size(self.batch_size, key,
                                           multiple=self.batch_multiple)
-            total += int((occ + b - 1) // b)
+            total += sum(1 for _ in self._pieces(occ, b))
         return total
 
     def epoch(self, shuffle: bool = True):
         """Yield ``(bucket_key, idx, weights)`` batches covering every
-        occurrence exactly once. Tail batches wrap around to real rows
-        with weight 0 (BatchNorm never sees zero frames, the loss mask
-        excludes the duplicates — same policy as the host loader)."""
+        occurrence exactly once.
+
+        Tail handling: each bucket's leftover rides a short pow2 ladder
+        (b, b/2, b/4) instead of padding straight to the full batch —
+        weight-0 wrap slots are COMPUTED (their pixels run the whole
+        fwd+bwd), and full-batch padding across ~10 bucket tails wasted
+        13.5% of the epoch's compute at batch 256 (38% at 1024, which is
+        why larger batches measured SLOWER end-to-end). Only the final
+        sub-quarter piece still wraps with weight-0 duplicates (BatchNorm
+        never sees zero frames, the loss mask excludes them — same policy
+        as the host loader). Each ladder size is one extra compiled step
+        per bucket store, cached persistently.
+        """
         batches = []
         occ_buckets = self._bucket_of_row[self.occ_rows]
         for bi, key in enumerate(self._bucket_keys):
@@ -262,13 +289,14 @@ class DeviceDataset:
                 self.rng.shuffle(local)
             b = pack.effective_batch_size(self.batch_size, key,
                                           multiple=self.batch_multiple)
-            for start in range(0, len(local), b):
-                idx = local[start : start + b]
-                n = len(idx)
-                weights = np.zeros(b, np.float32)
-                weights[:n] = 1.0
-                while len(idx) < b:  # wrap tail with weight-0 duplicates
-                    idx = np.concatenate([idx, local[: b - len(idx)]])
+            pos = 0
+            for piece, real in self._pieces(len(local), b):
+                idx = local[pos : pos + real]
+                pos += real
+                weights = np.zeros(piece, np.float32)
+                weights[:real] = 1.0
+                while len(idx) < piece:  # wrap with weight-0 duplicates
+                    idx = np.concatenate([idx, local[: piece - len(idx)]])
                 batches.append((key, idx.astype(np.int32), weights))
         if shuffle:
             self.rng.shuffle(batches)

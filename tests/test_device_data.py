@@ -43,7 +43,9 @@ def test_epoch_covers_every_occurrence_once(dataset_dir):
     for key, idx, weights in ds.epoch():
         assert key in ds.stores
         assert len(idx) == len(weights)
-        assert len(idx) == 8  # every batch padded to the full batch size
+        # ladder tails: batches are b, b/2 or b/4 (weight-0 wrap padding
+        # is computed work, so tails shrink instead of padding to 8)
+        assert len(idx) in (8, 4, 2)
         seen += int(weights.sum())
         n_batches += 1
         # weight-0 slots are wrapped REAL rows, not zeros
