@@ -144,31 +144,6 @@ def build_workload(root: Path, n_rois: int) -> list[Path]:
     return sample_paths
 
 
-def measure_bytes_per_roi(sample_paths, clf) -> float:
-    """Raw host->device canvas bytes per real ROI on the exact packing the
-    timed passes use (same buckets, batch multiple, pre-shrink). Self-
-    interpreting context for the throughput number: the e2e path is
-    wire-bound, so value ~= link_MBps * 1e6 / bytes_per_roi."""
-    from sykepic_tpu.ingest import ifcb, pack
-
-    def stream():
-        for idx, p in enumerate(sample_paths):
-            rois = ifcb.read_sample(p)
-            for rid, img in rois.images():
-                yield idx, rid, img
-
-    total_bytes = 0
-    total_rois = 0
-    for batch in pack.pack_rois(
-        stream(), batch_size=clf.batch_size, buckets=clf.buckets,
-        batch_multiple=clf._batch_multiple,
-        pre_shrink_to=(clf.spec.target_h, clf.spec.target_w),
-    ):
-        total_bytes += batch.canvas.nbytes
-        total_rois += batch.n_valid
-    return total_bytes / max(total_rois, 1)
-
-
 def check_output_sanity(out_dir: Path, n_classes: int, per_sample: int):
     """A fast wrong program must not ride to a record: parse one CSV back,
     check the schema, row count, and that each row's probabilities sum to
@@ -223,9 +198,10 @@ def inference_benchmark(root: Path) -> None:
     # (volume-ordered) so a cold cache can't consume the whole bench run;
     # any long-tail shape left cold compiles once during pass 0, and the
     # recorded value is the median pass.
-    probability.precompile_for_samples(pass_samples, clf, budget_s=900)
-
-    bytes_per_roi = measure_bytes_per_roi(pass_samples, clf)
+    # the precompile pass also measures shipped bytes/ROI (same packing)
+    _, bytes_per_roi = probability.precompile_for_samples(
+        pass_samples, clf, budget_s=900, with_bytes=True
+    )
     link_before = measure_link_mbps()
     rates = []
     budget_start = time.perf_counter()

@@ -120,7 +120,8 @@ def prepare_model(model_dir, batch_size: int = 256, dtype: str = "float32",
 
 def precompile_for_samples(sample_paths, clf: Classifier,
                            fused: bool = False,
-                           budget_s: float | None = None) -> int:
+                           budget_s: float | None = None,
+                           with_bytes: bool = False):
     """Compile every (canvas shape, batch size) program the given samples
     will produce through :meth:`Classifier.classify_rois` (or, with
     ``fused``, :meth:`classify_and_feature_rois`), before any timed or
@@ -133,7 +134,12 @@ def precompile_for_samples(sample_paths, clf: Classifier,
     ROI-volume order and warming stops once the budget is spent (the
     long-tail shapes then compile on first real use). A cold compile cache
     costs 10-30 s per shape on a tunneled TPU; warmed caches reload in
-    ~1-3 s."""
+    ~1-3 s.
+
+    ``with_bytes`` also returns the average shipped canvas bytes per real
+    ROI — measured from the same packing pass, so callers (bench.py) do
+    not re-decode the workload just to count bytes. Return becomes
+    ``(warmed, bytes_per_roi)``."""
     import time
 
     from ..ingest import pack
@@ -148,6 +154,8 @@ def precompile_for_samples(sample_paths, clf: Classifier,
                 yield idx, rid, img
 
     volume: dict[tuple, int] = {}
+    total_bytes = 0
+    total_rois = 0
     for batch in pack.pack_rois(
         stream(), batch_size=clf.batch_size, buckets=clf.buckets,
         batch_multiple=clf._batch_multiple,
@@ -161,16 +169,20 @@ def precompile_for_samples(sample_paths, clf: Classifier,
     ):
         key = batch.canvas.shape
         volume[key] = volume.get(key, 0) + batch.n_valid
+        total_bytes += batch.canvas.nbytes
+        total_rois += batch.n_valid
+    bytes_per_roi = total_bytes / max(total_rois, 1)
     ordered = sorted(volume, key=volume.get, reverse=True)
     if budget_s is None:
-        return clf.precompile(ordered, fused=fused)
+        warmed = clf.precompile(ordered, fused=fused)
+        return (warmed, bytes_per_roi) if with_bytes else warmed
     warmed = 0
     t0 = time.time()
     for shape in ordered:
         warmed += clf.precompile([shape], fused=fused)
         if time.time() - t0 > budget_s:
             break
-    return warmed
+    return (warmed, bytes_per_roi) if with_bytes else warmed
 
 
 def process_sample(sample_path, clf: Classifier, out_dir, force: bool = False):

@@ -138,9 +138,9 @@ def main(
     if sample_as_time:
         df.index = df.index.map(lambda s: sample_to_datetime(s, isoformat=True))
         df.index.name = "time"
-    do_append = append and Path(out_csv).is_file()
-    df.to_csv(out_csv, mode="a" if do_append else "w",
-              header=not do_append, na_rep=0.0)
+    from .output import write_frame
+
+    write_frame(df, out_csv, append, na_rep=0.0)
     return df
 
 

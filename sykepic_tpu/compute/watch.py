@@ -76,16 +76,24 @@ def run(
       TPU/link blip instead of three back-to-back poll cycles;
     - a cycle in which EVERY attempted sample (>= 2 of them) failed bears
       the signature of a systemic outage, not per-sample corruption, and
-      does not count toward any sample's retry budget;
+      does not count toward any sample's retry budget — but only for a
+      bounded streak: after ``systemic_tolerance`` consecutive all-failed
+      cycles over the SAME sample set, per-sample counting resumes
+      (otherwise two corrupt samples fail together forever, each
+      re-decoded every cycle for the daemon's lifetime — the exact
+      pathology the retry budget exists to stop);
     - a sample is abandoned (marked done, logged) after ``max_retries``
       counted failures.
 
     Returns the set of sample names processed over the run.
     """
     feat_out_dir = feat_out_dir or prob_out_dir
+    systemic_tolerance = 10
     done: set[str] = set()
     failures: dict[str, int] = {}  # counted failed attempts per sample
     next_attempt: dict[str, float] = {}  # backoff deadline per sample
+    systemic_streak = 0
+    systemic_set: frozenset[str] = frozenset()
     cycles = 0
     while True:
         try:
@@ -136,14 +144,24 @@ def run(
                     if p.name in done:
                         failures.pop(p.name, None)
                         next_attempt.pop(p.name, None)
-                if failed and len(failed) == len(ready) and len(ready) > 1:
+                failed_set = frozenset(p.name for p in failed)
+                systemic = (failed and len(failed) == len(ready)
+                            and len(ready) > 1)
+                if systemic and failed_set == systemic_set:
+                    systemic_streak += 1
+                else:
+                    systemic_streak = 1 if systemic else 0
+                    systemic_set = failed_set if systemic else frozenset()
+                if systemic and systemic_streak <= systemic_tolerance:
                     # every attempted sample failed: systemic signature
                     # (outage, disk full) — retry next cycle, burn no
-                    # per-sample retries
+                    # per-sample retries. A long streak over the SAME set
+                    # stops qualifying (see docstring).
                     log.warning(
                         f"all {len(ready)} attempted samples failed this "
                         "cycle — treating as a systemic failure, not "
-                        "counting toward per-sample retries"
+                        "counting toward per-sample retries "
+                        f"(streak {systemic_streak}/{systemic_tolerance})"
                     )
                 else:
                     for p in failed:

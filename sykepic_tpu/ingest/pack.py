@@ -239,29 +239,11 @@ def pack_rois(
     min_piece = max(batch_multiple, 1)
 
     def _tail_slots(n: int, shape: tuple[int, int]) -> int:
-        """Shipped slots for an n-item leftover at ``shape`` under the
-        ladder-splitting rules below (simulation, no emission)."""
+        """Shipped slots for an n-item leftover at ``shape``: the same
+        :func:`_tail_pieces` walk the emission loop uses, summed —
+        consolidation decisions and actual emission cannot drift apart."""
         full = effective_batch_size(batch_size, shape, multiple=batch_multiple)
-        slots = 0
-        while n > 0:
-            if n >= full:
-                slots += full
-                n -= full
-                continue
-            pow2 = min_piece
-            while pow2 < n:
-                pow2 *= 2
-            pow2 = min(pow2, full)
-            piece = min_piece
-            while piece * 2 < pow2:
-                piece *= 2
-            if pow2 - n > 64 and pow2 > 128 and 0 < piece < n:
-                slots += piece
-                n -= piece
-            else:
-                slots += pow2
-                n = 0
-        return slots
+        return sum(piece for piece, _ in _tail_pieces(n, full, min_piece))
 
     keys = (sorted((k for k in groups if groups[k]),
                    key=lambda k: (k[0] * k[1], k))
@@ -289,39 +271,44 @@ def pack_rois(
             continue
         full = effective_batch_size(batch_size, (bh, bw),
                                     multiple=batch_multiple)
-        # Tail batches ride the power-of-two ladder so the set of compiled
-        # (canvas, batch) shapes stays small and stable. A single padded
-        # pow2 batch can still ship up to 2x its real bytes (1025 -> 2048),
-        # so large tails SPLIT into descending pow2 pieces (1200 -> 1024 +
-        # 128 + 64): same ladder, <7% padding.
-        min_piece = max(batch_multiple, 1)
-        while group:
-            n = len(group)
-            if n >= full:
-                yield _emit(group[:full], bh, bw, full, pad_to_batch,
-                            compute_modes)
-                group = group[full:]
-                continue
-            pow2 = min_piece
-            while pow2 < n:
-                pow2 *= 2
-            pow2 = min(pow2, full)
-            # split pieces stay ON THE LADDER (min_piece * 2**k): the
-            # largest ladder value below pow2, never pow2//2 rounded to a
-            # multiple — that produced off-ladder batch sizes (e.g. 126)
-            # when full is not itself a ladder value, expanding the
-            # compiled (canvas, batch) shape set this split exists to keep
-            # small
-            piece = min_piece
-            while piece * 2 < pow2:
-                piece *= 2
-            if pow2 - n > 64 and pow2 > 128 and 0 < piece < n:
-                yield _emit(group[:piece], bh, bw, piece, pad_to_batch,
-                            compute_modes)
-                group = group[piece:]
-            else:
-                yield _emit(group, bh, bw, pow2, pad_to_batch, compute_modes)
-                group = []
+        pos = 0
+        for piece, real in _tail_pieces(len(group), full, min_piece):
+            yield _emit(group[pos : pos + real], bh, bw, piece,
+                        pad_to_batch, compute_modes)
+            pos += real
+
+
+def _tail_pieces(n: int, full: int, min_piece: int):
+    """Emitted ``(batch_size, real_items)`` sequence for an ``n``-item
+    group: full batches first, then the power-of-two tail ladder.
+
+    Tail batches ride the ladder (``min_piece * 2**k``) so the set of
+    compiled (canvas, batch) shapes stays small and stable — never a
+    halved ``full`` rounded to a multiple, which minted off-ladder sizes
+    (e.g. 126) when ``full`` is not itself a ladder value. A single
+    padded pow2 batch can still ship up to 2x its real bytes
+    (1025 -> 2048), so large tails SPLIT into descending pieces
+    (1200 -> 1024 + 128 + 64): same ladder, <7% padding. This generator
+    is the single source of truth for both emission and the tail-
+    consolidation byte accounting above."""
+    while n > 0:
+        if n >= full:
+            yield full, full
+            n -= full
+            continue
+        pow2 = min_piece
+        while pow2 < n:
+            pow2 *= 2
+        pow2 = min(pow2, full)
+        piece = min_piece
+        while piece * 2 < pow2:
+            piece *= 2
+        if pow2 - n > 64 and pow2 > 128 and 0 < piece < n:
+            yield piece, piece
+            n -= piece
+        else:
+            yield pow2, n
+            n = 0
 
 
 def _emit(group, bh, bw, batch_size, pad_to_batch,

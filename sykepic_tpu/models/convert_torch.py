@@ -396,11 +396,13 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
 
 
 def _looks_like_efficientnet(state_dict: dict) -> bool:
-    """MBConv fingerprints: a ``.block.`` module inside a NUMBERED
-    features stage (densenet's ``features.denseblock1`` must not match)."""
-    return any(".block." in k
-               or re.match(r"^(base\.0\.)?features\.\d+\.", k)
-               or k.startswith("base.0.0.0")
+    """MBConv fingerprints: ``.block.`` submodules (torchvision
+    ``features.N.M.block.*``) or the TorchVisionNet-wrapped stem
+    ``base.0.0.0``. A bare numbered ``features.N.`` prefix is NOT enough:
+    VGG/AlexNet/SqueezeNet-style dicts use exactly those keys and must
+    fall through to :class:`UnsupportedArchitectureError` instead of
+    dying inside the EfficientNet converter."""
+    return any(".block." in k or k.startswith("base.0.0.0")
                for k in state_dict)
 
 

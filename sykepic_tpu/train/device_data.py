@@ -237,16 +237,30 @@ class DeviceDataset:
         return len(self.paths)
 
     def _pieces(self, n: int, b: int):
-        """Ladder piece sizes (b, b/2, b/4) covering ``n`` occurrences;
-        the single source of truth for :meth:`epoch` and :meth:`__len__`.
-        Yields ``(piece, real)`` with ``real <= piece`` only for the
-        final wrapped-pad piece."""
-        min_piece = max(self.batch_multiple, b // 4, 1)
+        """Ladder piece sizes covering ``n`` occurrences; the single
+        source of truth for :meth:`epoch` and :meth:`__len__`. Yields
+        ``(piece, real)`` with ``real < piece`` only for the final
+        wrapped-pad piece.
+
+        Tail pieces come from the ``batch_multiple * 2**k`` ladder (full
+        batches are ``b`` itself): every emitted size must stay divisible
+        by the data mesh axis, and simply halving ``b`` breaks that for
+        non-power-of-two meshes (e.g. b=258, multiple=3 halves to 129).
+        The smallest ladder piece is ~b/4, so wrap-pad waste is bounded
+        by a quarter batch per bucket."""
+        m = max(self.batch_multiple, 1)
+        min_piece = m
+        while min_piece * 2 <= max(b // 4, m):
+            min_piece *= 2
         remaining = n
         while remaining > 0:
-            piece = b
-            while piece > min_piece and piece > remaining:
-                piece //= 2
+            if remaining >= b:
+                yield b, b
+                remaining -= b
+                continue
+            piece = min_piece
+            while piece * 2 <= remaining and piece * 2 <= b:
+                piece *= 2
             real = min(piece, remaining)
             yield piece, real
             remaining -= real

@@ -239,3 +239,21 @@ def test_bucket_pure_batches_learn_size_correlated_classes(tmp_path):
     )
     assert acc_device >= 0.9, f"device-cache path failed to learn: {acc_device}"
     assert acc_host >= 0.9, f"host path failed to learn: {acc_host}"
+
+
+def test_pieces_stay_mesh_divisible_with_non_pow2_multiple(dataset_dir):
+    """A 3-device data mesh: every emitted batch size must be divisible
+    by the mesh axis — halving the full batch breaks that (258 -> 129),
+    so tail pieces ride the batch_multiple * 2^k ladder instead."""
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, batch_multiple=3)
+    seen = 0
+    for key, idx, weights in ds.epoch(shuffle=True):
+        assert len(idx) % 3 == 0, f"batch {len(idx)} not mesh-divisible"
+        if len(idx) != 9:  # 9 = the full batch (8 rounded up to the mesh)
+            k = len(idx) // 3
+            assert k & (k - 1) == 0, f"off-ladder tail size {len(idx)}"
+        seen += int(weights.sum())
+    assert seen == len(paths)
+    assert sum(1 for _ in ds.epoch()) == len(ds)

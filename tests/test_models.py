@@ -270,3 +270,21 @@ def test_unsupported_architecture_errors():
     with pytest.raises(convert_torch.UnsupportedArchitectureError,
                        match="densenet121"):
         convert_torch.torch_to_flax("densenet121", sd)
+
+
+def test_vgg_style_state_dict_rejected():
+    """A bare numbered features.N. namespace (VGG/AlexNet/SqueezeNet
+    style) must NOT sniff as EfficientNet — it has no MBConv .block.
+    modules and would die in that converter with an opaque KeyError."""
+    import pytest
+
+    from sykepic_tpu.models import convert_torch
+
+    sd = {
+        "features.0.weight": np.zeros((64, 3, 3, 3)),
+        "features.0.bias": np.zeros(64),
+        "features.2.weight": np.zeros((64, 64, 3, 3)),
+        "classifier.0.weight": np.zeros((10, 64)),
+    }
+    with pytest.raises(convert_torch.UnsupportedArchitectureError):
+        convert_torch.torch_to_flax(None, sd)
