@@ -344,3 +344,31 @@ def test_tail_consolidation_ships_fewer_bytes():
     for b in batches:
         assert (b.heights[: b.n_valid] <= b.canvas.shape[1]).all()
         assert (b.widths[: b.n_valid] <= b.canvas.shape[2]).all()
+
+
+def test_pack_random_stream_invariants():
+    """Property test over random streams, batch sizes and mesh multiples:
+    every ROI ships exactly once, every batch is mesh-divisible, every
+    slot's ROI fits its canvas, and padding slots carry benign metadata."""
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        n = int(rng.integers(50, 400))
+        batch_size = int(rng.choice([8, 64, 256, 2048]))
+        multiple = int(rng.choice([1, 3, 8]))
+        tagged = []
+        for i in range(n):
+            h = int(rng.integers(5, 300))
+            w = int(rng.integers(5, 400))
+            tagged.append((int(rng.integers(0, 4)), i + 1,
+                           np.full((h, w), 90, np.uint8)))
+        seen = []
+        for b in pack.pack_rois(tagged, batch_size=batch_size,
+                                batch_multiple=multiple):
+            B, Hc, Wc = b.canvas.shape
+            assert B % multiple == 0, (trial, B, multiple)
+            assert (b.heights[: b.n_valid] <= Hc).all()
+            assert (b.widths[: b.n_valid] <= Wc).all()
+            # padding slots: id 0, 1x1 "ROI" (never selected downstream)
+            assert (b.roi_ids[b.n_valid:] == 0).all()
+            seen.extend(b.roi_ids[: b.n_valid].tolist())
+        assert sorted(seen) == list(range(1, n + 1)), trial
