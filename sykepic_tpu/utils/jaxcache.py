@@ -28,7 +28,14 @@ def enable(cache_dir=None) -> Path | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Serialized executables average ~60 MB; an uncapped cache grew
+        # to 116 GB in two days of bench/test runs and filled the disk
+        # (ENOSPC mid-benchmark). LRU-cap the directory and skip caching
+        # fast compiles — only the multi-second tunnel compiles are worth
+        # the bytes.
+        jax.config.update("jax_compilation_cache_max_size",
+                          24 * 1024**3)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # pragma: no cover - cache is best-effort
         return None
     return cache_dir
