@@ -234,6 +234,24 @@ def inference_benchmark(root: Path) -> None:
     rps = float(np.median(rates))
     link_after = measure_link_mbps()
     link_mean = max((link_before + link_after) / 2.0, 1e-9)
+
+    # On-chip ceiling: the same workload's compiled programs, dispatched
+    # with device-resident arguments (wire excluded). This is what a
+    # production chip with a local PCIe/HBM feed approaches — it frames
+    # the e2e number as "link-bound at X, chip good for Y".
+    onchip_rps = None
+    try:
+        from sykepic_tpu.ingest import ifcb
+
+        def roi_stream():
+            for idx, p in enumerate(pass_samples[:8]):
+                for rid, img in ifcb.read_sample(p).images():
+                    yield idx, rid, img
+
+        n, secs = clf.onchip_rate(roi_stream(), repeats=4)
+        onchip_rps = round(n / secs, 1)
+    except Exception:  # the ceiling probe must never sink the metric
+        pass
     print(
         json.dumps(
             {
@@ -254,6 +272,9 @@ def inference_benchmark(root: Path) -> None:
                 # number self-interpreting: value ~= link * 1e6 / bytes
                 "link_MBps": [link_before, link_after],
                 "bytes_per_roi": round(bytes_per_roi, 1),
+                # device-compute-only throughput on the same workload
+                # (wire excluded): the non-tunneled production ceiling
+                "onchip_rois_per_sec": onchip_rps,
                 # shipped bytes/s over probed link bandwidth: ~1.0 means
                 # the pipeline is perfectly wire-saturated and the value
                 # IS the link; less means host/device overhead is showing

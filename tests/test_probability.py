@@ -161,3 +161,23 @@ def test_faulty_sample_is_isolated(tmp_path, model_dir):
     )
     assert processed == {"D20180712T065600_IFCB114"}
     assert len(list((tmp_path / "out").glob("**/*.csv"))) == 1
+
+
+def test_onchip_rate_counts_and_runs(model_dir):
+    """The wire-free ceiling probe packs the stream like classify_rois
+    (same pre-shrink/tails), counts every real ROI exactly once, and
+    returns a positive per-pass wall clock."""
+    from sykepic_tpu.compute import probability
+    from sykepic_tpu.ingest import ifcb
+
+    clf = probability.prepare_model(model_dir, batch_size=4)
+    sample = Path("tests/data/raw/valid/D20180712T065600_IFCB114")
+    rois = ifcb.read_sample(sample)
+
+    def stream():
+        for rid, img in rois.images():
+            yield 0, rid, img
+
+    n, secs = clf.onchip_rate(stream(), repeats=2)
+    assert n == sum(1 for _ in rois.images())
+    assert secs > 0.0
