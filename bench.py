@@ -272,6 +272,9 @@ def inference_benchmark(root: Path) -> None:
                 # number self-interpreting: value ~= link * 1e6 / bytes
                 "link_MBps": [link_before, link_after],
                 "bytes_per_roi": round(bytes_per_roi, 1),
+                # "shelf" = 2-D shelf packing (ingest/shelf.py): ~16% fewer
+                # wire bytes than per-ROI slots on the realistic mix
+                "packing": clf.packing,
                 # device-compute-only throughput on the same workload
                 # (wire excluded): the non-tunneled production ceiling
                 "onchip_rois_per_sec": onchip_rps,

@@ -138,6 +138,12 @@ class Classifier:
         else:
             self.variables = jax.device_put(variables)
         self._infer = self._build_infer()
+        self._infer_shelf = self._build_infer_shelf()
+        # Shelf packing ships ~16% fewer wire bytes on realistic mixes and
+        # compiles a handful of programs instead of one per canvas shape
+        # (ingest/shelf.py); "slots" remains for the fused feature path and
+        # as an escape hatch (SYKEPIC_PACKING=slots).
+        self.packing = _os.environ.get("SYKEPIC_PACKING", "shelf").lower()
         # per-stage wall clocks, printed at stream end when SYKEPIC_PROFILE
         # is set (no-op stages otherwise)
         self.timer = profiling.StageTimer()
@@ -185,6 +191,135 @@ class Classifier:
             )
 
         return infer
+
+    def _build_infer_shelf(self):
+        """The shelf-packed program: many ROIs share one (192, 512) window
+        (:mod:`sykepic_tpu.ingest.shelf`), each extracted inside the resize
+        einsum via its row/col origin. One compiled program per (padded
+        window count, padded slot count) pair — a handful per stream,
+        versus one per snapped canvas shape on the slot path."""
+        spec = self.spec
+        model = self.model
+        variables = self.variables
+
+        @partial(jax.jit, static_argnames=("target_h", "target_w"))
+        def infer_shelf(windows, win_idx, y0, x0, heights, widths, new_h,
+                        new_w, pad_top, pad_left, border, *,
+                        target_h, target_w):
+            # Per-slot window copy: a CONTIGUOUS row gather (whole 98 KB
+            # windows), which this TPU handles at HBM speed — unlike
+            # elementwise warps.
+            slabs = jnp.take(windows, win_idx, axis=0)
+            x = preprocess.eval_preprocess(
+                slabs, heights, widths, new_h, new_w, pad_top, pad_left,
+                border,
+                target_h=target_h, target_w=target_w,
+                num_chans=spec.num_chans,
+                imagenet_normalization=False,  # parity: see _build_infer
+                use_pallas=False,  # origins ride the einsum path only
+                y_origin=y0, x_origin=x0,
+            )
+            x = jax.lax.optimization_barrier(x)
+            logits = model.apply(variables, x, train=False)
+            return jax.nn.softmax(
+                logits.astype(jnp.float32) * math.log(SOFTMAX_EXP), axis=-1
+            )
+
+        return infer_shelf
+
+    def _shelf_meta(self, batch):
+        """Resize geometry + border fill for one shelf batch (host numpy).
+        Padding slots are 1x1 zero ROIs and flow through harmlessly."""
+        new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
+            batch.heights, batch.widths, self.spec.target_h,
+            self.spec.target_w
+        )
+        if self.spec.border == "mode":
+            border = batch.modes
+        elif self.spec.border == "white":
+            border = np.full(len(batch.heights), 255, np.uint8)
+        else:  # black
+            border = np.zeros(len(batch.heights), np.uint8)
+        return new_h, new_w, pad_top, pad_left, border
+
+    def dispatch_shelf(self, batch, meta=None):
+        """Start inference for one shelf batch without blocking."""
+        if meta is None:
+            meta = self._shelf_meta(batch)
+        new_h, new_w, pad_top, pad_left, border = meta
+        with self.timer.stage("device.dispatch"):
+            windows = (
+                jax.device_put(batch.windows, self._replicated)
+                if self._replicated is not None else batch.windows
+            )
+            slot_args = tuple(
+                self._put(a)
+                for a in (batch.win_idx, batch.y0, batch.x0,
+                          batch.heights, batch.widths,
+                          new_h, new_w, pad_top, pad_left, border)
+            )
+            return self._infer_shelf(
+                windows, *slot_args,
+                target_h=self.spec.target_h,
+                target_w=self.spec.target_w,
+            )
+
+    def _prepared_shelf_batches(self, tagged_rois):
+        """Shelf-pack ROIs and compute host metadata on a producer thread,
+        yielding ``(batch, meta)`` ready to dispatch (same overlap rationale
+        as :meth:`_prepared_batches`)."""
+        import queue
+        import threading
+
+        from ..ingest import shelf
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        done = object()
+        cancel = threading.Event()
+
+        def offer(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                gen = shelf.pack_shelves(
+                    tagged_rois,
+                    pre_shrink_to=(self.spec.target_h, self.spec.target_w),
+                    batch_multiple=self._batch_multiple,
+                    compute_modes=(self.spec.border == "mode"),
+                )
+                while True:
+                    with self.timer.stage("host.decode+pack"):
+                        batch = next(gen, None)
+                    if batch is None:
+                        break
+                    with self.timer.stage("host.meta"):
+                        meta = self._shelf_meta(batch)
+                    if not offer((batch, meta)):
+                        return
+            except BaseException as e:
+                offer(e)
+                return
+            offer(done)
+
+        threading.Thread(target=produce, daemon=True,
+                         name="sykepic-shelf").start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
 
     def _put(self, a):
         """Commit a batch array: sharded over the data mesh axis when one
@@ -249,43 +384,81 @@ class Classifier:
         """
         import time
 
+        def put(a):
+            return (self._put(a) if self._data_sharding is not None
+                    else jax.device_put(a))
+
         args_list = []
         n_rois = 0
-        for batch, meta in self._prepared_batches(
-            tagged_rois,
-            pre_shrink_to=(self.spec.target_h, self.spec.target_w),
-        ):
-            new_h, new_w, pad_top, pad_left, border = meta
-            args_list.append(tuple(
-                self._put(a) if self._data_sharding is not None
-                else jax.device_put(a)
-                for a in (batch.canvas, batch.heights, batch.widths,
-                          new_h, new_w, pad_top, pad_left, border)
-            ))
-            n_rois += batch.n_valid
+        if self.packing == "shelf":
+            fn = self._infer_shelf
+            for batch, meta in self._prepared_shelf_batches(tagged_rois):
+                new_h, new_w, pad_top, pad_left, border = meta
+                windows = (
+                    jax.device_put(batch.windows, self._replicated)
+                    if self._replicated is not None
+                    else jax.device_put(batch.windows)
+                )
+                args_list.append((windows,) + tuple(put(a) for a in (
+                    batch.win_idx, batch.y0, batch.x0,
+                    batch.heights, batch.widths,
+                    new_h, new_w, pad_top, pad_left, border)))
+                n_rois += batch.n_valid
+        else:
+            fn = self._infer
+            for batch, meta in self._prepared_batches(
+                tagged_rois,
+                pre_shrink_to=(self.spec.target_h, self.spec.target_w),
+            ):
+                new_h, new_w, pad_top, pad_left, border = meta
+                args_list.append(tuple(put(a) for a in (
+                    batch.canvas, batch.heights, batch.widths,
+                    new_h, new_w, pad_top, pad_left, border)))
+                n_rois += batch.n_valid
         kw = dict(target_h=self.spec.target_h, target_w=self.spec.target_w)
         # warm pass: compiles (if any are cold) + buffer warmup, untimed
         out = None
         for args in args_list:
-            out = self._infer(*args, **kw)
+            out = fn(*args, **kw)
         np.asarray(out)
         t0 = time.perf_counter()
         for _ in range(repeats):
             for args in args_list:
-                out = self._infer(*args, **kw)
+                out = fn(*args, **kw)
         np.asarray(out)  # serial device queue: one drain bounds them all
         return n_rois, (time.perf_counter() - t0) / max(repeats, 1)
 
     def precompile(self, canvas_shapes, fused: bool = False) -> int:
-        """Force-compile the inference program for each ``(B, Hc, Wc)``
-        canvas shape by dispatching an all-zeros batch (zeros ship cheaply
-        over a compressing link). With ``fused`` the on-device feature
-        program is warmed too (the pipeline/watch path). Compiles land in
-        BOTH the process jit cache and the persistent disk cache, so
-        latency-sensitive or timed processing afterwards never stalls on a
-        mid-stream compile (~10-30 s per shape over a tunneled TPU)."""
+        """Force-compile the inference program for each shape key by
+        dispatching an all-zeros batch: ``(B, Hc, Wc)`` canvas shapes for
+        the slot path, ``(n_windows, n_slots)`` pairs for the shelf path.
+        With ``fused`` the on-device feature program is warmed too (the
+        pipeline/watch path). Compiles land in BOTH the process jit cache
+        and the persistent disk cache, so latency-sensitive or timed
+        processing afterwards never stalls on a mid-stream compile
+        (~10-30 s per shape over a tunneled TPU)."""
+        from ..ingest import shelf
+
         results = []
-        for b, hc, wc in sorted(set(canvas_shapes)):
+        for key in sorted(set(canvas_shapes)):
+            if len(key) == 2:  # shelf program: (window count, slot count)
+                nc, r = key
+                sbatch = shelf.ShelfBatch(
+                    windows=np.zeros((nc, shelf.WIN_H, shelf.WIN_W),
+                                     np.uint8),
+                    win_idx=np.zeros(r, np.int32),
+                    y0=np.zeros(r, np.int32),
+                    x0=np.zeros(r, np.int32),
+                    heights=np.ones(r, np.int32),
+                    widths=np.ones(r, np.int32),
+                    roi_ids=np.zeros(r, np.int64),
+                    sample_idx=np.zeros(r, np.int32),
+                    n_valid=0,
+                    modes=np.zeros(r, np.uint8),
+                )
+                results.append(self.dispatch_shelf(sbatch))
+                continue
+            b, hc, wc = key
             batch = pack.PackedBatch(
                 canvas=np.zeros((b, hc, wc), np.uint8),
                 heights=np.ones(b, np.int32),
@@ -390,16 +563,22 @@ class Classifier:
         """
         from collections import deque
 
+        if self.packing == "shelf":
+            prepared = self._prepared_shelf_batches(tagged_rois)
+            dispatch = self.dispatch_shelf
+        else:
+            prepared = self._prepared_batches(
+                tagged_rois,
+                # oversized ROIs downsample on the host (the device would
+                # downsample them anyway): up to ~8x fewer bytes over the
+                # link. The fused features path below must NOT do this (its
+                # area / biovolume outputs are in original pixel units).
+                pre_shrink_to=(self.spec.target_h, self.spec.target_w),
+            )
+            dispatch = self.dispatch_packed
         in_flight: deque = deque()
-        for batch, meta in self._prepared_batches(
-            tagged_rois,
-            # oversized ROIs downsample on the host (the device would
-            # downsample them anyway): up to ~8x fewer bytes over the link.
-            # The fused features path below must NOT do this (its area /
-            # biovolume outputs are in original pixel units).
-            pre_shrink_to=(self.spec.target_h, self.spec.target_w),
-        ):
-            device_probs = self.dispatch_packed(batch, meta)
+        for batch, meta in prepared:
+            device_probs = dispatch(batch, meta)
             try:
                 device_probs.copy_to_host_async()
             except AttributeError:  # pragma: no cover - older jax
@@ -411,7 +590,9 @@ class Classifier:
             yield from self._drain(*in_flight.popleft())
         self.timer.report()
 
-    def _drain(self, batch: pack.PackedBatch, device_probs):
+    def _drain(self, batch, device_probs):
+        # batch is a pack.PackedBatch or a shelf.ShelfBatch — both carry
+        # sample_idx / roi_ids / n_valid
         with self.timer.stage("device.drain"):
             probs = np.asarray(device_probs)
         for i in range(batch.n_valid):

@@ -156,21 +156,34 @@ def precompile_for_samples(sample_paths, clf: Classifier,
     volume: dict[tuple, int] = {}
     total_bytes = 0
     total_rois = 0
-    for batch in pack.pack_rois(
-        stream(), batch_size=clf.batch_size, buckets=clf.buckets,
-        batch_multiple=clf._batch_multiple,
-        # the fused path keeps original pixel units (no pre-shrink) and
-        # stable per-ROI FFT windows (no tail consolidation)
-        pre_shrink_to=(
-            None if fused
-            else (clf.spec.target_h, clf.spec.target_w)
-        ),
-        consolidate_tails=not fused,
-    ):
-        key = batch.canvas.shape
-        volume[key] = volume.get(key, 0) + batch.n_valid
-        total_bytes += batch.canvas.nbytes
-        total_rois += batch.n_valid
+    if clf.packing == "shelf" and not fused:
+        from ..ingest import shelf
+
+        for sbatch in shelf.pack_shelves(
+            stream(),
+            pre_shrink_to=(clf.spec.target_h, clf.spec.target_w),
+            batch_multiple=clf._batch_multiple,
+        ):
+            key = (sbatch.windows.shape[0], len(sbatch.win_idx))
+            volume[key] = volume.get(key, 0) + sbatch.n_valid
+            total_bytes += sbatch.windows.nbytes
+            total_rois += sbatch.n_valid
+    else:
+        for batch in pack.pack_rois(
+            stream(), batch_size=clf.batch_size, buckets=clf.buckets,
+            batch_multiple=clf._batch_multiple,
+            # the fused path keeps original pixel units (no pre-shrink) and
+            # stable per-ROI FFT windows (no tail consolidation)
+            pre_shrink_to=(
+                None if fused
+                else (clf.spec.target_h, clf.spec.target_w)
+            ),
+            consolidate_tails=not fused,
+        ):
+            key = batch.canvas.shape
+            volume[key] = volume.get(key, 0) + batch.n_valid
+            total_bytes += batch.canvas.nbytes
+            total_rois += batch.n_valid
     bytes_per_roi = total_bytes / max(total_rois, 1)
     ordered = sorted(volume, key=volume.get, reverse=True)
     if budget_s is None:

@@ -1,0 +1,268 @@
+"""2-D shelf packing: many ROIs per canvas window, exact widths.
+
+The slot packer (:mod:`sykepic_tpu.ingest.pack`) gives every ROI its own
+snapped canvas; on the wire that costs ~19% height/width snap padding plus
+~6% empty tail slots on realistic IFCB size mixes (measured in bench.py's
+byte accounting — and the link, not the chip, bounds end-to-end inference
+throughput over a host link). This module packs ROIs side by side into
+fixed ``(WIN_H, WIN_W)`` uint8 windows instead:
+
+- ROIs are grouped into *shelves* (rows of near-equal height, exact widths,
+  left to right), shelves stack into windows, windows stack into one
+  ``(Nc, WIN_H, WIN_W)`` tensor per dispatch. Measured shipped bytes on the
+  realistic bench mix drop from ~4.4 KB/ROI (slot packer) to ~3.7 KB/ROI —
+  within a few percent of the raw pixel floor.
+- Every dispatch compiles against ONE window shape; only the (padded)
+  window count and slot count vary, each on a coarse ladder, so the whole
+  stream runs through a handful of compiled programs instead of one per
+  snapped canvas shape.
+
+The device side extracts each ROI straight out of its window inside the
+resize einsum via row/column origins (``ops/preprocess.py``) — no crop is
+ever materialized, and classification output is bit-comparable to the slot
+path (same geometry metadata, same bilinear taps).
+
+Feature extraction is window-sensitive (FFT over the canvas), so the fused
+classify+features path keeps the slot packer; shelf packing is for the
+pure classification stream (reference workload:
+``sykepic/compute/probability.py:133-206``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import pack
+
+WIN_H = 192  # fits any pre-shrunk ROI (<= network input, <= 180) plus slack
+WIN_W = 512
+NC_FULL = 64  # windows per full dispatch (~6.3 MB on the wire)
+SLOT_CAP = 4096  # hard slot bound per dispatch (tiny-ROI floods)
+
+# Ladders keep the set of compiled (window-count, slot-count) programs
+# small: a value is padded UP to the next rung (zero windows ship a few
+# hundred KB once per stream end; padding slots costs device compute only).
+NC_LADDER = (1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
+SLOT_STEP = 256
+SLOT_MIN = 64
+
+
+def pad_nc(n: int) -> int:
+    for v in NC_LADDER:
+        if n <= v:
+            return v
+    return NC_LADDER[-1]
+
+
+def pad_slots(n: int, multiple: int = 1) -> int:
+    if n <= SLOT_MIN:
+        base = SLOT_MIN
+        while base % multiple:
+            base += SLOT_MIN
+        return base
+    step = SLOT_STEP
+    while step % multiple:
+        step += SLOT_STEP
+    return -(-n // step) * step
+
+
+@dataclass
+class ShelfBatch:
+    """One dispatch: ``windows`` holds the pixels, the per-slot arrays say
+    where each ROI lives (window index + origin) and what it is."""
+
+    windows: np.ndarray  # (Nc, WIN_H, WIN_W) uint8
+    win_idx: np.ndarray  # (R,) int32
+    y0: np.ndarray  # (R,) int32 -- row origin inside the window
+    x0: np.ndarray  # (R,) int32
+    heights: np.ndarray  # (R,) int32
+    widths: np.ndarray  # (R,) int32
+    roi_ids: np.ndarray  # (R,) int64
+    sample_idx: np.ndarray  # (R,) int32
+    n_valid: int
+    modes: np.ndarray | None = None  # (R,) uint8
+
+
+class _Shelver:
+    """Greedy height-sorted shelf packing of a buffered ROI set.
+
+    First-fit-decreasing-height: shelves open at the tallest pending
+    height that fits the window's free rows, fill left to right preferring
+    the tallest ROI whose width fits (heights adjacent in sorted order, so
+    in-shelf headroom stays small), and windows close when no pending ROI
+    fits the remaining rows.
+    """
+
+    def __init__(self, items):
+        # items: list of (sample_idx, roi_id, img, mode_or_None)
+        self.items = items
+        by_height: dict[int, list[int]] = {}
+        for i, it in enumerate(items):
+            by_height.setdefault(it[2].shape[0], []).append(i)
+        # per-height index lists sorted by width DESC (widest-first keeps
+        # the narrow ROIs for plugging right-edge gaps)
+        for h, idxs in by_height.items():
+            idxs.sort(key=lambda i: -items[i][2].shape[1])
+        self.by_height = by_height
+        self.heights_desc = sorted(by_height, reverse=True)
+
+    def _take(self, max_h: int, max_w: int):
+        """Pop the tallest pending ROI with h <= max_h and width <= max_w."""
+        for h in self.heights_desc:
+            if h > max_h:
+                continue
+            idxs = self.by_height.get(h)
+            if not idxs:
+                continue
+            # idxs sorted by width desc: first fitting one is the widest
+            for k, i in enumerate(idxs):
+                if self.items[i][2].shape[1] <= max_w:
+                    del idxs[k]
+                    return i
+        return None
+
+    def pending(self) -> bool:
+        return any(self.by_height.get(h) for h in self.heights_desc)
+
+    def pack(self, max_windows: int, max_slots: int):
+        """Place ROIs into up to ``max_windows`` windows.
+
+        Returns ``(placements, n_windows)`` where placements is a list of
+        ``(item_index, win, y0, x0)``. Unplaced items stay pending.
+        """
+        placements = []
+        win = 0
+        while win < max_windows and self.pending():
+            free_y = 0
+            while free_y < WIN_H:
+                first = self._take(WIN_H - free_y, WIN_W)
+                if first is None:
+                    break  # nothing fits the leftover rows
+                shelf_h = self.items[first][2].shape[0]
+                x = self.items[first][2].shape[1]
+                placements.append((first, win, free_y, 0))
+                while x < WIN_W:
+                    if len(placements) >= max_slots:
+                        break
+                    nxt = self._take(shelf_h, WIN_W - x)
+                    if nxt is None:
+                        break
+                    placements.append((nxt, win, free_y, x))
+                    x += self.items[nxt][2].shape[1]
+                free_y += shelf_h
+                if len(placements) >= max_slots:
+                    break
+            win += 1
+            if len(placements) >= max_slots:
+                break
+        return placements, win
+
+
+def _emit(items, placements, n_windows, batch_multiple, compute_modes):
+    nc = pad_nc(n_windows)
+    r = pad_slots(len(placements), batch_multiple)
+    windows = np.zeros((nc, WIN_H, WIN_W), np.uint8)
+    win_idx = np.zeros(r, np.int32)
+    y0 = np.zeros(r, np.int32)
+    x0 = np.zeros(r, np.int32)
+    heights = np.ones(r, np.int32)
+    widths = np.ones(r, np.int32)
+    roi_ids = np.zeros(r, np.int64)
+    sample_idx = np.zeros(r, np.int32)
+    modes = np.zeros(r, np.uint8) if compute_modes else None
+    for s, (i, w, y, x) in enumerate(placements):
+        smp, rid, img, mode = items[i]
+        h, wd = img.shape
+        windows[w, y : y + h, x : x + wd] = img
+        win_idx[s] = w
+        y0[s] = y
+        x0[s] = x
+        heights[s] = h
+        widths[s] = wd
+        roi_ids[s] = rid
+        sample_idx[s] = smp
+        if modes is not None:
+            modes[s] = mode
+    return ShelfBatch(
+        windows=windows, win_idx=win_idx, y0=y0, x0=x0,
+        heights=heights, widths=widths, roi_ids=roi_ids,
+        sample_idx=sample_idx, n_valid=len(placements), modes=modes,
+    )
+
+
+def pack_shelves(
+    rois,
+    pre_shrink_to: tuple[int, int],
+    batch_multiple: int = 1,
+    compute_modes: bool = False,
+    nc_full: int = NC_FULL,
+    slot_cap: int = SLOT_CAP,
+):
+    """Stream ``(sample_idx, roi_id, uint8 image)`` into :class:`ShelfBatch`
+    dispatches.
+
+    ROIs buffer until roughly one full dispatch of pixels is pending, are
+    shelf-packed as a set (sorting needs the set), and anything the packer
+    could not place in ``nc_full`` windows carries into the next buffer.
+    ``pre_shrink_to`` is mandatory: windows are sized for ROIs no larger
+    than the network input (the classify path host-shrinks oversized ROIs
+    anyway — :meth:`Classifier.classify_rois`).
+    """
+    target_h, target_w = pre_shrink_to
+    if target_h > WIN_H or target_w > WIN_W:
+        raise ValueError(
+            f"pre-shrink target {pre_shrink_to} exceeds the shelf window "
+            f"({WIN_H}, {WIN_W})"
+        )
+    # flush when buffered pixels would fill ~all of a dispatch's windows
+    flush_bytes = int(nc_full * WIN_H * WIN_W * 0.98)
+    buffered: list = []
+    buffered_bytes = 0
+
+    def flush(final: bool):
+        nonlocal buffered, buffered_bytes
+        shelver = _Shelver(buffered)
+        out = []
+        carried = []  # packed but not emitted: back to the buffer
+        while True:
+            placements, n_windows = shelver.pack(nc_full, slot_cap)
+            if not placements:
+                break
+            full = n_windows >= nc_full or len(placements) >= slot_cap
+            if final or full:
+                out.append(_emit(buffered, placements, n_windows,
+                                 batch_multiple, compute_modes))
+            else:
+                carried.extend(p[0] for p in placements)
+                break  # keep the partial dispatch buffered for more ROIs
+        left = carried + [i for h in shelver.heights_desc
+                          for i in shelver.by_height.get(h, [])]
+        buffered = [buffered[i] for i in left]
+        buffered_bytes = sum(it[2].nbytes for it in buffered)
+        return out
+
+    for smp, rid, img in rois:
+        img = pack.pre_shrink(img, target_h, target_w)
+        if img.shape[0] > WIN_H or img.shape[1] > WIN_W:
+            img = pack.shrink_to_fit(img, WIN_H, WIN_W)
+        mode = preprocess_mode(img) if compute_modes else None
+        buffered.append((smp, rid, img, mode))
+        buffered_bytes += img.nbytes
+        if buffered_bytes >= flush_bytes or len(buffered) >= slot_cap:
+            yield from flush(final=False)
+    while buffered:
+        yield from flush(final=True)
+
+
+def shipped_bytes(batch: ShelfBatch) -> int:
+    """Wire bytes of one dispatch (the windows tensor; slot metadata is
+    ~24 B/ROI and rides alongside)."""
+    return batch.windows.nbytes
+
+
+def preprocess_mode(img: np.ndarray) -> int:
+    """Mode pixel of one ROI (reference border fill, ``image.py:229-237``),
+    from the ROI's own bytes while they are cache-hot."""
+    return int(np.argmax(np.bincount(img.ravel(), minlength=256)))

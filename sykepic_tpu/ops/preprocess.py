@@ -167,7 +167,8 @@ def resize_pad_batch(
     return out.astype(dtype)
 
 
-def _bilinear_weights(q, pad, n_new, src_size, canvas_size: int):
+def _bilinear_weights(q, pad, n_new, src_size, canvas_size: int,
+                      origin=None):
     """Per-image bilinear weight matrix ``(B, size_out, canvas_size)``.
 
     ``q`` is the (B, size_out) output->padded-square coordinate per output
@@ -176,17 +177,29 @@ def _bilinear_weights(q, pad, n_new, src_size, canvas_size: int):
     source-tap weights under OpenCV INTER_LINEAR mapping with edge clamping;
     rows outside the resized region are garbage and must be masked by the
     caller.
+
+    ``origin`` (per-image int, optional) places the source at rows/cols
+    ``[origin, origin + src)`` of the canvas instead of 0 — how the shelf
+    packer's ROIs (:mod:`sykepic_tpu.ingest.shelf`) are extracted straight
+    out of a shared window without materializing a crop.
     """
     pad = pad.astype(jnp.float32)[:, None]
     n_new = n_new.astype(jnp.float32)[:, None]
     src = src_size.astype(jnp.float32)[:, None]
     f = (q - pad + 0.5) * (src / n_new) - 0.5
-    f = jnp.clip(f, 0.0, src - 1.0)  # (B, T)
+    f = jnp.clip(f, 0.0, src - 1.0)  # (B, T) in ROI-local coordinates
     taps = jnp.arange(canvas_size, dtype=jnp.float32)[None, None, :]
+    if origin is not None:
+        # Shift the TAPS into ROI-local coordinates (exact: both are small
+        # ints, so fp32 subtraction is lossless) rather than shifting the
+        # fractional coordinate f — weights stay bit-identical to the
+        # origin-0 slot path.
+        taps = taps - origin.astype(jnp.float32)[:, None, None]
     w = jnp.maximum(0.0, 1.0 - jnp.abs(f[:, :, None] - taps))  # (B, T, S)
-    # Kill taps at/after the valid extent so canvas padding never leaks in
-    # (weight at s = src-1 already absorbs the clamped coordinate).
-    w = jnp.where(taps < src[:, :, None], w, 0.0)
+    # Kill taps outside the valid extent so canvas padding (or a shelf
+    # neighbour) never leaks in (the weight at the last valid tap already
+    # absorbs the clamped coordinate).
+    w = jnp.where((taps >= 0.0) & (taps < src[:, :, None]), w, 0.0)
     return w
 
 
@@ -214,6 +227,8 @@ def resize_pad_batch_mxu(
     dtype=jnp.float32,
     affine_y=None,
     affine_x=None,
+    y_origin=None,
+    x_origin=None,
 ):
     """Same contract as :func:`resize_pad_batch`, computed as two batched
     matmuls instead of gathers.
@@ -223,12 +238,17 @@ def resize_pad_batch_mxu(
     512-batch — sub-millisecond), where the gather formulation lowers to
     scalar-core loads (measured ~0.8 s/batch on v5e). Numerics are the same
     bilinear sum up to float reassociation.
+
+    ``y_origin``/``x_origin`` (per-image ints) read the source at
+    ``[origin, origin + size)`` of the canvas instead of the top-left
+    corner — the shelf-packed classify path, where many ROIs share one
+    window (:mod:`sykepic_tpu.ingest.shelf`).
     """
     b, ch, cw = canvas.shape
     q_y = _axis_coords(target_h, b, affine_y)  # (B, target_h)
     q_x = _axis_coords(target_w, b, affine_x)  # (B, target_w)
-    a_h = _bilinear_weights(q_y, pad_top, new_h, heights, ch)
-    a_w = _bilinear_weights(q_x, pad_left, new_w, widths, cw)
+    a_h = _bilinear_weights(q_y, pad_top, new_h, heights, ch, y_origin)
+    a_w = _bilinear_weights(q_x, pad_left, new_w, widths, cw, x_origin)
     img = canvas.astype(jnp.float32)
     rows = jnp.einsum("bis,bsw->biw", a_h, img,
                       preferred_element_type=jnp.float32)
@@ -275,6 +295,8 @@ def eval_preprocess(
     imagenet_normalization: bool = False,
     dtype=jnp.float32,
     use_pallas: bool = False,
+    y_origin=None,
+    x_origin=None,
 ):
     """Fused eval-path preprocessing (reference eval transform = Resize +
     ToTensor, ``train/config.py:31-58``; NOTE the reference appends ImageNet
@@ -288,10 +310,11 @@ def eval_preprocess(
     dtype -- NHWC because that is the native TPU conv layout (the reference's
     NCHW is a torch convention, not a contract).
     """
-    if use_pallas:
+    if use_pallas and y_origin is None and x_origin is None:
         # Fused Pallas kernel: same math, compiles ~50x faster than the
         # einsum XLA program on the tunneled TPU and skips the HBM
-        # round-trips of the materialized weight tensors.
+        # round-trips of the materialized weight tensors. (The shelf path
+        # carries per-ROI origins, which only the einsum path supports.)
         from . import pallas_preprocess
 
         img = pallas_preprocess.resize_pad_batch_pallas(
@@ -311,6 +334,8 @@ def eval_preprocess(
             target_h,
             target_w,
             dtype=jnp.float32,
+            y_origin=y_origin,
+            x_origin=x_origin,
         )
     img = img / 255.0
     img = jnp.repeat(img[..., None], num_chans, axis=-1)

@@ -46,3 +46,27 @@ def pytest_addoption(parser):
 @pytest.fixture(scope="session")
 def matlab(request):
     return request.config.option.matlab
+
+
+@pytest.fixture(scope="session")
+def model_dir(tmp_path_factory):
+    """A complete model directory: reference config.ini + class_names.txt +
+    a seeded random checkpoint in our native format (shared by the engine
+    and probability test modules)."""
+    import shutil
+
+    from sykepic_tpu.models import checkpoint
+    from sykepic_tpu.models.registry import init_variables
+    from sykepic_tpu.train import config as tcfg
+
+    src = Path("tests/model/resnet18_ref")
+    d = tmp_path_factory.mktemp("model") / "resnet18_tpu"
+    d.mkdir()
+    shutil.copy(src / "config.ini", d / "config.ini")
+    shutil.copy(src / "class_names.txt", d / "class_names.txt")
+    config = tcfg.read_config(d / "config.ini")
+    model, _ = tcfg.get_network(config, 50)
+    shape = tcfg.get_img_shape(config)  # (3, 180, 180)
+    variables = init_variables(model, (shape[1], shape[2], shape[0]), seed=0)
+    checkpoint.save_variables(d / "best_state.msgpack", variables)
+    return d

@@ -16,27 +16,6 @@ Args = namedtuple(
 )
 
 
-@pytest.fixture(scope="session")
-def model_dir(tmp_path_factory):
-    """A complete model directory: reference config.ini + class_names.txt +
-    a seeded random checkpoint in our native format."""
-    from sykepic_tpu.models import checkpoint
-    from sykepic_tpu.models.registry import init_variables
-    from sykepic_tpu.train import config as tcfg
-    import shutil
-
-    src = Path("tests/model/resnet18_ref")
-    d = tmp_path_factory.mktemp("model") / "resnet18_tpu"
-    d.mkdir()
-    shutil.copy(src / "config.ini", d / "config.ini")
-    shutil.copy(src / "class_names.txt", d / "class_names.txt")
-    config = tcfg.read_config(d / "config.ini")
-    model, _ = tcfg.get_network(config, 50)
-    shape = tcfg.get_img_shape(config)  # (3, 180, 180)
-    variables = init_variables(model, (shape[1], shape[2], shape[0]), seed=0)
-    checkpoint.save_variables(d / "best_state.msgpack", variables)
-    return d
-
 
 def test_call(tmp_path, model_dir):
     from sykepic_tpu.compute import probability

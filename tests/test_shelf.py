@@ -1,0 +1,137 @@
+"""Shelf packer invariants + shelf-vs-slot classification parity.
+
+The shelf path (ingest/shelf.py + the engine's ``_infer_shelf``) must be a
+pure wire-layout optimization: every ROI present exactly once, pixels
+blitted losslessly, and classification output equal to the slot path
+(reference semantics: ``sykepic/compute/probability.py:133-206``).
+"""
+
+import numpy as np
+import pytest
+
+from sykepic_tpu.ingest import shelf
+
+
+def _rand_rois(n, rng, h_range=(8, 180), w_range=(8, 180)):
+    out = []
+    for i in range(n):
+        h = int(rng.integers(*h_range))
+        w = int(rng.integers(*w_range))
+        out.append((i % 7, i + 1, rng.integers(0, 255, (h, w), np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("n", [1, 5, 37, 400])
+def test_every_roi_placed_exactly_once_and_lossless(n):
+    rng = np.random.default_rng(n)
+    rois = _rand_rois(n, rng)
+    batches = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                      compute_modes=True))
+    seen = {}
+    for b in batches:
+        nc = b.windows.shape[0]
+        assert b.windows.shape[1:] == (shelf.WIN_H, shelf.WIN_W)
+        assert nc in shelf.NC_LADDER
+        for s in range(b.n_valid):
+            key = (int(b.sample_idx[s]), int(b.roi_ids[s]))
+            assert key not in seen, f"duplicate {key}"
+            h, w = int(b.heights[s]), int(b.widths[s])
+            y, x = int(b.y0[s]), int(b.x0[s])
+            assert 0 <= y and y + h <= shelf.WIN_H
+            assert 0 <= x and x + w <= shelf.WIN_W
+            img = b.windows[int(b.win_idx[s]), y : y + h, x : x + w]
+            seen[key] = img.copy()
+    expect = {(smp, rid): img for smp, rid, img in rois}
+    assert set(seen) == set(expect)
+    for key in expect:
+        assert np.array_equal(seen[key], expect[key]), key
+
+
+def test_no_overlap_between_rois():
+    rng = np.random.default_rng(3)
+    rois = _rand_rois(300, rng)
+    for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180)):
+        cover = np.zeros(b.windows.shape, np.int32)
+        for s in range(b.n_valid):
+            w_, y, x = int(b.win_idx[s]), int(b.y0[s]), int(b.x0[s])
+            cover[w_, y : y + int(b.heights[s]),
+                  x : x + int(b.widths[s])] += 1
+        assert cover.max() <= 1
+
+
+def test_oversized_rois_are_shrunk():
+    rng = np.random.default_rng(4)
+    big = rng.integers(0, 255, (700, 900), np.uint8)
+    (b,) = list(shelf.pack_shelves(iter([(0, 1, big)]),
+                                   pre_shrink_to=(180, 180)))
+    assert b.n_valid == 1
+    assert int(b.heights[0]) <= shelf.WIN_H
+    assert int(b.widths[0]) <= shelf.WIN_W
+
+
+def test_slot_padding_respects_batch_multiple():
+    rng = np.random.default_rng(5)
+    rois = _rand_rois(10, rng)
+    for mult in (1, 3, 8):
+        for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                    batch_multiple=mult):
+            assert len(b.win_idx) % mult == 0
+            assert len(b.win_idx) >= b.n_valid
+
+
+def test_occupancy_on_realistic_mix():
+    """Shelf packing must beat the slot packer's wire bytes by a clear
+    margin on a realistic IFCB size mix (the point of the exercise)."""
+    rng = np.random.default_rng(6)
+    sizes = [(0.45, (24, 32), (40, 64)), (0.22, (33, 48), (40, 64)),
+             (0.18, (49, 64), (40, 128)), (0.12, (65, 128), (65, 256)),
+             (0.03, (129, 256), (257, 512))]
+    weights = np.array([s[0] for s in sizes])
+    rois = []
+    for i in range(3000):
+        k = rng.choice(len(sizes), p=weights / weights.sum())
+        (h0, h1), (w0, w1) = sizes[k][1], sizes[k][2]
+        h, w = int(rng.integers(h0, h1 + 1)), int(rng.integers(w0, w1 + 1))
+        rois.append((0, i + 1, rng.integers(0, 255, (h, w), np.uint8)))
+    batches = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180)))
+    wire = sum(b.windows.nbytes for b in batches)
+    raw = sum(int(b.heights[: b.n_valid].astype(np.int64)
+                  @ b.widths[: b.n_valid]) for b in batches)
+    occupancy = raw / wire
+    assert occupancy > 0.85, occupancy
+    # program-shape diversity stays tiny
+    shapes = {(b.windows.shape[0], len(b.win_idx)) for b in batches}
+    assert len(shapes) <= 4, shapes
+
+
+def test_shelf_classification_matches_slot_path(model_dir):
+    """End-to-end engine parity: same ROIs through the shelf program and
+    the slot program give the same probabilities (bit-near: the einsum
+    contraction width differs, leaving ~1 ulp of reassociation noise)."""
+    from sykepic_tpu.compute import probability
+
+    rng = np.random.default_rng(7)
+    rois = _rand_rois(150, rng, h_range=(10, 300), w_range=(10, 300))
+
+    def run(packing):
+        clf = probability.prepare_model(model_dir, batch_size=64)
+        clf.packing = packing
+        return {(s, r): p for s, r, p in clf.classify_rois(iter(rois))}
+
+    a = run("slots")
+    b = run("shelf")
+    assert set(a) == set(b)
+    worst = max(float(np.abs(a[k] - b[k]).max()) for k in a)
+    assert worst < 1e-5, worst
+
+
+def test_onchip_rate_shelf_counts(model_dir):
+    from sykepic_tpu.compute import probability
+
+    rng = np.random.default_rng(8)
+    rois = _rand_rois(40, rng)
+    clf = probability.prepare_model(model_dir, batch_size=64)
+    clf.packing = "shelf"
+    n, secs = clf.onchip_rate(iter(rois), repeats=1)
+    assert n == 40
+    assert secs > 0.0
