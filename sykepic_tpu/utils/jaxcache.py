@@ -36,6 +36,27 @@ def enable(cache_dir=None) -> Path | None:
         jax.config.update("jax_compilation_cache_max_size",
                           24 * 1024**3)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _repair_atimes(cache_dir)
     except Exception:  # pragma: no cover - cache is best-effort
         return None
     return cache_dir
+
+
+def _repair_atimes(cache_dir: Path) -> int:
+    """Recreate missing ``-atime`` companions of ``-cache`` entries.
+
+    jax's size-capped LRU layer reads every entry's atime file during
+    eviction and a single missing one (entries written before the cap was
+    configured, or a crash between the two writes) makes EVERY subsequent
+    cache write fail — new programs then silently recompile in each fresh
+    process (~10-30 s each over a tunneled TPU)."""
+    import time
+
+    ts = time.time_ns().to_bytes(8, "little")  # jax lru_cache.py format
+    fixed = 0
+    for entry in cache_dir.glob("*-cache"):
+        atime = cache_dir / (entry.name[: -len("-cache")] + "-atime")
+        if not atime.exists():
+            atime.write_bytes(ts)
+            fixed += 1
+    return fixed
