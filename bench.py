@@ -290,21 +290,23 @@ def inference_benchmark(root: Path) -> None:
 
 
 def measure_link_mbps() -> float:
-    """Round-trip tunnel bandwidth of an 8 MB incompressible payload:
-    16 MB moved / wall seconds (device_put up + full np.asarray down; no
-    compiled program involved, and block_until_ready lies over the
-    tunnel so the D2H read doubles as the completion barrier)."""
+    """UPLOAD bandwidth of an 8 MB incompressible payload — the direction
+    that bounds the e2e number (canvas bytes up dwarf probability rows
+    down, and the warm link measures symmetric ~±5%). ``device_put`` then
+    a 1-element ``np.asarray`` read: the device queue is serial, so the
+    tiny read completes only after the upload lands (block_until_ready
+    lies over the tunnel). The first transfer after idle runs cold (~4x
+    slow ramp measured), so one untimed 8 MB warm-up precedes the probe."""
     import jax
 
     payload = np.random.default_rng(7).integers(
         0, 255, (8 * 1024 * 1024,), np.uint8
     )
-    np.asarray(jax.device_put(payload[:1024]))  # warm the transfer path
+    np.asarray(jax.device_put(payload)[:1])  # warm the path at full size
     t0 = time.perf_counter()
-    back = np.asarray(jax.device_put(payload))
+    np.asarray(jax.device_put(payload)[:1])
     dt = time.perf_counter() - t0
-    assert back[0] == payload[0]
-    return round(16.0 / dt, 1)
+    return round(8.0 / dt, 1)
 
 
 def train_benchmark(root: Path) -> None:
