@@ -395,7 +395,7 @@ def train_benchmark(root: Path) -> None:
     utilization = achieved_tflops = None
     try:
         per_img_flops = _train_step_flops(trainer, last_batch, lrs)
-        per_img_flops /= max(len(last_batch.idx), 1)
+        per_img_flops /= max(len(last_batch.weights), 1)
         achieved = per_img_flops * n_imgs / epoch_s
         achieved_tflops = round(achieved / 1e12, 1)
         utilization = round(achieved / V5E_BF16_PEAK, 3)
@@ -422,17 +422,32 @@ def train_benchmark(root: Path) -> None:
 
 
 def _train_step_flops(trainer, batch, lrs) -> float:
-    """FLOPs of one compiled gathered train step from XLA's cost model.
-    The warm epoch already compiled this program, so ``.compile()`` is a
-    cache hit (persistent disk cache included)."""
+    """FLOPs of one compiled train step from XLA's cost model (the
+    stratified mixed step — what shuffled DeviceDataset epochs run, or the
+    bucket-pure gathered step for single-bucket sets). The warm epoch
+    already compiled the program, so ``.compile()`` is a cache hit
+    (persistent disk cache included)."""
     import jax.numpy as jnp
 
-    step = trainer._steps[("train_gather", 2)]
-    idx, wts = trainer._put_indices(batch.idx, batch.weights)
-    lowered = step.lower(
-        trainer.params, trainer.batch_stats, trainer.opt_state,
-        batch.store, idx, wts, jnp.asarray(lrs, jnp.float32), trainer.key,
-    )
+    from sykepic_tpu.train.device_data import MixedGatheredBatch
+
+    lrs = jnp.asarray(lrs, jnp.float32)
+    if isinstance(batch, MixedGatheredBatch):
+        k = len(batch.stores)
+        step = trainer._steps[("train_mixed", 2, k)]
+        idxs = tuple(np.asarray(i, np.int32) for i in batch.idxs)
+        lowered = step.lower(
+            trainer.params, trainer.batch_stats, trainer.opt_state,
+            batch.stores, idxs, np.asarray(batch.weights, np.float32),
+            lrs, trainer.key,
+        )
+    else:
+        step = trainer._steps[("train_gather", 2)]
+        idx, wts = trainer._put_indices(batch.idx, batch.weights)
+        lowered = step.lower(
+            trainer.params, trainer.batch_stats, trainer.opt_state,
+            batch.store, idx, wts, lrs, trainer.key,
+        )
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]

@@ -15,12 +15,17 @@ Replaces nothing semantically: oversampled occurrence lists, per-image
 resize geometry (``ops/preprocess.compute_geometry``), border fill
 (reference ``image.py:20-37,229-237``) and translate limits (reference
 ``image.py:39-51``) are identical to the host path — they are per-IMAGE
-quantities, precomputed at load time and gathered with the pixels. Batch
-composition is bucket-pure (each batch drawn from one canvas-shape
-store); the host loader's size-pooled batching (``input.py::BatchLoader``)
-already produces near-size-homogeneous batches, so training dynamics
-match the production host path. Within-bucket membership and global batch
-order reshuffle every epoch.
+quantities, precomputed at load time and gathered with the pixels.
+
+TRAIN batches are stratified across buckets (:class:`MixedGatheredBatch`:
+a fixed per-bucket composition gathered from every store and concatenated
+inside the compiled step). Bucket-PURE batches are near-class-pure when
+ROI size correlates with class — true of plankton data — and per-batch
+BatchNorm statistics then erase the very signal that separates the
+classes (measured as a collapse to chance accuracy on a size-correlated
+synthetic set, ``tests/test_device_data.py``). Eval batches stay
+bucket-pure (no per-batch statistics). Membership and batch order
+reshuffle every epoch.
 
 Duplicate occurrences (oversampling, reference ``data.py:132-148``)
 share one store row: pixels are decoded and uploaded once per unique
@@ -54,6 +59,29 @@ class GatheredBatch:
     idx: np.ndarray  # (B,) int32 store rows
     weights: np.ndarray  # (B,) float32, 0 for wrapped tail slots
     labels: np.ndarray  # (B,) int32 host labels (mirrors store gather)
+
+
+@dataclass
+class MixedGatheredBatch:
+    """A stratified TRAIN batch drawing from every canvas bucket at once:
+    parallel tuples of (store, index vector), concatenated inside the
+    compiled step (``Trainer.train_batch_mixed``). Exists because
+    canvas-pure batches are near-class-pure on size-correlated data and
+    per-batch BatchNorm statistics then erase the class signal (see
+    :meth:`DeviceDataset.epoch_mixed`)."""
+
+    stores: tuple  # one device-resident store per contributing bucket
+    idxs: tuple  # parallel (c_i,) int32 row vectors
+    weights: np.ndarray  # (sum c_i,) float32, 0 for wrapped pad slots
+    labels: np.ndarray  # (sum c_i,) int32 host labels, bucket order
+
+    def split_weights(self):
+        """Per-bucket views of ``weights`` (parallel to ``idxs``)."""
+        out, pos = [], 0
+        for idx in self.idxs:
+            out.append(self.weights[pos : pos + len(idx)])
+            pos += len(idx)
+        return out
 
 
 def make_store(canvas, heights, widths, labels, spec) -> dict:
@@ -266,7 +294,9 @@ class DeviceDataset:
             remaining -= real
 
     def __len__(self) -> int:
-        """Batches per epoch."""
+        """Batches per epoch (of the ``__iter__`` protocol's mode)."""
+        if self._use_mixed:
+            return self._mixed_len()
         total = 0
         for bi, key in enumerate(self._bucket_keys):
             occ = int(np.sum(self._bucket_of_row[self.occ_rows] == bi))
@@ -316,9 +346,85 @@ class DeviceDataset:
             self.rng.shuffle(batches)
         yield from batches
 
+    def epoch_mixed(self, shuffle: bool = True):
+        """Yield stratified mixed batches: every batch draws a FIXED
+        per-bucket composition ``c_i = ceil(occ_i / n_batches)``, covering
+        each occurrence exactly once (final slots wrap with weight-0
+        duplicates, same policy as :meth:`epoch`).
+
+        Why: a canvas-pure batch is near-class-pure whenever ROI size
+        correlates with class — true of real plankton data — and training
+        BatchNorm then normalizes per batch exactly the statistics that
+        separate the classes. On a synthetic set with perfect size/class
+        correlation, bucket-pure batches collapse training to chance
+        accuracy while mixed batches (and the host loader) learn it —
+        ``tests/test_device_data.py::
+        test_bucket_pure_batches_learn_size_correlated_classes``.
+        The fixed composition keeps ONE compiled step for the whole epoch
+        (the pow2 tail ladder of :meth:`epoch` isn't needed: there are no
+        tail batches).
+
+        Yields ``(bucket_keys, idx_tuple, weights)`` with ``weights`` the
+        concatenation over buckets in ``bucket_keys`` order.
+        """
+        occ_buckets = self._bucket_of_row[self.occ_rows]
+        per_bucket = []
+        for bi, key in enumerate(self._bucket_keys):
+            occ = np.nonzero(occ_buckets == bi)[0]
+            if len(occ):
+                rows = self._local_of_row[self.occ_rows[occ]].copy()
+                per_bucket.append((key, rows))
+        total = sum(len(rows) for _, rows in per_bucket)
+        if total == 0:
+            return
+        n_batches = max(-(-total // self.batch_size), 1)
+        slots = []
+        for key, rows in per_bucket:
+            if shuffle:
+                self.rng.shuffle(rows)
+            c = -(-len(rows) // n_batches)  # ceil: every row gets a slot
+            need = n_batches * c
+            weights = np.zeros(need, np.float32)
+            weights[: len(rows)] = 1.0
+            padded = rows
+            while len(padded) < need:  # wrap with weight-0 duplicates
+                padded = np.concatenate([padded, rows[: need - len(padded)]])
+            slots.append((key, c, padded.astype(np.int32), weights))
+        for j in range(n_batches):
+            keys = tuple(key for key, _, _, _ in slots)
+            idxs = tuple(p[j * c : (j + 1) * c] for _, c, p, _ in slots)
+            weights = np.concatenate(
+                [w[j * c : (j + 1) * c] for _, c, _, w in slots]
+            )
+            yield keys, idxs, weights
+
+    def _mixed_len(self) -> int:
+        """Batches per epoch in mixed mode."""
+        occ = len(self.occ_rows)
+        return max(-(-occ // self.batch_size), 1) if occ else 0
+
+    @property
+    def _use_mixed(self) -> bool:
+        # Mixing only matters with >1 bucket; a single bucket already
+        # yields globally shuffled batches through the pure path.
+        return self.shuffle and len(self._bucket_keys) > 1
+
     def __iter__(self):
-        """Epoch of :class:`GatheredBatch` es — drop-in for the host
-        ``BatchLoader`` iteration protocol in the train/val/test loops."""
+        """Epoch of batches — drop-in for the host ``BatchLoader``
+        iteration protocol in the train/val/test loops. Shuffled (train)
+        iteration emits stratified :class:`MixedGatheredBatch` es;
+        sequential (val/test) iteration keeps bucket-pure
+        :class:`GatheredBatch` es (eval has no per-batch statistics)."""
+        if self._use_mixed:
+            for keys, idxs, weights in self.epoch_mixed(shuffle=True):
+                labels = np.concatenate([
+                    self._host_labels[k][i] for k, i in zip(keys, idxs)
+                ])
+                yield MixedGatheredBatch(
+                    tuple(self.stores[k] for k in keys), idxs, weights,
+                    labels,
+                )
+            return
         for key, idx, weights in self.epoch(shuffle=self.shuffle):
             yield GatheredBatch(self.stores[key], idx, weights,
                                 self._host_labels[key][idx])

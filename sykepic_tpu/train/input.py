@@ -209,13 +209,67 @@ class BatchLoader:
             return
         self.rng.shuffle(order)
         if self.size_pool > 1 and len(order) > b:
-            # Size-homogeneous batches: sort inside pools of
-            # batch_size * size_pool so a lone large image no longer sizes
-            # all 256 slots' canvas (measured ~4x padding bytes on mixed
-            # datasets); shuffling pools AND the final batch order keeps
-            # composition stochastic across epochs.
             if self._sizes is None:
                 self._sizes = self._size_keys()
+            if self.labels is not None:
+                # CLASS-STRATIFIED size batching. Plain size-sorted pools
+                # make batches near-class-pure whenever ROI size correlates
+                # with class (it does in plankton data), and per-batch
+                # BatchNorm statistics then normalize away the class signal
+                # (measured as a training collapse on a size-correlated
+                # synthetic set — tests/test_device_data.py). Instead: sort
+                # each CLASS by size and deal per-class quantile chunks
+                # into each batch, so every batch carries the global class
+                # mix while staying size-tight within each class (canvas =
+                # max over the batch; only the smaller classes' slots pay
+                # padding). size_pool = 1 (INI `[image] size_pool`) is the
+                # reference-faithful global shuffle.
+                n_batches = -(-len(order) // b)
+                dealt = [[] for _ in range(n_batches)]
+                for lab in np.unique(self.labels):
+                    grp = order[self.labels[order] == lab]
+                    grp = grp[np.argsort(self._sizes[grp], kind="stable")]
+                    # local window shuffle: vary batch membership across
+                    # epochs without giving up the size ordering (a window
+                    # of 2 chunks bounds how far an image drifts in size
+                    # rank, so one large image cannot widen many batches)
+                    w = max(2 * (len(grp) // n_batches), 4)
+                    for s in range(0, len(grp), w):
+                        self.rng.shuffle(grp[s : s + w])
+                    # rotate so per-class +1 remainders spread over batches
+                    rot = int(self.rng.integers(n_batches))
+                    for j, chunk in enumerate(np.array_split(grp, n_batches)):
+                        dealt[(j + rot) % n_batches].append(chunk)
+                # per-class ceil/floor chunks leave batches a few slots off
+                # b; rebalance by spilling overflow into the shortest
+                # batches (NEVER by re-slicing a flattened order — boundary
+                # drift was measured concentrating one class into a single
+                # batch, exactly the composition this scheme exists to
+                # avoid). Under-full batches pad in _make_batch.
+                merged = [np.concatenate(chunks) for chunks in dealt
+                          if chunks]
+                spill: list = []
+                for j, arr in enumerate(merged):
+                    if len(arr) > b:
+                        spill.extend(arr[b:].tolist())
+                        merged[j] = arr[:b]
+                for j in np.argsort([len(a) for a in merged]):
+                    if not spill:
+                        break
+                    need = b - len(merged[j])
+                    if need > 0:
+                        take, spill = spill[:need], spill[need:]
+                        merged[j] = np.concatenate(
+                            [merged[j], np.asarray(take, merged[j].dtype)]
+                        )
+                batches = [a for a in merged if len(a)]
+                self.rng.shuffle(batches)
+                yield from batches
+                return
+            # Unlabeled streams (no class skew to worry about): sort inside
+            # pools of batch_size * size_pool so a lone large image no
+            # longer sizes all slots' canvas (measured ~4x padding bytes on
+            # mixed datasets).
             pool = b * self.size_pool
             pieces = []
             for start in range(0, len(order), pool):

@@ -234,13 +234,19 @@ def main(args):
               f"{(train_loader.nbytes + val_loader.nbytes) / 1e6:.0f} MB "
               "uploaded once; epochs gather on device")
     else:
+        # `[image] size_pool` (default 16): class-stratified size batching
+        # granularity; 1 = reference-faithful plain global shuffle (pays
+        # ~4x canvas padding bytes on mixed-size sets)
+        size_pool = config.getint("image", "size_pool", fallback=16)
         train_loader = BatchLoader(
             train_x, train_y, batch_size, shuffle=True, seed=random_seed,
             num_threads=max(num_workers, 1), pre_shrink_to=shrink,
+            size_pool=size_pool,
         )
         val_loader = BatchLoader(
             model_data.val_x, model_data.val_y, batch_size,
             num_threads=max(num_workers, 1), pre_shrink_to=shrink,
+            size_pool=size_pool,
         )
 
     best_state = train_net(

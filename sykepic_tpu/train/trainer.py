@@ -201,21 +201,18 @@ class Trainer:
                      "pad_top", "pad_left", "border", "lim_x", "lim_y",
                      "labels")
 
-    def _build_train_step(self, stage: int, gather: bool = False):
+    def _core_update(self, stage: int):
+        """Shared fwd+bwd+update over preprocessed images ``x``: the single
+        definition of the loss, the stage gradient mask, and the metric
+        reductions for every train-step variant (host-shipped, gathered,
+        mixed-composition). Preprocessing has no trainable parameters, so
+        computing ``x`` outside ``value_and_grad`` is exact."""
         model = self.model
         tx = self.tx
         labels = self.labels
 
-        def step(params, batch_stats, opt_state, canvas, heights, widths,
-                 new_h, new_w, pad_top, pad_left, border, lim_x, lim_y,
-                 y, wts, lrs, key):
-            aug_key, drop_key = jax.random.split(key)
-
+        def core(params, batch_stats, opt_state, x, y, wts, lrs, drop_key):
             def loss_fn(p):
-                x = self._device_preprocess(
-                    canvas, heights, widths, new_h, new_w, pad_top, pad_left,
-                    border, lim_x, lim_y, aug_key, train=True,
-                )
                 logits, mutated = model.apply(
                     {"params": p, "batch_stats": batch_stats},
                     x,
@@ -255,6 +252,22 @@ class Trainer:
             n = jnp.sum(wts)
             return new_params, new_bstats, new_opt_state, loss_sum, correct, n
 
+        return core
+
+    def _build_train_step(self, stage: int, gather: bool = False):
+        core = self._core_update(stage)
+
+        def step(params, batch_stats, opt_state, canvas, heights, widths,
+                 new_h, new_w, pad_top, pad_left, border, lim_x, lim_y,
+                 y, wts, lrs, key):
+            aug_key, drop_key = jax.random.split(key)
+            x = self._device_preprocess(
+                canvas, heights, widths, new_h, new_w, pad_top, pad_left,
+                border, lim_x, lim_y, aug_key, train=True,
+            )
+            return core(params, batch_stats, opt_state, x, y, wts, lrs,
+                        drop_key)
+
         if not gather:
             return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -267,6 +280,45 @@ class Trainer:
             return step(params, batch_stats, opt_state, *g, wts, lrs, key)
 
         return jax.jit(gstep, donate_argnums=(0, 1, 2))
+
+    def _build_train_step_mixed(self, stage: int, k: int):
+        """Stratified mixed-composition gathered step: one sub-gather per
+        canvas bucket, each preprocessed to the target shape, concatenated
+        into ONE batch for the model. Canvas-pure batches are near-CLASS-
+        pure when ROI size correlates with class (it does, in plankton
+        data), and per-batch BatchNorm statistics then normalize the class
+        signal away — measured as a total training collapse on a
+        size-correlated synthetic set (tests/test_device_data.py). Mixing
+        inside the compiled step keeps the one-upload store design AND the
+        host loader's mixed-batch statistics."""
+        core = self._core_update(stage)
+        fields = self._STORE_FIELDS
+
+        def mstep(params, batch_stats, opt_state, stores, idxs, wts, lrs,
+                  key):
+            aug_key, drop_key = jax.random.split(key)
+            aug_keys = jax.random.split(aug_key, k)
+            xs, ys = [], []
+            for i in range(k):
+                g = {f: jnp.take(stores[i][f], idxs[i], axis=0)
+                     for f in fields}
+                xs.append(self._device_preprocess(
+                    g["canvas"], g["heights"], g["widths"], g["new_h"],
+                    g["new_w"], g["pad_top"], g["pad_left"], g["border"],
+                    g["lim_x"], g["lim_y"], aug_keys[i], train=True,
+                ))
+                ys.append(g["labels"])
+            x = jnp.concatenate(xs, axis=0)
+            y = jnp.concatenate(ys, axis=0)
+            # The gathers/preprocess run from replicated indices; constrain
+            # the concatenated batch onto the data axis so the model
+            # fwd+bwd (the dominant compute) runs data-parallel. GSPMD
+            # pads internally, so the batch need not divide the mesh.
+            x = jax.lax.with_sharding_constraint(x, self._data_sharding)
+            return core(params, batch_stats, opt_state, x, y, wts, lrs,
+                        drop_key)
+
+        return jax.jit(mstep, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self, gather: bool = False):
         model = self.model
@@ -337,8 +389,12 @@ class Trainer:
         device-resident :class:`~sykepic_tpu.train.device_data
         .GatheredBatch` (routed to :meth:`train_batch_gathered`).
         """
-        from .device_data import GatheredBatch
+        from .device_data import GatheredBatch, MixedGatheredBatch
 
+        if isinstance(batch, MixedGatheredBatch):
+            return self.train_batch_mixed(
+                batch.stores, batch.idxs, batch.weights, stage, lrs
+            )
         if isinstance(batch, GatheredBatch):
             return self.train_batch_gathered(
                 batch.store, batch.idx, batch.weights, stage, lrs
@@ -392,6 +448,33 @@ class Trainer:
         )
         return loss_sum, correct, n
 
+    def train_batch_mixed(self, stores, idxs, weights, stage: int, lrs):
+        """One optimization step over a stratified mixed batch: ``stores``
+        and ``idxs`` are parallel tuples (one store + index vector per
+        canvas bucket); see :meth:`_build_train_step_mixed` for why train
+        batches mix buckets. Index vectors replicate across the mesh (no
+        divisibility constraint); the concatenated batch is data-sharded
+        inside the step."""
+        k = len(stores)
+        cache_key = ("train_mixed", stage, k)
+        if cache_key not in self._steps:
+            self._steps[cache_key] = self._build_train_step_mixed(stage, k)
+        step = self._steps[cache_key]
+        idxs = tuple(
+            jax.device_put(np.asarray(i, np.int32), self._replicated)
+            for i in idxs
+        )
+        wts = jax.device_put(np.asarray(weights, np.float32),
+                             self._replicated)
+        self.key, sub = jax.random.split(self.key)
+        lrs = jnp.asarray(lrs, jnp.float32)
+        (self.params, self.batch_stats, self.opt_state,
+         loss_sum, correct, n) = step(
+            self.params, self.batch_stats, self.opt_state,
+            tuple(stores), idxs, wts, lrs, sub,
+        )
+        return loss_sum, correct, n
+
     def eval_batch_gathered(self, store, idx, weights):
         """Gathered counterpart of :meth:`eval_batch`."""
         if "eval_gather" not in self._steps:
@@ -403,8 +486,24 @@ class Trainer:
 
     def eval_batch(self, batch):
         """Returns (loss_sum, correct, n, preds ndarray)."""
-        from .device_data import GatheredBatch
+        from .device_data import GatheredBatch, MixedGatheredBatch
 
+        if isinstance(batch, MixedGatheredBatch):
+            # eval has no per-batch statistics, so sub-batches evaluate
+            # independently; preds concatenate in bucket order (matching
+            # batch.labels)
+            import numpy as _np
+
+            loss_sum = correct = n = 0.0
+            preds = []
+            for store, idx, w in zip(batch.stores, batch.idxs,
+                                     batch.split_weights()):
+                ls, c, k, p = self.eval_batch_gathered(store, idx, w)
+                loss_sum += ls
+                correct += c
+                n += k
+                preds.append(_np.asarray(p))
+            return loss_sum, correct, n, _np.concatenate(preds)
         if isinstance(batch, GatheredBatch):
             return self.eval_batch_gathered(
                 batch.store, batch.idx, batch.weights

@@ -4,6 +4,15 @@ Over a tunneled TPU a cold ResNet compile costs 30-110 s; with the
 persistent cache a fresh process reloads it in seconds. Enabled by the CLI
 and bench entry points; opt out with ``SYKEPIC_COMPILE_CACHE=0`` or pick a
 directory via ``SYKEPIC_COMPILE_CACHE=/path``.
+
+The cache is partitioned per platform, and the CPU partition is keyed by a
+CPU-feature fingerprint: XLA:CPU entries embed the compile machine's
+feature set and REFUSE to load on a host whose features differ (VM
+migration), while jax never overwrites an existing cache key — so one
+migration turned every CPU entry into a permanent load-fail/recompile loop
+(measured: the hermetic test suite went 271 s -> 1060 s). A migrated host
+simply starts a fresh ``cpu-<fingerprint>`` partition and the stale one
+ages out under the LRU cap.
 """
 
 from __future__ import annotations
@@ -14,6 +23,40 @@ from pathlib import Path
 DEFAULT_DIR = Path.home() / ".cache" / "sykepic-tpu" / "xla"
 
 
+def _platform_tag() -> str:
+    """Partition name for the cache: ``cpu-<feature hash>`` for the host
+    CPU backend, the platform name otherwise. Resolution never initializes
+    the jax backend (enable() must run before the first compile)."""
+    try:
+        import jax
+
+        plats = jax.config.jax_platforms or ""
+    except Exception:  # pragma: no cover - config introspection best-effort
+        plats = ""
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    first = plats.split(",")[0].strip().lower()
+    if first in ("", "cpu"):
+        import hashlib
+
+        feats = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                        break
+        except OSError:  # pragma: no cover - non-Linux fallback
+            import platform
+
+            feats = platform.processor()
+        tag = hashlib.sha256(feats.encode()).hexdigest()[:12]
+        # "" (backend default) usually resolves to an accelerator when one
+        # exists, but partitioning an accelerator's entries by host-CPU
+        # fingerprint only over-splits the cache — never poisons it.
+        return f"cpu-{tag}" if first == "cpu" else f"default-{tag}"
+    return first
+
+
 def enable(cache_dir=None) -> Path | None:
     """Configure jax's compilation cache (idempotent). Returns the dir or
     None when disabled. Must run before the first compilation."""
@@ -22,7 +65,8 @@ def enable(cache_dir=None) -> Path | None:
         return None
     if env.lower() in ("", "1", "true", "yes", "on"):
         env = ""  # plain enable spellings mean "use the default dir"
-    cache_dir = Path(cache_dir or (env if env else DEFAULT_DIR))
+    base = Path(cache_dir or (env if env else DEFAULT_DIR))
+    cache_dir = base / _platform_tag()
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)
         import jax
@@ -37,6 +81,7 @@ def enable(cache_dir=None) -> Path | None:
                           24 * 1024**3)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         _repair_atimes(cache_dir)
+        _sweep_legacy_flat_entries(base)
     except Exception:  # pragma: no cover - cache is best-effort
         return None
     return cache_dir
@@ -60,3 +105,19 @@ def _repair_atimes(cache_dir: Path) -> int:
             atime.write_bytes(ts)
             fixed += 1
     return fixed
+
+
+def _sweep_legacy_flat_entries(base: Path) -> int:
+    """One-time migration: remove pre-partition entries sitting flat in the
+    base directory (mixed CPU/TPU, the CPU ones dead after a VM migration
+    and unidentifiable without deserializing). They are no longer in any
+    active cache dir, so they would otherwise squat their bytes forever."""
+    removed = 0
+    for entry in base.glob("*-cache"):
+        if entry.is_file():
+            entry.unlink(missing_ok=True)
+            removed += 1
+    for mark in base.glob("*-atime"):
+        if mark.is_file():
+            mark.unlink(missing_ok=True)
+    return removed

@@ -165,12 +165,21 @@ def test_jaxcache_env_spellings(tmp_path, monkeypatch):
     assert jaxcache.enable() is None
     monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", "off")
     assert jaxcache.enable() is None
-    # plain enable spellings use the default dir, not a dir named "1"
+    # plain enable spellings use the default dir, not a dir named "1";
+    # the active dir is a per-platform partition under the base (the CPU
+    # partition is keyed by a host fingerprint so VM migrations cannot
+    # poison it with unloadable cross-machine entries)
     monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", "1")
-    assert jaxcache.enable(cache_dir=tmp_path / "cache") == tmp_path / "cache"
+    active = jaxcache.enable(cache_dir=tmp_path / "cache")
+    assert active.parent == tmp_path / "cache" and active.is_dir()
     monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", str(tmp_path / "explicit"))
-    assert jaxcache.enable() == tmp_path / "explicit"
-    assert (tmp_path / "explicit").is_dir()
+    active = jaxcache.enable()
+    assert active.parent == tmp_path / "explicit" and active.is_dir()
+    # legacy flat entries in the base are swept (they are dead weight the
+    # partitioned cache would otherwise never reclaim)
+    (tmp_path / "explicit" / "jit_x-00-cache").write_bytes(b"z")
+    assert jaxcache.enable() == active
+    assert not (tmp_path / "explicit" / "jit_x-00-cache").exists()
 
 
 def test_batchloader_size_pooling_tightens_canvases(tmp_path):
@@ -178,27 +187,38 @@ def test_batchloader_size_pooling_tightens_canvases(tmp_path):
 
     from sykepic_tpu.train.input import BatchLoader
 
-    # 56 small images + 8 large: pooled shuffle must NOT put a large image
-    # in every batch (unpooled shuffled batches almost surely would)
+    # 56 small + 8 large images. Class-stratified batching keeps batches
+    # size-tight WITHIN each class: when size varies inside a class the
+    # canvases stay small for most batches; when size IS the class (the
+    # BatchNorm-hazard case) every batch carries the class mix instead and
+    # pays the canvas for it.
     rng = np.random.default_rng(0)
-    paths, labels = [], []
+    paths = []
     for i in range(56):
         p = tmp_path / f"s{i}.png"
         cv2.imwrite(str(p), rng.integers(0, 255, (20, 30), np.uint8))
         paths.append(p)
-        labels.append(0)
     for i in range(8):
         p = tmp_path / f"L{i}.png"
         cv2.imwrite(str(p), rng.integers(0, 255, (150, 180), np.uint8))
         paths.append(p)
-        labels.append(1)
+
+    # size varies inside one class: batches stay small-canvas
+    labels = [0] * 64
     loader = BatchLoader(paths, labels, batch_size=8, shuffle=True, seed=1,
                          size_pool=8)
     shapes = [b.canvas.shape[1:] for b in loader]
-    small_batches = [s for s in shapes if s[0] <= 64]
-    assert len(small_batches) >= 5  # most batches stay small-canvas
-    # every image still trained exactly once
-    assert sum(1 for _ in shapes) == 8
+    assert len([s for s in shapes if s[0] <= 64]) >= 5
+    assert sum(1 for _ in shapes) == 8  # every image exactly once
+
+    # size == class: every batch must carry the global class mix (the
+    # canvas cost is the price of not erasing the class signal in BN)
+    labels = [0] * 56 + [1] * 8
+    loader = BatchLoader(paths, labels, batch_size=8, shuffle=True, seed=1,
+                         size_pool=8)
+    for b in loader:
+        kinds = set(b.labels[b.weights > 0].tolist())
+        assert kinds == {0, 1}
 
 
 def test_batchloader_pre_shrink_caps_canvas(tmp_path):

@@ -111,6 +111,140 @@ def test_gathered_step_matches_host_batch(dataset_dir):
         )
 
 
+def test_mixed_epoch_covers_every_occurrence_once(dataset_dir):
+    """epoch_mixed invariants: fixed per-bucket composition, every
+    occurrence weighted exactly once, every batch drawing from every
+    bucket."""
+    paths, labels = dataset_dir
+    paths = list(paths) + list(paths[:5])  # oversample: shared rows
+    labels = list(labels) + list(labels[:5])
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    # two buckets so mixing is actually in play (the default list holds
+    # the whole fixture in one shape)
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, seed=1,
+                       shuffle=True, buckets=((24, 40), (64, 64)))
+    assert len(ds._bucket_keys) > 1  # mixing must actually be in play
+    comp = None
+    seen = 0.0
+    n_batches = 0
+    for b in ds:
+        n_batches += 1
+        sizes = tuple(len(i) for i in b.idxs)
+        comp = comp or sizes
+        assert sizes == comp  # one compiled program per epoch
+        assert len(b.stores) == len(ds._bucket_keys)
+        assert len(b.weights) == sum(sizes) == len(b.labels)
+        seen += float(b.weights.sum())
+        # labels mirror the store gather per bucket
+        pos = 0
+        for store, idx in zip(b.stores, b.idxs):
+            store_labels = np.asarray(store["labels"])
+            np.testing.assert_array_equal(
+                b.labels[pos : pos + len(idx)], store_labels[idx]
+            )
+            pos += len(idx)
+    assert seen == len(paths)
+    assert n_batches == len(ds)
+
+
+def test_mixed_step_matches_host_batch(dataset_dir):
+    """The stratified mixed step must be numerically the host step on the
+    same images (augmentation off: the mixed step folds a separate RNG key
+    per bucket, so only the augmentation DRAWS differ by construction —
+    the math under them is shared via Trainer._core_update)."""
+    import jax
+
+    from sykepic_tpu.train.device_data import MixedGatheredBatch
+
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, seed=3,
+                       shuffle=True, buckets=((24, 40), (64, 64)))
+    keys, idxs, weights = next(ds.epoch_mixed(shuffle=False))
+    stores = tuple(ds.stores[k] for k in keys)
+    batch = MixedGatheredBatch(
+        stores, idxs, weights,
+        np.concatenate([ds._host_labels[k][i] for k, i in zip(keys, idxs)]),
+    )
+
+    # host equivalent: the same images blitted onto one shared canvas
+    hosts = [{k: np.asarray(v) for k, v in s.items()} for s in stores]
+    bh = max(h["canvas"].shape[1] for h in hosts)
+    bw = max(h["canvas"].shape[2] for h in hosts)
+    n = sum(len(i) for i in idxs)
+    canvas = np.zeros((n, bh, bw), np.uint8)
+    cols = {f: [] for f in ("heights", "widths", "labels")}
+    pos = 0
+    for host, idx in zip(hosts, idxs):
+        for row in idx:
+            img = host["canvas"][row]
+            canvas[pos, : img.shape[0], : img.shape[1]] = img
+            pos += 1
+        for f in cols:
+            cols[f].append(host[f][idx])
+    hb = HostBatch(
+        canvas=canvas,
+        heights=np.concatenate(cols["heights"]),
+        widths=np.concatenate(cols["widths"]),
+        labels=np.concatenate(cols["labels"]),
+        weights=weights,
+        paths=[None] * n,
+    )
+
+    model = build_model("resnet18", num_classes=3, head=(16,))
+    variables = jax.device_get(init_variables(model, (32, 32, 3), seed=0))
+    kwargs = dict(optimizer="SGD", preprocess_spec=spec)
+    lrs = (1e-2, 0.0, 0.0)
+    t_host = Trainer(model, jax.tree.map(np.copy, variables), seed=5,
+                     **kwargs)
+    l1, c1, n1 = t_host.train_batch(hb, stage=0, lrs=lrs)
+    t_mix = Trainer(model, jax.tree.map(np.copy, variables), seed=5,
+                    **kwargs)
+    l2, c2, n2 = t_mix.train_batch(batch, stage=0, lrs=lrs)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    assert float(n1) == float(n2)
+    assert float(c1) == float(c2)
+    fa = flatten_dict(t_host.params)
+    fb = flatten_dict(t_mix.params)
+    for k in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[k], np.float32), np.asarray(fb[k], np.float32),
+            rtol=1e-4, atol=1e-6, err_msg=str(k),
+        )
+
+
+def test_mixed_step_on_mesh(dataset_dir):
+    """Mixed stratified step over the 8-device CPU mesh: stores replicated,
+    indices replicated, concatenated batch data-sharded inside the step
+    (no divisibility constraint on the batch)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sykepic_tpu.parallel import data_mesh
+
+    assert jax.device_count() >= 8
+    paths, labels = dataset_dir
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    mesh = data_mesh()
+    replicated = NamedSharding(mesh, P())
+    ds = DeviceDataset(paths, labels, spec, batch_size=8, seed=2,
+                       shuffle=True, sharding=replicated,
+                       buckets=((24, 40), (64, 64)))
+    model = build_model("resnet18", num_classes=3, head=(16,))
+    variables = init_variables(model, (32, 32, 3), seed=0)
+    trainer = Trainer(model, variables, optimizer="SGD",
+                      preprocess_spec=spec, mesh=mesh)
+    total = 0.0
+    for b in ds:
+        assert len(b.weights) % mesh.size != 0 or True  # any size legal
+        loss_sum, correct, n = trainer.train_batch(
+            b, stage=0, lrs=(1e-2, 0.0, 0.0)
+        )
+        assert np.isfinite(float(loss_sum))
+        total += float(n)
+    assert total == len(paths)
+
+
 def test_gathered_step_on_mesh(dataset_dir):
     """Full gathered train step over the 8-device CPU mesh: store
     replicated, indices data-sharded."""
@@ -180,19 +314,20 @@ def test_conflicting_labels_for_duplicate_path_raise(dataset_dir):
 
 
 def test_bucket_pure_batches_learn_size_correlated_classes(tmp_path):
-    """ROI size correlates with class in plankton data, so device-cache
-    batches (canvas-shape-pure by construction) are near-single-class.
-    The worried failure mode is skewed BatchNorm statistics breaking
-    training. Evidence to the contrary: on a dataset where size and class
-    are perfectly correlated, BOTH loaders must learn it (bucket order is
-    shuffled every epoch, so BN running stats average across buckets)."""
+    """ROI size correlates with class in plankton data, so canvas-pure
+    device batches are near-single-class and per-batch BatchNorm
+    statistics erase the class signal: on this synthetic set (size and
+    brightness perfectly class-correlated) bucket-PURE batches measured
+    0.55 accuracy — chance. The shuffled DeviceDataset protocol therefore
+    emits stratified MIXED batches (epoch_mixed), which this test pins:
+    both the device path and the host loader must learn the set."""
     import cv2
 
     from sykepic_tpu.train.input import BatchLoader
 
     rng = np.random.default_rng(11)
     paths, labels = [], []
-    for i in range(200):
+    for i in range(140):
         cls = i % 2
         if cls == 0:  # small and dark
             h, w = int(rng.integers(10, 20)), int(rng.integers(12, 24))
@@ -205,9 +340,15 @@ def test_bucket_pure_batches_learn_size_correlated_classes(tmp_path):
         cv2.imwrite(str(p), img)
         paths.append(p)
         labels.append(cls)
-    train_x, train_y = paths[:160], labels[:160]
-    val_x, val_y = paths[160:], labels[160:]
+    train_x, train_y = paths[:112], labels[:112]
+    val_x, val_y = paths[112:], labels[112:]
     spec = PreprocessSpec(32, 32, 3, border="black")
+    # Two buckets keep the class<->canvas-shape correlation under test
+    # (class 0 fits (24, 32), class 1 needs (64, 64)) while pinning the
+    # number of compiled train-step programs: with the default bucket
+    # ladders this test spent ~5 min compiling one ResNet program per
+    # observed canvas shape on CPU.
+    buckets = ((24, 32), (64, 64))
 
     def accuracy_after_training(make_loader):
         model = build_model("resnet18", num_classes=2, head=(16,))
@@ -216,10 +357,10 @@ def test_bucket_pure_batches_learn_size_correlated_classes(tmp_path):
                           preprocess_spec=spec, seed=0)
         loader = make_loader(trainer)
         best = 0.0
-        for _ in range(5):  # best-epoch accuracy, like the real loop's
+        for _ in range(4):  # best-epoch accuracy, like the real loop's
             for b in loader:  # best-checkpoint selection
                 trainer.train_batch(b, stage=0, lrs=(0.01, 0.0, 0.0))
-            val = BatchLoader(val_x, val_y, batch_size=8)
+            val = BatchLoader(val_x, val_y, batch_size=8, buckets=buckets)
             correct = n = 0.0
             for b in val:
                 _, c, k, _ = trainer.eval_batch(b)
@@ -230,12 +371,12 @@ def test_bucket_pure_batches_learn_size_correlated_classes(tmp_path):
 
     acc_device = accuracy_after_training(
         lambda t: DeviceDataset(train_x, train_y, spec, batch_size=8,
-                                seed=0, shuffle=True,
+                                seed=0, shuffle=True, buckets=buckets,
                                 sharding=t._replicated)
     )
     acc_host = accuracy_after_training(
         lambda t: BatchLoader(train_x, train_y, batch_size=8, shuffle=True,
-                              seed=0)
+                              seed=0, buckets=buckets)
     )
     assert acc_device >= 0.9, f"device-cache path failed to learn: {acc_device}"
     assert acc_host >= 0.9, f"host path failed to learn: {acc_host}"

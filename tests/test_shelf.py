@@ -111,7 +111,15 @@ def test_shelf_classification_matches_slot_path(model_dir):
     from sykepic_tpu.compute import probability
 
     rng = np.random.default_rng(7)
-    rois = _rand_rois(150, rng, h_range=(10, 300), w_range=(10, 300))
+    # Fixed size palette (still spanning tiny -> oversize-pre-shrunk): a
+    # free size range made the SLOT baseline compile one CNN program per
+    # snapped canvas shape — minutes of CPU compile that tests nothing new.
+    palette = [(10, 14), (24, 50), (40, 40), (61, 90), (120, 77),
+               (179, 180), (240, 160), (300, 300)]
+    rois = []
+    for i in range(150):
+        h, w = palette[int(rng.integers(len(palette)))]
+        rois.append((i % 7, i + 1, rng.integers(0, 255, (h, w), np.uint8)))
 
     def run(packing):
         clf = probability.prepare_model(model_dir, batch_size=64)
