@@ -433,13 +433,22 @@ def _train_step_flops(trainer, batch, lrs) -> float:
 
     lrs = jnp.asarray(lrs, jnp.float32)
     if isinstance(batch, MixedGatheredBatch):
+        import jax
+
         k = len(batch.stores)
         step = trainer._steps[("train_mixed", 2, k)]
-        idxs = tuple(np.asarray(i, np.int32) for i in batch.idxs)
+        # mirror train_batch_mixed's REPLICATED index placement: lowering
+        # with uncommitted host arrays could infer different shardings and
+        # turn .compile() into a fresh multi-minute tunnel compile
+        idxs = tuple(
+            jax.device_put(np.asarray(i, np.int32), trainer._replicated)
+            for i in batch.idxs
+        )
+        wts = jax.device_put(np.asarray(batch.weights, np.float32),
+                             trainer._replicated)
         lowered = step.lower(
             trainer.params, trainer.batch_stats, trainer.opt_state,
-            batch.stores, idxs, np.asarray(batch.weights, np.float32),
-            lrs, trainer.key,
+            batch.stores, idxs, wts, lrs, trainer.key,
         )
     else:
         step = trainer._steps[("train_gather", 2)]

@@ -246,8 +246,12 @@ class BatchLoader:
                 # drift was measured concentrating one class into a single
                 # batch, exactly the composition this scheme exists to
                 # avoid). Under-full batches pad in _make_batch.
-                merged = [np.concatenate(chunks) for chunks in dealt
-                          if chunks]
+                # shuffle within each batch BEFORE truncating overflow:
+                # merged arrays are ordered class-by-class, so a plain
+                # arr[b:] would always spill the last class's images and
+                # skew overflowing batches against it
+                merged = [self.rng.permutation(np.concatenate(chunks))
+                          for chunks in dealt if chunks]
                 spill: list = []
                 for j, arr in enumerate(merged):
                     if len(arr) > b:

@@ -491,19 +491,30 @@ class Trainer:
         if isinstance(batch, MixedGatheredBatch):
             # eval has no per-batch statistics, so sub-batches evaluate
             # independently; preds concatenate in bucket order (matching
-            # batch.labels)
-            import numpy as _np
-
+            # batch.labels). Indices go up REPLICATED: sub-batch sizes
+            # c_i = ceil(occ_i/n_batches) are generally not divisible by
+            # the data mesh axis, so the data-sharded _put_indices path
+            # would raise on any multi-device mesh.
+            if "eval_gather" not in self._steps:
+                self._steps["eval_gather"] = self._build_eval_step(
+                    gather=True)
+            step = self._steps["eval_gather"]
             loss_sum = correct = n = 0.0
             preds = []
             for store, idx, w in zip(batch.stores, batch.idxs,
                                      batch.split_weights()):
-                ls, c, k, p = self.eval_batch_gathered(store, idx, w)
+                ls, c, k, p = step(
+                    self.params, self.batch_stats, store,
+                    jax.device_put(np.asarray(idx, np.int32),
+                                   self._replicated),
+                    jax.device_put(np.asarray(w, np.float32),
+                                   self._replicated),
+                )
                 loss_sum += ls
                 correct += c
                 n += k
-                preds.append(_np.asarray(p))
-            return loss_sum, correct, n, _np.concatenate(preds)
+                preds.append(np.asarray(p))
+            return loss_sum, correct, n, np.concatenate(preds)
         if isinstance(batch, GatheredBatch):
             return self.eval_batch_gathered(
                 batch.store, batch.idx, batch.weights

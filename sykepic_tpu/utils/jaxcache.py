@@ -11,8 +11,11 @@ feature set and REFUSE to load on a host whose features differ (VM
 migration), while jax never overwrites an existing cache key — so one
 migration turned every CPU entry into a permanent load-fail/recompile loop
 (measured: the hermetic test suite went 271 s -> 1060 s). A migrated host
-simply starts a fresh ``cpu-<fingerprint>`` partition and the stale one
-ages out under the LRU cap.
+starts a fresh ``cpu-<fingerprint>`` partition, and ``enable`` deletes
+fingerprint partitions whose hash differs from the current host's (their
+entries are provably unloadable here). jax's LRU size cap governs only the
+ACTIVE partition, so the bound on total disk is 24 GB per live platform
+partition (cpu + accelerator on a bench machine), not 24 GB overall.
 """
 
 from __future__ import annotations
@@ -82,6 +85,7 @@ def enable(cache_dir=None) -> Path | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         _repair_atimes(cache_dir)
         _sweep_legacy_flat_entries(base)
+        _sweep_dead_fingerprint_partitions(base, cache_dir.name)
     except Exception:  # pragma: no cover - cache is best-effort
         return None
     return cache_dir
@@ -105,6 +109,27 @@ def _repair_atimes(cache_dir: Path) -> int:
             atime.write_bytes(ts)
             fixed += 1
     return fixed
+
+
+def _sweep_dead_fingerprint_partitions(base: Path, active: str) -> int:
+    """Delete sibling fingerprint partitions whose hash differs from the
+    current host's. Their XLA:CPU entries cannot load on this machine
+    (feature-set mismatch), jax never overwrites existing keys, and the
+    LRU cap only governs the active directory — left alone, each VM
+    migration would squat another 24 GB of dead executables forever.
+    Platform-name partitions (``axon``/``tpu``/...) are never touched:
+    they stay loadable across host-CPU changes."""
+    import shutil
+
+    removed = 0
+    for prefix in ("cpu-", "default-"):
+        if not active.startswith(prefix):
+            continue
+        for sibling in base.glob(f"{prefix}*"):
+            if sibling.is_dir() and sibling.name != active:
+                shutil.rmtree(sibling, ignore_errors=True)
+                removed += 1
+    return removed
 
 
 def _sweep_legacy_flat_entries(base: Path) -> int:

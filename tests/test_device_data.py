@@ -227,7 +227,9 @@ def test_mixed_step_on_mesh(dataset_dir):
     spec = PreprocessSpec(32, 32, 3, border="black")
     mesh = data_mesh()
     replicated = NamedSharding(mesh, P())
-    ds = DeviceDataset(paths, labels, spec, batch_size=8, seed=2,
+    # batch_size 7: the stratified composition then sums to a size that
+    # does NOT divide the 8-device mesh, which is the property under test
+    ds = DeviceDataset(paths, labels, spec, batch_size=7, seed=2,
                        shuffle=True, sharding=replicated,
                        buckets=((24, 40), (64, 64)))
     model = build_model("resnet18", num_classes=3, head=(16,))
@@ -235,14 +237,22 @@ def test_mixed_step_on_mesh(dataset_dir):
     trainer = Trainer(model, variables, optimizer="SGD",
                       preprocess_spec=spec, mesh=mesh)
     total = 0.0
+    saw_indivisible = False
     for b in ds:
-        assert len(b.weights) % mesh.size != 0 or True  # any size legal
+        saw_indivisible |= len(b.weights) % mesh.size != 0
         loss_sum, correct, n = trainer.train_batch(
             b, stage=0, lrs=(1e-2, 0.0, 0.0)
         )
         assert np.isfinite(float(loss_sum))
         total += float(n)
+        # eval must also take the mixed batch on the mesh (replicated
+        # indices: sub-batch sizes need not divide the data axis)
+        els, ec, en, preds = trainer.eval_batch(b)
+        assert np.isfinite(float(els)) and len(preds) == len(b.labels)
     assert total == len(paths)
+    # the point of this test: at least one batch size was NOT divisible
+    # by the mesh, and the step ran anyway
+    assert saw_indivisible
 
 
 def test_gathered_step_on_mesh(dataset_dir):
