@@ -463,10 +463,38 @@ def _train_step_flops(trainer, batch, lrs) -> float:
     return float(cost["flops"])
 
 
+def _backend_responds(timeout_s: float = 180.0) -> bool:
+    """Probe jax backend init in a SUBPROCESS with a deadline. The tunneled
+    TPU stalls for multi-minute stretches and a hung in-process backend
+    init cannot be cancelled — without this, a downed tunnel makes the
+    whole benchmark hang with no parseable output at all."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return "ok" in proc.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> None:
     # The driver records the LAST JSON line: the primary metric (inference
     # ROIs/s, BASELINE.json) prints last; training prints first so its
     # number still lands in the captured tail above it.
+    if not _backend_responds():
+        print(json.dumps({"metric": "train_epoch_wall_clock",
+                          "error": "backend unreachable (tunnel down?)"}))
+        print(json.dumps({
+            "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+            "value": None, "unit": "ROIs/s", "vs_baseline": None,
+            "error": "jax backend did not initialize within 180 s — "
+                     "tunneled TPU unreachable",
+        }))
+        return
     root = Path(tempfile.mkdtemp(prefix="sykepic_bench_"))
     try:
         try:
