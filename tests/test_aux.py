@@ -238,3 +238,58 @@ def test_batchloader_pre_shrink_caps_canvas(tmp_path):
 
     h, w = int(batch.heights[0]), int(batch.widths[0])
     assert (h, w) == pack.target_resize_dims(h, w, 180, 180)
+
+
+def test_stratified_batching_properties(tmp_path):
+    """Property test over the class-stratified host batching
+    (input.BatchLoader._index_batches): for random label sets, image-size
+    mixes and batch sizes — every index exactly once per epoch, no batch
+    exceeds batch_size, and every class with >= n_batches members appears
+    in (almost) every batch."""
+    import cv2
+
+    from sykepic_tpu.train.input import BatchLoader
+
+    rng = np.random.default_rng(0)
+    # one pool of image files, reused across scenarios
+    paths = []
+    for i in range(90):
+        h = int(rng.integers(10, 120))
+        w = int(rng.integers(10, 120))
+        p = tmp_path / f"i{i:03}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (h, w), np.uint8))
+        paths.append(p)
+
+    for trial in range(8):
+        n = int(rng.integers(17, 90))
+        b = int(rng.integers(4, 33))
+        n_classes = int(rng.integers(2, 6))
+        sub = [paths[int(k)] for k in rng.choice(len(paths), n, replace=False)]
+        labels = rng.integers(0, n_classes, n).tolist()
+        loader = BatchLoader(sub, labels, batch_size=b, shuffle=True,
+                             seed=trial, size_pool=8)
+        n_batches = -(-n // b)
+        for epoch in range(2):
+            seen: list[int] = []
+            got_batches = 0
+            class_hits = {c: 0 for c in range(n_classes)}
+            for batch in loader:
+                got_batches += 1
+                real = batch.weights > 0
+                assert len(batch.weights) == b  # exact compiled shape
+                assert int(real.sum()) <= b
+                for lab in set(batch.labels[real].tolist()):
+                    class_hits[lab] += 1
+                # identity via (h, w) is ambiguous; count coverage by sum
+                seen.append(int(real.sum()))
+            assert sum(seen) == n, f"trial {trial}: coverage {sum(seen)} != {n}"
+            assert got_batches == n_batches
+            counts = np.bincount(labels, minlength=n_classes)
+            for c in range(n_classes):
+                if counts[c] >= n_batches:
+                    # quantile dealing puts such a class in every batch;
+                    # spill rebalancing may cost it at most one
+                    assert class_hits[c] >= n_batches - 1, (
+                        f"trial {trial} class {c}: in {class_hits[c]} of "
+                        f"{n_batches} batches (count {counts[c]})"
+                    )
