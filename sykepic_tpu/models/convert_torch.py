@@ -395,6 +395,119 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# VGG (torchvision ``vgg16[_bn]`` / ``vgg19[_bn]`` / TorchVisionNet-wrapped)
+# ---------------------------------------------------------------------------
+
+def _normalize_vgg_keys(state_dict: dict) -> dict:
+    """Rewrite reference ``base.0.*`` (base.0 == features; base.1 is the
+    parameterless avgpool) into torchvision ``features.*`` naming."""
+    out = {}
+    for key, value in state_dict.items():
+        m = re.match(r"^base\.0\.(.*)$", key)
+        if m:
+            key = f"features.{m.group(1)}"
+        out[key] = value
+    return out
+
+
+def _vgg_variant_from_keys(sd: dict) -> str:
+    """Infer vgg16/vgg19 (+_bn) from normalized feature keys: the conv
+    count identifies the depth, ``running_mean`` presence the BN flavor."""
+    conv_keys = [k for k in sd
+                 if re.match(r"^features\.\d+\.weight$", k)
+                 and getattr(sd[k], "ndim", np.asarray(sd[k]).ndim) == 4]
+    bn = any(k.startswith("features.") and k.endswith("running_mean")
+             for k in sd)
+    n_convs = len(conv_keys)
+    base = {13: "vgg16", 16: "vgg19"}.get(n_convs)
+    if base is None:
+        raise UnsupportedArchitectureError(
+            f"VGG-style state dict with {n_convs} convs matches neither "
+            "vgg16 (13) nor vgg19 (16)"
+        )
+    return f"{base}_bn" if bn else base
+
+
+def torch_vgg_to_flax(state_dict: dict) -> dict:
+    """Convert a torch VGG(+head) state dict to our
+    :class:`~sykepic_tpu.models.vgg.VGG` variable tree. Accepts raw
+    torchvision dicts (``features.*`` + ``classifier.*``) and reference
+    ``TorchVisionNet`` dicts (``base.0.*`` + ``head.K.*``). Head kernels
+    transpose 1:1 because our flatten runs in torch's channel-major order
+    (``models/vgg.py``)."""
+    from . import vgg as vgg_mod
+
+    sd = _normalize_vgg_keys(state_dict)
+    name = _vgg_variant_from_keys(sd)
+    batch_norm = name.endswith("_bn")
+    params: dict = {}
+    stats: dict = {}
+
+    for idx, stage, j in vgg_mod.feature_index_map(name):
+        conv = f"layer{stage}_conv{j}"
+        kernel = _conv_kernel(sd[f"features.{idx}.weight"])
+        _put(params, (conv, "kernel"), kernel)
+        if batch_norm:
+            for leaf in ("weight", "bias", "running_mean", "running_var"):
+                _put_bn(params, stats, (f"layer{stage}_bn{j}",), leaf,
+                        _to_numpy(sd[f"features.{idx + 1}.{leaf}"]))
+        else:
+            _put(params, (conv, "bias"),
+                 _to_numpy(sd[f"features.{idx}.bias"]))
+
+    head_linears: dict = {}
+    for key, value in sd.items():
+        m = re.match(r"^(?:head|classifier)\.(\d+)\.(weight|bias)$", key)
+        if m:
+            head_linears.setdefault(int(m.group(1)), {})[m.group(2)] = (
+                _to_numpy(value)
+            )
+    if head_linears:
+        params["head"] = _collect_head(head_linears)
+    return {"params": params, "batch_stats": stats}
+
+
+def flax_vgg_to_torch(variables: dict, dropout=()) -> dict:
+    """Our VGG variable tree -> a reference ``TorchVisionNet`` state dict
+    (``base.0.*`` = features, ``head.K.*`` Linears). Inverse of
+    :func:`torch_vgg_to_flax`; the variant is inferred from the tree's
+    conv count and BN presence."""
+    from . import vgg as vgg_mod
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    convs = [m for m in params if re.match(r"^layer\d+_conv\d+$", m)]
+    if not convs:
+        raise KeyError("variable tree is not a VGG (no layerS_convJ)")
+    bn = any(re.match(r"^layer\d+_bn\d+$", m) for m in params)
+    base = {13: "vgg16", 16: "vgg19"}[len(convs)]
+    name = f"{base}_bn" if bn else base
+    sd: dict = {}
+    for idx, stage, j in vgg_mod.feature_index_map(name):
+        conv = params[f"layer{stage}_conv{j}"]
+        _sd_put_conv(sd, f"base.0.{idx}.weight", conv)
+        if bn:
+            mod = f"layer{stage}_bn{j}"
+            _sd_put_bn(sd, f"base.0.{idx + 1}", params[mod], stats[mod])
+        else:
+            _sd_put(sd, f"base.0.{idx}.bias", np.asarray(conv["bias"]))
+    _sd_put_head(sd, params, dropout)
+    return sd
+
+
+def _looks_like_vgg(state_dict: dict) -> bool:
+    """VGG fingerprint on normalized keys: a 3x3x3->64 first features conv
+    (AlexNet's is 11x11; EfficientNet/MobileNet carry ``.block.``;
+    ResNet has no ``features.`` prefix)."""
+    sd = _normalize_vgg_keys(state_dict)
+    v = sd.get("features.0.weight")
+    if v is None or any(".block." in k for k in sd):
+        return False
+    shape = tuple(getattr(v, "shape", np.asarray(v).shape))
+    return shape == (64, 3, 3, 3)
+
+
 def _looks_like_efficientnet(state_dict: dict) -> bool:
     """MBConv fingerprints: ``.block.`` submodules (torchvision
     ``features.N.M.block.*``) or the TorchVisionNet-wrapped stem
@@ -423,7 +536,7 @@ def _looks_like_resnet(state_dict: dict) -> bool:
     )
 
 
-SUPPORTED_FAMILIES = "resnet*, efficientnet_b*, mobilenet_v3_*"
+SUPPORTED_FAMILIES = "resnet*, efficientnet_b*, mobilenet_v3_*, vgg16/19[_bn]"
 
 
 class UnsupportedArchitectureError(ValueError):
@@ -445,7 +558,7 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
     given (e.g. "resnet18", "efficientnet_b0"), else sniff the keys.
 
     Raises :class:`UnsupportedArchitectureError` for anything outside the
-    three implemented families instead of mis-converting it (e.g. a
+    implemented families instead of mis-converting it (e.g. a
     ``densenet121`` checkpoint must not fall through to the resnet
     converter and die with an opaque key error)."""
     if network_name:
@@ -455,6 +568,8 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
             return torch_efficientnet_to_flax(state_dict)
         if network_name.startswith("resnet"):
             return torch_resnet_to_flax(state_dict)
+        if network_name.startswith("vgg"):
+            return torch_vgg_to_flax(state_dict)
         raise UnsupportedArchitectureError(
             f"Network '{network_name}' is not supported; "
             f"supported families: {SUPPORTED_FAMILIES}"
@@ -463,6 +578,8 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
         return torch_mobilenet_v3_to_flax(state_dict)
     if _looks_like_efficientnet(state_dict):
         return torch_efficientnet_to_flax(state_dict)
+    if _looks_like_vgg(state_dict):
+        return torch_vgg_to_flax(state_dict)
     if _looks_like_resnet(state_dict):
         return torch_resnet_to_flax(state_dict)
     raise UnsupportedArchitectureError(
@@ -638,16 +755,20 @@ def flax_to_torch(variables: dict, dropout=(),
         return flax_efficientnet_to_torch(variables, dropout)
     if network_name and network_name.startswith("resnet"):
         return flax_resnet_to_torch(variables, dropout)
+    if network_name and network_name.startswith("vgg"):
+        return flax_vgg_to_torch(variables, dropout)
     if "conv1" in params:
         return flax_resnet_to_torch(variables, dropout)
+    if any(re.match(r"^layer\d+_conv\d+$", m) for m in params):
+        return flax_vgg_to_torch(variables, dropout)
     if "stem_conv" in params:
         if _flax_tree_is_mobilenet_v3(params):
             return flax_mobilenet_v3_to_torch(variables, dropout)
         return flax_efficientnet_to_torch(variables, dropout)
     raise KeyError(
         "cannot export: variable tree is not a ResNet (conv1), "
-        "EfficientNet or MobileNetV3 (stem_conv); top-level modules: "
-        f"{sorted(params)[:8]}"
+        "EfficientNet or MobileNetV3 (stem_conv), or VGG (layerS_convJ); "
+        f"top-level modules: {sorted(params)[:8]}"
     )
 
 

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import efficientnet, mobilenet, resnet
+from . import efficientnet, mobilenet, resnet, vgg
 
 MODEL_REGISTRY = {
     "resnet18": resnet.resnet18,
@@ -21,6 +21,10 @@ MODEL_REGISTRY = {
     "efficientnet_b3": efficientnet.efficientnet_b3,
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
     "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
+    "vgg16": vgg.vgg16,
+    "vgg16_bn": vgg.vgg16_bn,
+    "vgg19": vgg.vgg19,
+    "vgg19_bn": vgg.vgg19_bn,
 }
 
 

@@ -70,11 +70,16 @@ def label_params(params):
                 top = max(top, int(name[5:].split("_")[0]))
             except ValueError:
                 pass
+    import re as _re
+
     labels = {}
     for path in flat:
         parts = [str(p) for p in path]
+        # BatchNorm module names across families: "bn1" (resnet),
+        # "stem_bn"/"project_bn" (efficientnet/mobilenet),
+        # "layer5_bn2" (vgg_bn)
         is_bn = any(
-            p.startswith("bn") or p.endswith("_bn") for p in parts[:-1]
+            _re.search(r"(^|_)bn\d*$", p) for p in parts[:-1]
         )
         if parts[0] == "head":
             g = G_HEAD
