@@ -29,6 +29,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # head plus the widest final stage of each backbone family (ResNet layer4,
 # EfficientNet layer7/head_conv). Early narrow convs replicate — sharding
 # them trades negligible memory for extra collectives.
+# VGG is absent on purpose: its only wide matmul is the 25088-wide head
+# fc0, which the "head" prefix already covers; a "layer5" prefix would
+# also catch MobileNet/EfficientNet MID-stage blocks and buy collectives
+# for nothing.
 WIDE_MODULE_PREFIXES = ("head", "layer4", "layer7", "head_conv")
 
 
