@@ -408,3 +408,53 @@ def test_pieces_stay_mesh_divisible_with_non_pow2_multiple(dataset_dir):
         seen += int(weights.sum())
     assert seen == len(paths)
     assert sum(1 for _ in ds.epoch()) == len(ds)
+
+
+def test_mixed_epoch_properties_random(tmp_path):
+    """Property test over epoch_mixed: for random bucket occupancies,
+    batch sizes and oversampling — exact coverage, fixed composition,
+    every contributing bucket in every batch, wrap slots weight-0."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    spec = PreprocessSpec(32, 32, 3, border="black")
+    pool = []
+    for i in range(70):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        p = tmp_path / f"r{i:03}.png"
+        cv2.imwrite(str(p), rng.integers(0, 255, (h, w), np.uint8))
+        pool.append(p)
+
+    for trial in range(6):
+        n = int(rng.integers(5, 70))
+        b = int(rng.integers(2, 24))
+        picks = rng.choice(len(pool), n, replace=False)
+        paths = [pool[int(k)] for k in picks]
+        labels = rng.integers(0, 3, n).tolist()
+        if trial % 2:  # oversample: duplicate a few files (shared rows)
+            extra = [paths[int(k)] for k in rng.integers(0, n, n // 3)]
+            paths = paths + extra
+            labels = labels + [labels[paths.index(p)] for p in extra]
+        ds = DeviceDataset(paths, labels, spec, batch_size=b, seed=trial,
+                           shuffle=True,
+                           buckets=((16, 16), (32, 32), (64, 64)))
+        n_occ = len(paths)
+        n_batches = -(-n_occ // b)
+        comp = None
+        seen = 0.0
+        count = 0
+        for keys, idxs, weights in ds.epoch_mixed():
+            count += 1
+            sizes = tuple(len(i) for i in idxs)
+            comp = comp or sizes
+            assert sizes == comp
+            assert len(weights) == sum(sizes)
+            seen += float(weights.sum())
+            for key, idx in zip(keys, idxs):
+                rows = len(np.asarray(ds.stores[key]["heights"]))
+                assert idx.min() >= 0 and idx.max() < rows
+        assert seen == n_occ, f"trial {trial}"
+        assert count == n_batches
+        if ds._use_mixed:  # len() reflects the __iter__ protocol's mode
+            assert len(ds) == n_batches
