@@ -144,6 +144,16 @@ class Classifier:
         # (ingest/shelf.py); "slots" remains for the fused feature path and
         # as an escape hatch (SYKEPIC_PACKING=slots).
         self.packing = _os.environ.get("SYKEPIC_PACKING", "shelf").lower()
+        # Shelf dispatches size themselves by WINDOW BYTES (wire-optimal),
+        # not batch_size — but batch_size still bounds the slot count when
+        # raised above the 1024 floor, and shelf.SLOT_CAP hard-bounds the
+        # per-dispatch device working set (~1 MB transient/slot: resize
+        # weight+row tensors). The floor exists because tiny dispatches
+        # cannot fill the link's bandwidth-delay product through the
+        # 6-deep pipeline (1024 slots ~ 3.8 MB in flight each).
+        from ..ingest import shelf as _shelf
+
+        self._shelf_slot_cap = min(_shelf.SLOT_CAP, max(batch_size, 1024))
         # per-stage wall clocks, printed at stream end when SYKEPIC_PROFILE
         # is set (no-op stages otherwise)
         self.timer = profiling.StageTimer()
@@ -236,6 +246,18 @@ class Classifier:
         )
         if self.spec.border == "mode":
             border = batch.modes
+            if border is None:
+                # a hand-built ShelfBatch (public dispatch_shelf) may lack
+                # precomputed modes: recover them from the windows — the
+                # engine's own producer always packs with compute_modes
+                border = np.zeros(len(batch.heights), np.uint8)
+                for i in range(batch.n_valid):
+                    w, y, x = (int(batch.win_idx[i]), int(batch.y0[i]),
+                               int(batch.x0[i]))
+                    roi = batch.windows[
+                        w, y : y + int(batch.heights[i]),
+                        x : x + int(batch.widths[i])]
+                    border[i] = pack.mode_pixel(roi)
         elif self.spec.border == "white":
             border = np.full(len(batch.heights), 255, np.uint8)
         else:  # black
@@ -268,14 +290,32 @@ class Classifier:
         """Shelf-pack ROIs and compute host metadata on a producer thread,
         yielding ``(batch, meta)`` ready to dispatch (same overlap rationale
         as :meth:`_prepared_batches`)."""
+        from ..ingest import shelf
+
+        gen = shelf.pack_shelves(
+            tagged_rois,
+            pre_shrink_to=(self.spec.target_h, self.spec.target_w),
+            batch_multiple=self._batch_multiple,
+            compute_modes=(self.spec.border == "mode"),
+            slot_cap=self._shelf_slot_cap,
+        )
+        return self._produce_on_thread(gen, self._shelf_meta,
+                                       "sykepic-shelf")
+
+    def _produce_on_thread(self, gen, meta_fn, name: str):
+        """Run a batch generator + its metadata pass on a producer thread,
+        yielding ``(batch, meta)``; exceptions relay to the consumer, and
+        abandoning the iterator cancels the producer. The dispatch thread
+        spends most of its time inside device transfers (GIL released), so
+        this overlaps decode/pack/metadata host work with the link instead
+        of serializing it (measured 136 us/ROI of metadata work inline — a
+        ~7 kROI/s ceiling all by itself on the bench mix)."""
         import queue
         import threading
 
-        from ..ingest import shelf
-
         q: queue.Queue = queue.Queue(maxsize=4)
         done = object()
-        cancel = threading.Event()
+        cancel = threading.Event()  # set when the consumer goes away
 
         def offer(item) -> bool:
             while not cancel.is_set():
@@ -288,28 +328,24 @@ class Classifier:
 
         def produce():
             try:
-                gen = shelf.pack_shelves(
-                    tagged_rois,
-                    pre_shrink_to=(self.spec.target_h, self.spec.target_w),
-                    batch_multiple=self._batch_multiple,
-                    compute_modes=(self.spec.border == "mode"),
-                )
                 while True:
+                    # decode+pack pulls the upstream ROI generator; meta is
+                    # the geometry/border pass. Separate stages on THIS
+                    # thread only (no cross-thread accumulator races).
                     with self.timer.stage("host.decode+pack"):
                         batch = next(gen, None)
                     if batch is None:
                         break
                     with self.timer.stage("host.meta"):
-                        meta = self._shelf_meta(batch)
+                        meta = meta_fn(batch)
                     if not offer((batch, meta)):
                         return
-            except BaseException as e:
+            except BaseException as e:  # re-raised on the consumer side
                 offer(e)
                 return
             offer(done)
 
-        threading.Thread(target=produce, daemon=True,
-                         name="sykepic-shelf").start()
+        threading.Thread(target=produce, daemon=True, name=name).start()
         try:
             while True:
                 item = q.get()
@@ -319,7 +355,7 @@ class Classifier:
                     raise item
                 yield item
         finally:
-            cancel.set()
+            cancel.set()  # unblock the producer if we exit early
 
     def _put(self, a):
         """Commit a batch array: sharded over the data mesh axis when one
@@ -369,7 +405,8 @@ class Classifier:
         """Class probabilities for one packed batch: (B, num_classes)."""
         return np.asarray(self.dispatch_packed(batch))
 
-    def onchip_rate(self, tagged_rois, repeats: int = 4):
+    def onchip_rate(self, tagged_rois, repeats: int = 4,
+                    max_batches: int = 32):
         """ROIs/s of the compiled inference programs ALONE, wire excluded.
 
         Packs the stream exactly like :meth:`classify_rois` (same
@@ -381,7 +418,12 @@ class Classifier:
         clock is device compute — the throughput ceiling a production
         chip with a local PCIe/HBM feed approaches when the link is no
         longer the bottleneck. Returns ``(n_rois, seconds_per_pass)``.
+
+        Every batch stays device-RESIDENT for the probe's duration, so the
+        stream is capped at ``max_batches`` dispatches (~6 MB of windows
+        each) — a sample of the workload, not an unbounded archive walk.
         """
+        import itertools
         import time
 
         def put(a):
@@ -392,7 +434,9 @@ class Classifier:
         n_rois = 0
         if self.packing == "shelf":
             fn = self._infer_shelf
-            for batch, meta in self._prepared_shelf_batches(tagged_rois):
+            for batch, meta in itertools.islice(
+                self._prepared_shelf_batches(tagged_rois), max_batches
+            ):
                 new_h, new_w, pad_top, pad_left, border = meta
                 windows = (
                     jax.device_put(batch.windows, self._replicated)
@@ -406,9 +450,12 @@ class Classifier:
                 n_rois += batch.n_valid
         else:
             fn = self._infer
-            for batch, meta in self._prepared_batches(
-                tagged_rois,
-                pre_shrink_to=(self.spec.target_h, self.spec.target_w),
+            for batch, meta in itertools.islice(
+                self._prepared_batches(
+                    tagged_rois,
+                    pre_shrink_to=(self.spec.target_h, self.spec.target_w),
+                ),
+                max_batches,
             ):
                 new_h, new_w, pad_top, pad_left, border = meta
                 args_list.append(tuple(put(a) for a in (
@@ -482,70 +529,19 @@ class Classifier:
 
     def _prepared_batches(self, tagged_rois, pre_shrink_to=None,
                           consolidate_tails=True):
-        """Pack ROIs and compute host metadata on a PRODUCER THREAD,
-        yielding ``(batch, meta)`` ready to dispatch.
-
-        The dispatch thread spends most of its time inside device transfers
-        (GIL released); running decode -> pack -> mode/geometry on a
-        separate thread overlaps that host work with the link instead of
-        serializing it (measured 136 us/ROI of metadata work inline — a
-        ~7 kROI/s ceiling all by itself on the bench mix).
-        """
-        import queue
-        import threading
-
-        q: queue.Queue = queue.Queue(maxsize=4)
-        done = object()
-        cancel = threading.Event()  # set when the consumer goes away
-
-        def offer(item) -> bool:
-            while not cancel.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def produce():
-            try:
-                gen = pack.pack_rois(
-                    tagged_rois, batch_size=self.batch_size,
-                    buckets=self.buckets,
-                    batch_multiple=self._batch_multiple,
-                    pre_shrink_to=pre_shrink_to,
-                    compute_modes=(self.spec.border == "mode"),
-                    consolidate_tails=consolidate_tails,
-                )
-                while True:
-                    # decode+pack pulls the upstream ROI generator; meta is
-                    # the geometry/border pass. Separate stages on THIS
-                    # thread only (no cross-thread accumulator races).
-                    with self.timer.stage("host.decode+pack"):
-                        batch = next(gen, None)
-                    if batch is None:
-                        break
-                    with self.timer.stage("host.meta"):
-                        meta = self._host_meta(batch)
-                    if not offer((batch, meta)):
-                        return
-            except BaseException as e:  # re-raised on the consumer side
-                offer(e)
-                return
-            offer(done)
-
-        threading.Thread(target=produce, daemon=True,
-                         name="sykepic-pack").start()
-        try:
-            while True:
-                item = q.get()
-                if item is done:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            cancel.set()  # unblock the producer if we exit early
+        """Pack ROIs and compute host metadata on a producer thread,
+        yielding ``(batch, meta)`` ready to dispatch (overlap rationale in
+        :meth:`_produce_on_thread`)."""
+        gen = pack.pack_rois(
+            tagged_rois, batch_size=self.batch_size,
+            buckets=self.buckets,
+            batch_multiple=self._batch_multiple,
+            pre_shrink_to=pre_shrink_to,
+            compute_modes=(self.spec.border == "mode"),
+            consolidate_tails=consolidate_tails,
+        )
+        return self._produce_on_thread(gen, self._host_meta,
+                                       "sykepic-pack")
 
     def classify_rois(self, tagged_rois):
         """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.

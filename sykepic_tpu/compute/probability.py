@@ -163,6 +163,7 @@ def precompile_for_samples(sample_paths, clf: Classifier,
             stream(),
             pre_shrink_to=(clf.spec.target_h, clf.spec.target_w),
             batch_multiple=clf._batch_multiple,
+            slot_cap=clf._shelf_slot_cap,  # same program keys as the engine
         ):
             key = (sbatch.windows.shape[0], len(sbatch.win_idx))
             volume[key] = volume.get(key, 0) + sbatch.n_valid

@@ -77,6 +77,15 @@ def snap_dim(x: int) -> int:
     return min(-(-x // step) * step, GRID_MAX)
 
 
+def mode_pixel(img: np.ndarray) -> int:
+    """Most common pixel value of one image — the reference's border fill
+    (``image.py:229-237``: cv2.calcHist 256 bins + argmax, first-max wins).
+    THE single definition: both packers and ``ops/preprocess`` use it, so
+    the slot and shelf paths cannot drift apart on border semantics."""
+    return int(np.bincount(np.asarray(img, np.uint8).ravel(),
+                           minlength=256).argmax())
+
+
 def bucket_for(h: int, w: int, buckets=None) -> tuple[int, int]:
     """Canvas shape for an (h, w) ROI.
 
@@ -329,8 +338,6 @@ def _emit(group, bh, bw, batch_size, pad_to_batch,
         roi_ids[i] = rid
         sample_idx[i] = sidx
         if modes is not None:
-            # first-max wins, matching cv2.calcHist + argmax
-            # (reference image.py:229-237)
-            modes[i] = np.bincount(img.ravel(), minlength=256).argmax()
+            modes[i] = mode_pixel(img)
     return PackedBatch(canvas, heights, widths, roi_ids, sample_idx,
                        n_valid=n, modes=modes)

@@ -216,6 +216,13 @@ def pack_shelves(
             f"pre-shrink target {pre_shrink_to} exceeds the shelf window "
             f"({WIN_H}, {WIN_W})"
         )
+    if nc_full > NC_LADDER[-1]:
+        # pad_nc clamps to the ladder; a larger nc_full would overflow the
+        # window tensor _emit allocates
+        raise ValueError(
+            f"nc_full {nc_full} exceeds the window-count ladder "
+            f"(max {NC_LADDER[-1]})"
+        )
     # flush when buffered pixels would fill ~all of a dispatch's windows
     flush_bytes = int(nc_full * WIN_H * WIN_W * 0.98)
     buffered: list = []
@@ -263,6 +270,7 @@ def shipped_bytes(batch: ShelfBatch) -> int:
 
 
 def preprocess_mode(img: np.ndarray) -> int:
-    """Mode pixel of one ROI (reference border fill, ``image.py:229-237``),
-    from the ROI's own bytes while they are cache-hot."""
-    return int(np.argmax(np.bincount(img.ravel(), minlength=256)))
+    """Mode pixel of one ROI from its own bytes while they are cache-hot
+    (delegates to the single reference-border definition,
+    :func:`sykepic_tpu.ingest.pack.mode_pixel`)."""
+    return pack.mode_pixel(img)

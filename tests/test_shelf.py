@@ -143,3 +143,46 @@ def test_onchip_rate_shelf_counts(model_dir):
     n, secs = clf.onchip_rate(iter(rois), repeats=1)
     assert n == 40
     assert secs > 0.0
+
+
+def test_nc_full_beyond_ladder_rejected():
+    rng = np.random.default_rng(1)
+    rois = _rand_rois(4, rng)
+    gen = shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                             nc_full=shelf.NC_LADDER[-1] * 2)
+    with pytest.raises(ValueError, match="window-count ladder"):
+        next(gen)
+
+
+def test_slot_cap_bounds_dispatch(model_dir):
+    """Classifier.batch_size above the 1024 floor caps slots/dispatch (the
+    device-memory knob stays live under shelf packing)."""
+    from sykepic_tpu.compute import probability
+
+    clf = probability.prepare_model(model_dir, batch_size=2048)
+    assert clf._shelf_slot_cap == 2048
+    rng = np.random.default_rng(5)
+    rois = _rand_rois(3000, rng, h_range=(8, 12), w_range=(8, 12))
+    for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                slot_cap=clf._shelf_slot_cap):
+        assert len(b.win_idx) <= 2048
+
+
+def test_dispatch_shelf_computes_missing_modes(model_dir):
+    """A hand-built ShelfBatch without precomputed modes must classify
+    under border=mode by recovering modes from the windows (public
+    dispatch_shelf contract)."""
+    from sykepic_tpu.compute import probability
+
+    clf = probability.prepare_model(model_dir, batch_size=64)
+    assert clf.spec.border == "mode"
+    rng = np.random.default_rng(9)
+    rois = _rand_rois(20, rng)
+    with_modes = list(shelf.pack_shelves(
+        iter(rois), pre_shrink_to=(180, 180), compute_modes=True))
+    without = list(shelf.pack_shelves(
+        iter(rois), pre_shrink_to=(180, 180), compute_modes=False))
+    assert len(with_modes) == len(without) == 1
+    a = np.asarray(clf.dispatch_shelf(with_modes[0]))
+    b = np.asarray(clf.dispatch_shelf(without[0]))
+    np.testing.assert_array_equal(a, b)
