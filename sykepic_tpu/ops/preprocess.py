@@ -71,9 +71,12 @@ def mode_pixel(img: np.ndarray) -> int:
     badly onto the TPU VPU, while on the host it is a single pass fused with
     the packing memcpy. The result rides into the device kernel as per-ROI
     metadata (the ``border`` argument of :func:`eval_preprocess`).
+    Delegates to the single definition in :mod:`sykepic_tpu.ingest.pack`
+    (ingest stays jax-free, so the helper lives there).
     """
-    return int(np.argmax(np.bincount(np.asarray(img, np.uint8).ravel(),
-                                     minlength=256)))
+    from ..ingest import pack as _pack
+
+    return _pack.mode_pixel(img)
 
 
 def mode_pixel_batch(canvas, heights, widths) -> np.ndarray:
