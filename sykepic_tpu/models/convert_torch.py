@@ -154,9 +154,11 @@ def _put_bn(params, stats, path, leaf_name, v):
 # EfficientNet (torchvision ``efficientnet_bN`` / TorchVisionNet-wrapped)
 # ---------------------------------------------------------------------------
 
-def _normalize_efficientnet_keys(state_dict: dict) -> dict:
+def _normalize_base0_keys(state_dict: dict) -> dict:
     """Rewrite reference ``base.0.*`` (base.0 == features) into torchvision
-    ``features.*`` naming; ``head.K.*`` / ``classifier.*`` kept as-is."""
+    ``features.*`` naming; ``head.K.*`` / ``classifier.*`` kept as-is.
+    Shared by the EfficientNet, MobileNetV3 and VGG converters — all three
+    families wrap a ``features`` Sequential as the first base child."""
     out = {}
     for key, value in state_dict.items():
         m = re.match(r"^base\.0\.(.*)$", key)
@@ -179,7 +181,7 @@ def torch_efficientnet_to_flax(state_dict: dict) -> dict:
     only when expand_ratio > 1 (first stage omits it); the last ``features``
     entry is the 1x1 head conv+bn; ``classifier.1`` the final Linear.
     """
-    sd = _normalize_efficientnet_keys(state_dict)
+    sd = _normalize_base0_keys(state_dict)
     params: dict = {}
     stats: dict = {}
     head_linears: dict[int, dict] = {}
@@ -323,7 +325,7 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
     classifier Linear's in_features (``network.py:50-56``); model-dir
     ``head.K`` Linears map to ``head.fcK``.
     """
-    sd = _normalize_efficientnet_keys(state_dict)  # base.0.* -> features.*
+    sd = _normalize_base0_keys(state_dict)  # base.0.* -> features.*
     params: dict = {}
     stats: dict = {}
     head_linears: dict[int, dict] = {}
@@ -399,18 +401,6 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
 # VGG (torchvision ``vgg16[_bn]`` / ``vgg19[_bn]`` / TorchVisionNet-wrapped)
 # ---------------------------------------------------------------------------
 
-def _normalize_vgg_keys(state_dict: dict) -> dict:
-    """Rewrite reference ``base.0.*`` (base.0 == features; base.1 is the
-    parameterless avgpool) into torchvision ``features.*`` naming."""
-    out = {}
-    for key, value in state_dict.items():
-        m = re.match(r"^base\.0\.(.*)$", key)
-        if m:
-            key = f"features.{m.group(1)}"
-        out[key] = value
-    return out
-
-
 def _vgg_variant_from_keys(sd: dict) -> str:
     """Infer vgg16/vgg19 (+_bn) from normalized feature keys: the conv
     count identifies the depth, ``running_mean`` presence the BN flavor."""
@@ -438,7 +428,7 @@ def torch_vgg_to_flax(state_dict: dict) -> dict:
     (``models/vgg.py``)."""
     from . import vgg as vgg_mod
 
-    sd = _normalize_vgg_keys(state_dict)
+    sd = _normalize_base0_keys(state_dict)
     name = _vgg_variant_from_keys(sd)
     batch_norm = name.endswith("_bn")
     params: dict = {}
@@ -448,13 +438,13 @@ def torch_vgg_to_flax(state_dict: dict) -> dict:
         conv = f"layer{stage}_conv{j}"
         kernel = _conv_kernel(sd[f"features.{idx}.weight"])
         _put(params, (conv, "kernel"), kernel)
+        # torchvision make_layers keeps Conv2d bias=True in the _bn
+        # variants too — every real vgg*_bn checkpoint has these tensors
+        _put(params, (conv, "bias"), _to_numpy(sd[f"features.{idx}.bias"]))
         if batch_norm:
             for leaf in ("weight", "bias", "running_mean", "running_var"):
                 _put_bn(params, stats, (f"layer{stage}_bn{j}",), leaf,
                         _to_numpy(sd[f"features.{idx + 1}.{leaf}"]))
-        else:
-            _put(params, (conv, "bias"),
-                 _to_numpy(sd[f"features.{idx}.bias"]))
 
     head_linears: dict = {}
     for key, value in sd.items():
@@ -487,11 +477,12 @@ def flax_vgg_to_torch(variables: dict, dropout=()) -> dict:
     for idx, stage, j in vgg_mod.feature_index_map(name):
         conv = params[f"layer{stage}_conv{j}"]
         _sd_put_conv(sd, f"base.0.{idx}.weight", conv)
+        # conv bias exists in the _bn variants too (torchvision layout);
+        # a strict reference-side load_state_dict requires every key
+        _sd_put(sd, f"base.0.{idx}.bias", np.asarray(conv["bias"]))
         if bn:
             mod = f"layer{stage}_bn{j}"
             _sd_put_bn(sd, f"base.0.{idx + 1}", params[mod], stats[mod])
-        else:
-            _sd_put(sd, f"base.0.{idx}.bias", np.asarray(conv["bias"]))
     _sd_put_head(sd, params, dropout)
     return sd
 
@@ -500,7 +491,7 @@ def _looks_like_vgg(state_dict: dict) -> bool:
     """VGG fingerprint on normalized keys: a 3x3x3->64 first features conv
     (AlexNet's is 11x11; EfficientNet/MobileNet carry ``.block.``;
     ResNet has no ``features.`` prefix)."""
-    sd = _normalize_vgg_keys(state_dict)
+    sd = _normalize_base0_keys(state_dict)
     v = sd.get("features.0.weight")
     if v is None or any(".block." in k for k in sd):
         return False

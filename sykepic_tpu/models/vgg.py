@@ -10,6 +10,10 @@ reference crash — see ``convert_torch.UnsupportedArchitectureError``).
 Parity notes:
 
 - Plain 3x3 stride-1 convs with symmetric padding; torch semantics exact.
+  Convs keep their bias in the ``_bn`` variants too: torchvision's
+  ``vgg.make_layers`` constructs ``Conv2d`` with the default ``bias=True``
+  regardless of ``batch_norm``, so every real ``vgg*_bn`` checkpoint
+  carries ``features.N.bias`` tensors that must survive conversion.
 - ``AdaptiveAvgPool2d((7, 7))``: torch's adaptive windows are
   ``[floor(i*in/out), ceil((i+1)*in/out))`` — reproduced exactly, for
   inputs both larger and SMALLER than 7 (a 180x180 input reaches this pool
@@ -80,9 +84,10 @@ class VGG(nn.Module):
                 stage += 1
                 j = 0
                 continue
+            # bias stays on even under BN (torchvision make_layers keeps
+            # Conv2d's default bias=True for the _bn variants)
             x = nn.Conv(
                 v, (3, 3), padding=((1, 1), (1, 1)),
-                use_bias=not self.batch_norm,
                 dtype=self.dtype, name=f"layer{stage}_conv{j}",
             )(x)
             if self.batch_norm:

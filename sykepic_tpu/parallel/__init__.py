@@ -30,10 +30,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # EfficientNet layer7/head_conv). Early narrow convs replicate — sharding
 # them trades negligible memory for extra collectives.
 # VGG is absent on purpose: its only wide matmul is the 25088-wide head
-# fc0, which the "head" prefix already covers; a "layer5" prefix would
-# also catch MobileNet/EfficientNet MID-stage blocks and buy collectives
-# for nothing.
-WIDE_MODULE_PREFIXES = ("head", "layer4", "layer7", "head_conv")
+# fc0, which the "head" pattern already covers; its mid-backbone
+# layer4_conv*/layer5_conv* 3x3 convs would buy collectives for nothing.
+# The backbone patterns therefore anchor on the block-structured
+# "layerN_<block index>" naming (ResNet/EfficientNet/MobileNet) so VGG's
+# flat "layer4_convJ" modules do NOT match.
+WIDE_MODULE_PATTERNS = (r"head", r"layer4_\d+$", r"layer7_\d+$",
+                        r"head_conv$")
 
 
 def data_mesh(devices=None) -> Mesh:
@@ -78,16 +81,19 @@ def has_model_axis(mesh: Mesh) -> bool:
 
 def shard_wide_kernels(params, mesh: Mesh, axis: str = "model",
                        min_width: int = 64,
-                       module_prefixes=WIDE_MODULE_PREFIXES):
+                       module_patterns=WIDE_MODULE_PATTERNS):
     """Tensor-parallel parameter placement over the mesh's ``axis``.
 
-    Kernels whose top-level module matches ``module_prefixes`` and whose
-    last (output-feature) dimension is at least ``min_width`` and divisible
+    Kernels whose top-level module matches one of the ``module_patterns``
+    regexes (``re.match`` — anchored at the start) and whose last
+    (output-feature) dimension is at least ``min_width`` and divisible
     by the axis size get that dimension sharded; every other leaf
     replicates. Returns the device_put tree — run jitted programs on it
     under the same mesh and GSPMD partitions the matmuls/convs and inserts
     the all-gathers/reduce-scatters over ICI.
     """
+    import re
+
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -95,13 +101,15 @@ def shard_wide_kernels(params, mesh: Mesh, axis: str = "model",
     if n_shards <= 1:
         return replicate(mesh, params)
 
+    compiled = tuple(re.compile(p) for p in module_patterns)
+
     def placement(path, leaf):
         wide = (
             getattr(leaf, "ndim", 0) >= 2
             and leaf.shape[-1] >= min_width
             and leaf.shape[-1] % n_shards == 0
         )
-        if wide and str(path[0]).startswith(tuple(module_prefixes)):
+        if wide and any(p.match(str(path[0])) for p in compiled):
             return P(*([None] * (leaf.ndim - 1) + [axis]))
         return P()
 

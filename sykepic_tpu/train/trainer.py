@@ -34,6 +34,7 @@ the gradient all-reduce over ICI (no hand-written collectives).
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import jax
@@ -70,8 +71,6 @@ def label_params(params):
                 top = max(top, int(name[5:].split("_")[0]))
             except ValueError:
                 pass
-    import re as _re
-
     labels = {}
     for path in flat:
         parts = [str(p) for p in path]
@@ -79,7 +78,7 @@ def label_params(params):
         # "stem_bn"/"project_bn" (efficientnet/mobilenet),
         # "layer5_bn2" (vgg_bn)
         is_bn = any(
-            _re.search(r"(^|_)bn\d*$", p) for p in parts[:-1]
+            re.search(r"(^|_)bn\d*$", p) for p in parts[:-1]
         )
         if parts[0] == "head":
             g = G_HEAD

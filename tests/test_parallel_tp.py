@@ -41,6 +41,21 @@ def test_placement_rules(mesh):
     assert parallel.has_model_axis(mesh)
 
 
+def test_vgg_backbone_stays_replicated(mesh):
+    """VGG's flat layer4_convJ / layer5_convJ modules must NOT match the
+    block-structured layer4_<digit> backbone pattern: only its (25088-wide)
+    head shards; mid-backbone 3x3 convs would buy collectives for
+    nothing (see WIDE_MODULE_PATTERNS)."""
+    model = build_model("vgg16", num_classes=6, head=(64,))
+    variables = init_variables(model, (32, 32, 3), seed=0)
+    placed = parallel.shard_wide_kernels(variables["params"], mesh)
+    assert placed["head"]["fc0"]["kernel"].sharding.spec[-1] == "model"
+    for stage in (4, 5):
+        for j in range(3):
+            spec = placed[f"layer{stage}_conv{j}"]["kernel"].sharding.spec
+            assert all(s is None for s in spec), (stage, j)
+
+
 def test_sharded_forward_matches_replicated(mesh):
     import jax
     import jax.numpy as jnp

@@ -66,8 +66,9 @@ def _torch_vgg(name, seed=0):
         if v == "M":
             layers.append(tnn.MaxPool2d(2, 2))
             continue
-        layers.append(tnn.Conv2d(in_ch, v, 3, padding=1,
-                                 bias=not batch_norm))
+        # torchvision make_layers leaves Conv2d's default bias=True even
+        # with batch_norm — real vgg*_bn checkpoints carry conv biases
+        layers.append(tnn.Conv2d(in_ch, v, 3, padding=1))
         if batch_norm:
             layers.append(tnn.BatchNorm2d(v))
         layers.append(tnn.ReLU(inplace=True))
