@@ -260,8 +260,12 @@ class Classifier:
                     border[i] = pack.mode_pixel(roi)
         elif self.spec.border == "white":
             border = np.full(len(batch.heights), 255, np.uint8)
-        else:  # black
+        elif self.spec.border == "black":
             border = np.zeros(len(batch.heights), np.uint8)
+        else:
+            # same loud rejection as the slot path's border_values — a
+            # typo'd config must not silently classify with black fill
+            raise ValueError(f"Unknown border mode: {self.spec.border}")
         return new_h, new_w, pad_top, pad_left, border
 
     def dispatch_shelf(self, batch, meta=None):
@@ -487,7 +491,16 @@ class Classifier:
         from ..ingest import shelf
 
         results = []
-        for key in sorted(set(canvas_shapes)):
+        # Shelf keys snap onto the same ladders pack_shelves emits on —
+        # warming an off-ladder (nc, r) would compile a program the
+        # runtime never dispatches and leave the real shape cold.
+        keys = {
+            (shelf.pad_nc(k[0]),
+             shelf.pad_slots(k[1], self._batch_multiple))
+            if len(k) == 2 else k
+            for k in canvas_shapes
+        }
+        for key in sorted(keys):
             if len(key) == 2:  # shelf program: (window count, slot count)
                 nc, r = key
                 sbatch = shelf.ShelfBatch(

@@ -56,16 +56,40 @@ def pad_nc(n: int) -> int:
     return NC_LADDER[-1]
 
 
-def pad_slots(n: int, multiple: int = 1) -> int:
-    if n <= SLOT_MIN:
-        base = SLOT_MIN
-        while base % multiple:
-            base += SLOT_MIN
-        return base
+def _slot_rungs(multiple: int) -> tuple[int, int]:
+    """(base, step) of the padded-slot ladder for a batch multiple: padded
+    sizes are ``base`` (= lcm(SLOT_MIN, multiple)) or multiples of ``step``
+    (= lcm(SLOT_STEP, multiple)); SLOT_MIN | SLOT_STEP so base | step."""
+    base = SLOT_MIN
+    while base % multiple:
+        base += SLOT_MIN
     step = SLOT_STEP
     while step % multiple:
         step += SLOT_STEP
+    return base, step
+
+
+def pad_slots(n: int, multiple: int = 1) -> int:
+    base, step = _slot_rungs(multiple)
+    if n <= base:
+        return base
     return -(-n // step) * step
+
+
+def floor_slots(cap: int, multiple: int = 1) -> int:
+    """Largest pad_slots output <= ``cap`` — the effective per-dispatch
+    slot bound a caller's cap admits (a dispatch packed to this count pads
+    to exactly this count, never past the cap)."""
+    base, step = _slot_rungs(multiple)
+    best = (cap // step) * step
+    if best >= base:
+        return best
+    if base <= cap:
+        return base
+    raise ValueError(
+        f"slot cap {cap} is below the smallest padded dispatch "
+        f"({base} for batch multiple {multiple})"
+    )
 
 
 @dataclass
@@ -223,16 +247,27 @@ def pack_shelves(
             f"nc_full {nc_full} exceeds the window-count ladder "
             f"(max {NC_LADDER[-1]})"
         )
+    # snap nc_full DOWN to a ladder rung: an off-ladder value would make
+    # EVERY full dispatch pad up to the next rung and ship permanently
+    # dead windows over the link (the e2e throughput bound)
+    nc_full = max(v for v in NC_LADDER if v <= max(nc_full, 1))
+    # floor the slot cap to a padded-ladder value so _emit's pad_slots
+    # never rounds a full dispatch ABOVE the caller's cap (the cap exists
+    # to bound the per-dispatch device working set)
+    slot_cap = floor_slots(slot_cap, batch_multiple)
     # flush when buffered pixels would fill ~all of a dispatch's windows
     flush_bytes = int(nc_full * WIN_H * WIN_W * 0.98)
+    win_bytes = WIN_H * WIN_W
+    next_flush = flush_bytes
     buffered: list = []
     buffered_bytes = 0
 
     def flush(final: bool):
-        nonlocal buffered, buffered_bytes
+        nonlocal buffered, buffered_bytes, next_flush
         shelver = _Shelver(buffered)
         out = []
         carried = []  # packed but not emitted: back to the buffer
+        short = 0  # windows short of a full dispatch when carrying
         while True:
             placements, n_windows = shelver.pack(nc_full, slot_cap)
             if not placements:
@@ -243,11 +278,19 @@ def pack_shelves(
                                  batch_multiple, compute_modes))
             else:
                 carried.extend(p[0] for p in placements)
+                short = nc_full - n_windows
                 break  # keep the partial dispatch buffered for more ROIs
         left = carried + [i for h in shelver.heights_desc
                           for i in shelver.by_height.get(h, [])]
         buffered = [buffered[i] for i in left]
         buffered_bytes = sum(it[2].nbytes for it in buffered)
+        # A carry-all pack means occupancy beat the 0.98 flush factor (the
+        # whole buffer fit in < nc_full windows). Re-shelving the same
+        # multi-thousand-item buffer per appended ROI is quadratic, so arm
+        # the next flush only once the MISSING windows' worth of pixels has
+        # actually arrived.
+        next_flush = (flush_bytes if out
+                      else buffered_bytes + max(short, 1) * win_bytes)
         return out
 
     for smp, rid, img in rois:
@@ -257,7 +300,7 @@ def pack_shelves(
         mode = preprocess_mode(img) if compute_modes else None
         buffered.append((smp, rid, img, mode))
         buffered_bytes += img.nbytes
-        if buffered_bytes >= flush_bytes or len(buffered) >= slot_cap:
+        if buffered_bytes >= next_flush or len(buffered) >= slot_cap:
             yield from flush(final=False)
     while buffered:
         yield from flush(final=True)

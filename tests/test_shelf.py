@@ -168,6 +168,117 @@ def test_slot_cap_bounds_dispatch(model_dir):
         assert len(b.win_idx) <= 2048
 
 
+def test_off_ladder_slot_cap_never_overshoots():
+    """An off-ladder slot cap (1500) must still be a HARD bound: the
+    padded dispatch floors onto the ladder below the cap instead of
+    pad_slots rounding the fullest pack above it."""
+    rng = np.random.default_rng(11)
+    rois = _rand_rois(4000, rng, h_range=(8, 12), w_range=(8, 12))
+    sizes = set()
+    for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                slot_cap=1500):
+        assert len(b.win_idx) <= 1500
+        sizes.add(len(b.win_idx))
+    assert max(sizes) == shelf.floor_slots(1500)  # 1280: fullest dispatch
+
+
+def test_slot_cap_holds_with_non_pow2_multiple():
+    """SLOT_CAP with a 6-way batch multiple: the padded slot count must
+    not exceed the cap (pad_slots' lcm step would round 4096 -> 4608)."""
+    rng = np.random.default_rng(12)
+    rois = _rand_rois(9000, rng, h_range=(8, 10), w_range=(8, 10))
+    for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                batch_multiple=6,
+                                slot_cap=shelf.SLOT_CAP):
+        assert len(b.win_idx) <= shelf.SLOT_CAP
+        assert len(b.win_idx) % 6 == 0
+
+
+def test_off_ladder_nc_full_snaps_down():
+    """nc_full=50 snaps to the 48 rung: full dispatches must not ship
+    permanently dead padded windows over the wire."""
+    rng = np.random.default_rng(13)
+    rois = _rand_rois(6000, rng, h_range=(24, 64), w_range=(40, 128))
+    batches = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                      nc_full=50))
+    ncs = [b.windows.shape[0] for b in batches]
+    assert 48 in ncs, ncs  # full dispatches land on the rung below
+    assert 56 not in ncs, ncs  # never pad_nc(50): no dead windows shipped
+
+
+def test_carry_does_not_rethrash_the_buffer():
+    """100%-occupancy uniform ROIs pack tighter than the flush factor, so
+    every flush used to carry everything and re-shelve the whole buffer
+    per appended ROI (quadratic). The packer must re-arm the flush only
+    after the missing windows' worth of pixels arrives."""
+    import sykepic_tpu.ingest.shelf as shelf_mod
+
+    rng = np.random.default_rng(14)
+    rois = [(0, i + 1, rng.integers(0, 255, (32, 64), np.uint8))
+            for i in range(12_000)]
+    n_packs = 0
+    orig = shelf_mod._Shelver.__init__
+
+    def counting(self, items):
+        nonlocal n_packs
+        n_packs += 1
+        orig(self, items)
+
+    shelf_mod._Shelver.__init__ = counting
+    try:
+        batches = list(shelf_mod.pack_shelves(iter(rois),
+                                              pre_shrink_to=(180, 180)))
+    finally:
+        shelf_mod._Shelver.__init__ = orig
+    placed = sum(b.n_valid for b in batches)
+    assert placed == 12_000
+    # one shelving per emitted dispatch plus a small carry overhead
+    assert n_packs <= len(batches) * 3 + 4, (n_packs, len(batches))
+
+
+def test_unknown_border_mode_raises_on_shelf_path(model_dir, tmp_path):
+    """A typo'd border mode must fail loudly on the (default) shelf path,
+    exactly like the slot path's border_values — not silently classify
+    with black fill."""
+    import shutil
+
+    from sykepic_tpu.compute import probability
+
+    d = tmp_path / "model"
+    shutil.copytree(model_dir, d)
+    ini = (d / "config.ini").read_text()
+    assert "mode" in ini
+    (d / "config.ini").write_text(ini.replace("border = mode",
+                                              "border = Mode"))
+    clf = probability.prepare_model(d, batch_size=64)
+    rng = np.random.default_rng(15)
+    (b,) = list(shelf.pack_shelves(iter(_rand_rois(4, rng)),
+                                   pre_shrink_to=(180, 180)))
+    with pytest.raises(ValueError, match="[Uu]nknown border"):
+        clf.dispatch_shelf(b)
+
+
+def test_precompile_snaps_off_ladder_shelf_keys(model_dir):
+    """precompile must warm the ladder shapes pack_shelves actually emits,
+    not the raw (nc, slots) pair the caller passed."""
+    from sykepic_tpu.compute import probability
+
+    clf = probability.prepare_model(model_dir, batch_size=64)
+    seen = []
+    orig = clf.dispatch_shelf
+
+    def spy(batch, meta=None):
+        seen.append((batch.windows.shape[0], len(batch.win_idx)))
+        return orig(batch, meta)
+
+    clf.dispatch_shelf = spy
+    try:
+        clf.precompile([(3, 100)])
+    finally:
+        clf.dispatch_shelf = orig
+    assert seen == [(shelf.pad_nc(3), shelf.pad_slots(100))]
+
+
 def test_dispatch_shelf_computes_missing_modes(model_dir):
     """A hand-built ShelfBatch without precomputed modes must classify
     under border=mode by recovering modes from the windows (public
