@@ -487,6 +487,63 @@ def flax_vgg_to_torch(variables: dict, dropout=()) -> dict:
     return sd
 
 
+def torch_alexnet_to_flax(state_dict: dict) -> dict:
+    """Convert a torch AlexNet(+head) state dict to our
+    :class:`~sykepic_tpu.models.alexnet.AlexNet` variable tree. Accepts raw
+    torchvision dicts (``features.*`` + ``classifier.*``) and reference
+    ``TorchVisionNet`` dicts (``base.0.*`` + ``head.K.*``). Head kernels
+    transpose 1:1 because our flatten runs in torch's channel-major order
+    (``models/alexnet.py``)."""
+    from . import alexnet as alex_mod
+
+    sd = _normalize_base0_keys(state_dict)
+    params: dict = {}
+    for idx, (stage, j, *_rest) in zip(alex_mod.FEATURE_INDICES,
+                                       alex_mod.ALEXNET_CONVS):
+        conv = f"layer{stage}_conv{j}"
+        _put(params, (conv, "kernel"), _conv_kernel(sd[f"features.{idx}.weight"]))
+        _put(params, (conv, "bias"), _to_numpy(sd[f"features.{idx}.bias"]))
+
+    head_linears: dict = {}
+    for key, value in sd.items():
+        m = re.match(r"^(?:head|classifier)\.(\d+)\.(weight|bias)$", key)
+        if m:
+            head_linears.setdefault(int(m.group(1)), {})[m.group(2)] = (
+                _to_numpy(value)
+            )
+    if head_linears:
+        params["head"] = _collect_head(head_linears)
+    return {"params": params, "batch_stats": {}}
+
+
+def flax_alexnet_to_torch(variables: dict, dropout=()) -> dict:
+    """Our AlexNet variable tree -> a reference ``TorchVisionNet`` state
+    dict (``base.0.*`` = features, ``head.K.*`` Linears). Inverse of
+    :func:`torch_alexnet_to_flax`."""
+    from . import alexnet as alex_mod
+
+    params = variables["params"]
+    sd: dict = {}
+    for idx, (stage, j, *_rest) in zip(alex_mod.FEATURE_INDICES,
+                                       alex_mod.ALEXNET_CONVS):
+        conv = params[f"layer{stage}_conv{j}"]
+        _sd_put_conv(sd, f"base.0.{idx}.weight", conv)
+        _sd_put(sd, f"base.0.{idx}.bias", np.asarray(conv["bias"]))
+    _sd_put_head(sd, params, dropout)
+    return sd
+
+
+def _looks_like_alexnet(state_dict: dict) -> bool:
+    """AlexNet fingerprint on normalized keys: the 11x11x3->64 first
+    features conv (unique across torchvision — VGG's is 3x3)."""
+    sd = _normalize_base0_keys(state_dict)
+    v = sd.get("features.0.weight")
+    if v is None or any(".block." in k for k in sd):
+        return False
+    shape = tuple(getattr(v, "shape", np.asarray(v).shape))
+    return shape == (64, 3, 11, 11)
+
+
 def _looks_like_vgg(state_dict: dict) -> bool:
     """VGG fingerprint on normalized keys: a 3x3x3->64 first features conv
     (AlexNet's is 11x11; EfficientNet/MobileNet carry ``.block.``;
@@ -527,7 +584,8 @@ def _looks_like_resnet(state_dict: dict) -> bool:
     )
 
 
-SUPPORTED_FAMILIES = "resnet*, efficientnet_b*, mobilenet_v3_*, vgg16/19[_bn]"
+SUPPORTED_FAMILIES = ("resnet*/resnext*/wide_resnet*, efficientnet_b*, "
+                      "mobilenet_v3_*, vgg16/19[_bn], alexnet")
 
 
 class UnsupportedArchitectureError(ValueError):
@@ -537,11 +595,13 @@ class UnsupportedArchitectureError(ValueError):
     (``train/network.py:46-48``), but its construction — ``base =
     Sequential(children[:-1])`` followed by flatten into a Linear sized
     from ``children[-1].in_features`` — only actually works for families
-    whose global pooling is a CHILD MODULE (resnet, efficientnet,
-    mobilenet, ...). densenet-style models pool functionally inside
-    ``forward()``, so the reference feeds a (1024*5*5)-dim flatten into a
-    1024-dim Linear and crashes; the three families implemented here are
-    the reference's real coverage for its production input size."""
+    whose global pooling is a CHILD MODULE (resnet/resnext/wide_resnet,
+    efficientnet, mobilenet, vgg, alexnet). densenet-style models pool
+    functionally inside ``forward()``, so the reference feeds a
+    (1024*5*5)-dim flatten into a 1024-dim Linear and crashes; the
+    families implemented here cover every torchvision architecture the
+    reference's construction actually runs at its production input size
+    except niche ones (googlenet, regnet, convnext)."""
 
 
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
@@ -557,10 +617,12 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
             return torch_mobilenet_v3_to_flax(state_dict)
         if network_name.startswith("efficientnet"):
             return torch_efficientnet_to_flax(state_dict)
-        if network_name.startswith("resnet"):
+        if network_name.startswith(("resnet", "resnext", "wide_resnet")):
             return torch_resnet_to_flax(state_dict)
         if network_name.startswith("vgg"):
             return torch_vgg_to_flax(state_dict)
+        if network_name == "alexnet":
+            return torch_alexnet_to_flax(state_dict)
         raise UnsupportedArchitectureError(
             f"Network '{network_name}' is not supported; "
             f"supported families: {SUPPORTED_FAMILIES}"
@@ -569,6 +631,8 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
         return torch_mobilenet_v3_to_flax(state_dict)
     if _looks_like_efficientnet(state_dict):
         return torch_efficientnet_to_flax(state_dict)
+    if _looks_like_alexnet(state_dict):
+        return torch_alexnet_to_flax(state_dict)
     if _looks_like_vgg(state_dict):
         return torch_vgg_to_flax(state_dict)
     if _looks_like_resnet(state_dict):
@@ -744,13 +808,22 @@ def flax_to_torch(variables: dict, dropout=(),
         return flax_mobilenet_v3_to_torch(variables, dropout)
     if network_name and network_name.startswith("efficientnet"):
         return flax_efficientnet_to_torch(variables, dropout)
-    if network_name and network_name.startswith("resnet"):
+    if network_name and network_name.startswith(
+            ("resnet", "resnext", "wide_resnet")):
         return flax_resnet_to_torch(variables, dropout)
     if network_name and network_name.startswith("vgg"):
         return flax_vgg_to_torch(variables, dropout)
+    if network_name == "alexnet":
+        return flax_alexnet_to_torch(variables, dropout)
     if "conv1" in params:
         return flax_resnet_to_torch(variables, dropout)
     if any(re.match(r"^layer\d+_conv\d+$", m) for m in params):
+        # AlexNet and VGG share the layerS_convJ naming; the conv census
+        # separates them (5 vs 13/16)
+        n_convs = sum(bool(re.match(r"^layer\d+_conv\d+$", m))
+                      for m in params)
+        if n_convs == 5:
+            return flax_alexnet_to_torch(variables, dropout)
         return flax_vgg_to_torch(variables, dropout)
     if "stem_conv" in params:
         if _flax_tree_is_mobilenet_v3(params):

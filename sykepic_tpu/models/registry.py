@@ -8,13 +8,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import efficientnet, mobilenet, resnet, vgg
+from . import alexnet, efficientnet, mobilenet, resnet, vgg
 
 MODEL_REGISTRY = {
     "resnet18": resnet.resnet18,
     "resnet34": resnet.resnet34,
     "resnet50": resnet.resnet50,
     "resnet101": resnet.resnet101,
+    "resnext50_32x4d": resnet.resnext50_32x4d,
+    "resnext101_32x8d": resnet.resnext101_32x8d,
+    "wide_resnet50_2": resnet.wide_resnet50_2,
+    "wide_resnet101_2": resnet.wide_resnet101_2,
     "efficientnet_b0": efficientnet.efficientnet_b0,
     "efficientnet_b1": efficientnet.efficientnet_b1,
     "efficientnet_b2": efficientnet.efficientnet_b2,
@@ -25,6 +29,7 @@ MODEL_REGISTRY = {
     "vgg16_bn": vgg.vgg16_bn,
     "vgg19": vgg.vgg19,
     "vgg19_bn": vgg.vgg19_bn,
+    "alexnet": alexnet.alexnet,
 }
 
 

@@ -75,12 +75,21 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """ResNet-50/101/152 bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4)."""
+    """ResNet-50/101/152 bottleneck block (1x1 -> 3x3 -> 1x1, expansion 4).
+
+    ``groups`` / ``base_width`` parameterize the ResNeXt and Wide-ResNet
+    variants exactly as torchvision's ``Bottleneck`` does: the inner width
+    is ``filters * base_width/64 * groups`` and the 3x3 conv is grouped.
+    A grouped conv is a block-diagonal contraction — XLA tiles each group
+    onto the MXU independently, so no custom kernel is needed.
+    """
 
     filters: int
     strides: int = 1
     dtype: Any = jnp.float32
     expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -92,15 +101,17 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
         )
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
         residual = x
-        y = conv(self.filters, (1, 1), name="conv1")(x)
+        y = conv(width, (1, 1), name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(
-            self.filters,
+            width,
             (3, 3),
             (self.strides, self.strides),
             padding=((1, 1), (1, 1)),
+            feature_group_count=self.groups,
             name="conv2",
         )(y)
         y = norm(name="bn2")(y)
@@ -224,3 +235,31 @@ def resnet50(**kw) -> ResNet:
 
 def resnet101(**kw) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck, **kw)
+
+
+# ResNeXt / Wide-ResNet: torchvision builds these from the same Bottleneck
+# with (groups, width_per_group) overrides, so their state dicts carry
+# byte-identical key names to resnet50/101 and both converters apply
+# unchanged (a grouped torch weight (O, I/g, kH, kW) transposes to flax's
+# grouped kernel (kH, kW, I/g, O) exactly like an ungrouped one).
+
+def resnext50_32x4d(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3),
+                  block_cls=partial(Bottleneck, groups=32, base_width=4),
+                  **kw)
+
+
+def resnext101_32x8d(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3),
+                  block_cls=partial(Bottleneck, groups=32, base_width=8),
+                  **kw)
+
+
+def wide_resnet50_2(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3),
+                  block_cls=partial(Bottleneck, base_width=128), **kw)
+
+
+def wide_resnet101_2(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3),
+                  block_cls=partial(Bottleneck, base_width=128), **kw)

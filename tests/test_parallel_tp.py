@@ -82,6 +82,37 @@ def test_sharded_forward_matches_replicated(mesh):
     np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-6)
 
 
+def test_sharded_forward_matches_replicated_grouped(mesh):
+    """ResNeXt's grouped 3x3 convs ride the layer4 tp pattern: sharding
+    the kernel's out-feature axis splits whole groups (2048/2 = 1024 = 16
+    of the 32 groups per shard), which XLA partitions exactly — the
+    sharded forward must match the replicated one."""
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model("resnext50_32x4d", num_classes=5, head=(32,))
+    variables = init_variables(model, (32, 32, 3), seed=3)
+
+    def forward(params, batch_stats, x):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+
+    x = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 1, (8, 32, 32, 3)), jnp.float32
+    )
+    base = np.asarray(jax.jit(forward)(
+        variables["params"], variables["batch_stats"], x
+    ))
+    params_tp = parallel.shard_wide_kernels(variables["params"], mesh)
+    assert (params_tp["layer4_0"]["conv2"]["kernel"]
+            .sharding.spec[-1] == "model")
+    stats_rep = parallel.replicate(mesh, variables["batch_stats"])
+    x_sharded = parallel.shard_batch(mesh, np.asarray(x))
+    out = np.asarray(jax.jit(forward)(params_tp, stats_rep, x_sharded))
+    np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-6)
+
+
 def test_trainer_applies_tp_automatically(mesh):
     from sykepic_tpu.train.config import PreprocessSpec
     from sykepic_tpu.train.input import HostBatch
