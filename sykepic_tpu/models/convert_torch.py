@@ -487,6 +487,144 @@ def flax_vgg_to_torch(variables: dict, dropout=()) -> dict:
     return sd
 
 
+def _convnext_variant_from_keys(sd: dict) -> str:
+    """tiny/small differ only in stage-3 depth (9 vs 27 blocks at
+    ``features.5``)."""
+    stage3 = {
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"^features\.5\.(\d+)\.block\.", k))
+    }
+    n = len(stage3)
+    name = {9: "convnext_tiny", 27: "convnext_small"}.get(n)
+    if name is None:
+        raise UnsupportedArchitectureError(
+            f"ConvNeXt-style state dict with {n} stage-3 blocks matches "
+            "neither convnext_tiny (9) nor convnext_small (27)"
+        )
+    return name
+
+
+def torch_convnext_to_flax(state_dict: dict) -> dict:
+    """Convert a torch ConvNeXt(+head) state dict to our
+    :class:`~sykepic_tpu.models.convnext.ConvNeXt` variable tree. Accepts
+    raw torchvision dicts (``features.*`` [+ ``classifier.*``]) and
+    reference ``TorchVisionNet`` dicts (``base.0.*`` + ``head.K.*``).
+    torchvision's final LayerNorm (``classifier.0``) has no counterpart
+    on our side — the reference's ``children[:-1]`` drops it (see
+    ``models/convnext.py``) — so it is ignored here."""
+    from . import convnext as cnx_mod
+
+    sd = _normalize_base0_keys(state_dict)
+    name = _convnext_variant_from_keys(sd)
+    params: dict = {}
+
+    def put_ln(mod, prefix):
+        _put(params, (mod, "scale"), _to_numpy(sd[f"{prefix}.weight"]))
+        _put(params, (mod, "bias"), _to_numpy(sd[f"{prefix}.bias"]))
+
+    for fi, kind, stage, j in cnx_mod.torch_feature_layout(name):
+        if kind == "stem":
+            _put(params, ("stem_conv", "kernel"),
+                 _conv_kernel(sd["features.0.0.weight"]))
+            _put(params, ("stem_conv", "bias"),
+                 _to_numpy(sd["features.0.0.bias"]))
+            put_ln("stem_ln", "features.0.1")
+        elif kind == "down":
+            put_ln(f"layer{stage}_down_norm", f"features.{fi}.0")
+            _put(params, (f"layer{stage}_down_conv", "kernel"),
+                 _conv_kernel(sd[f"features.{fi}.1.weight"]))
+            _put(params, (f"layer{stage}_down_conv", "bias"),
+                 _to_numpy(sd[f"features.{fi}.1.bias"]))
+        else:
+            mod = f"layer{stage}_{j}"
+            p = f"features.{fi}.{j}"
+            _put(params, (mod, "dwconv", "kernel"),
+                 _conv_kernel(sd[f"{p}.block.0.weight"]))
+            _put(params, (mod, "dwconv", "bias"),
+                 _to_numpy(sd[f"{p}.block.0.bias"]))
+            _put(params, (mod, "norm", "scale"),
+                 _to_numpy(sd[f"{p}.block.2.weight"]))
+            _put(params, (mod, "norm", "bias"),
+                 _to_numpy(sd[f"{p}.block.2.bias"]))
+            _put(params, (mod, "mlp1", "kernel"),
+                 _to_numpy(sd[f"{p}.block.3.weight"]).transpose(1, 0))
+            _put(params, (mod, "mlp1", "bias"),
+                 _to_numpy(sd[f"{p}.block.3.bias"]))
+            _put(params, (mod, "mlp2", "kernel"),
+                 _to_numpy(sd[f"{p}.block.5.weight"]).transpose(1, 0))
+            _put(params, (mod, "mlp2", "bias"),
+                 _to_numpy(sd[f"{p}.block.5.bias"]))
+            # torch (dim, 1, 1) -> flax (dim,)
+            _put(params, (mod, "layer_scale"),
+                 _to_numpy(sd[f"{p}.layer_scale"]).reshape(-1))
+
+    head_linears: dict = {}
+    for key, value in sd.items():
+        m = re.match(r"^head\.(\d+)\.(weight|bias)$", key)
+        if m:
+            head_linears.setdefault(int(m.group(1)), {})[m.group(2)] = (
+                _to_numpy(value)
+            )
+    if head_linears:
+        params["head"] = _collect_head(head_linears)
+    return {"params": params, "batch_stats": {}}
+
+
+def flax_convnext_to_torch(variables: dict, dropout=()) -> dict:
+    """Our ConvNeXt variable tree -> a reference ``TorchVisionNet`` state
+    dict (``base.0.*`` = features, ``head.K.*`` Linears). Inverse of
+    :func:`torch_convnext_to_flax`."""
+    from . import convnext as cnx_mod
+
+    params = variables["params"]
+    stage3 = sum(bool(re.match(r"^layer3_\d+$", m)) for m in params)
+    name = {9: "convnext_tiny", 27: "convnext_small"}[stage3]
+    sd: dict = {}
+
+    def put_ln(prefix, tree):
+        _sd_put(sd, f"{prefix}.weight", np.asarray(tree["scale"]))
+        _sd_put(sd, f"{prefix}.bias", np.asarray(tree["bias"]))
+
+    def put_dense(prefix, tree):
+        _sd_put(sd, f"{prefix}.weight",
+                np.asarray(tree["kernel"]).transpose(1, 0))
+        _sd_put(sd, f"{prefix}.bias", np.asarray(tree["bias"]))
+
+    for fi, kind, stage, j in cnx_mod.torch_feature_layout(name):
+        if kind == "stem":
+            _sd_put_conv(sd, "base.0.0.0.weight", params["stem_conv"])
+            _sd_put(sd, "base.0.0.0.bias",
+                    np.asarray(params["stem_conv"]["bias"]))
+            put_ln("base.0.0.1", params["stem_ln"])
+        elif kind == "down":
+            put_ln(f"base.0.{fi}.0", params[f"layer{stage}_down_norm"])
+            _sd_put_conv(sd, f"base.0.{fi}.1.weight",
+                         params[f"layer{stage}_down_conv"])
+            _sd_put(sd, f"base.0.{fi}.1.bias",
+                    np.asarray(params[f"layer{stage}_down_conv"]["bias"]))
+        else:
+            mod = params[f"layer{stage}_{j}"]
+            p = f"base.0.{fi}.{j}"
+            _sd_put_conv(sd, f"{p}.block.0.weight", mod["dwconv"])
+            _sd_put(sd, f"{p}.block.0.bias",
+                    np.asarray(mod["dwconv"]["bias"]))
+            put_ln(f"{p}.block.2", mod["norm"])
+            put_dense(f"{p}.block.3", mod["mlp1"])
+            put_dense(f"{p}.block.5", mod["mlp2"])
+            _sd_put(sd, f"{p}.layer_scale",
+                    np.asarray(mod["layer_scale"]).reshape(-1, 1, 1))
+    _sd_put_head(sd, params, dropout)
+    return sd
+
+
+def _looks_like_convnext(state_dict: dict) -> bool:
+    """ConvNeXt fingerprint: per-block ``layer_scale`` parameters (no
+    other torchvision family has them). Checked BEFORE the MBConv
+    sniffers — ConvNeXt's ``features.N.M.block.*`` keys would otherwise
+    match the EfficientNet repeat-level pattern."""
+    return any(k.endswith("layer_scale") for k in state_dict)
+
+
 def torch_alexnet_to_flax(state_dict: dict) -> dict:
     """Convert a torch AlexNet(+head) state dict to our
     :class:`~sykepic_tpu.models.alexnet.AlexNet` variable tree. Accepts raw
@@ -585,7 +723,8 @@ def _looks_like_resnet(state_dict: dict) -> bool:
 
 
 SUPPORTED_FAMILIES = ("resnet*/resnext*/wide_resnet*, efficientnet_b*, "
-                      "mobilenet_v3_*, vgg16/19[_bn], alexnet")
+                      "mobilenet_v3_*, vgg16/19[_bn], alexnet, "
+                      "convnext_tiny/small")
 
 
 class UnsupportedArchitectureError(ValueError):
@@ -596,12 +735,12 @@ class UnsupportedArchitectureError(ValueError):
     Sequential(children[:-1])`` followed by flatten into a Linear sized
     from ``children[-1].in_features`` — only actually works for families
     whose global pooling is a CHILD MODULE (resnet/resnext/wide_resnet,
-    efficientnet, mobilenet, vgg, alexnet). densenet-style models pool
-    functionally inside ``forward()``, so the reference feeds a
-    (1024*5*5)-dim flatten into a 1024-dim Linear and crashes; the
+    efficientnet, mobilenet, vgg, alexnet, convnext). densenet-style
+    models pool functionally inside ``forward()``, so the reference feeds
+    a (1024*5*5)-dim flatten into a 1024-dim Linear and crashes; the
     families implemented here cover every torchvision architecture the
     reference's construction actually runs at its production input size
-    except niche ones (googlenet, regnet, convnext)."""
+    except niche ones (googlenet, regnet)."""
 
 
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
@@ -623,10 +762,14 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
             return torch_vgg_to_flax(state_dict)
         if network_name == "alexnet":
             return torch_alexnet_to_flax(state_dict)
+        if network_name.startswith("convnext"):
+            return torch_convnext_to_flax(state_dict)
         raise UnsupportedArchitectureError(
             f"Network '{network_name}' is not supported; "
             f"supported families: {SUPPORTED_FAMILIES}"
         )
+    if _looks_like_convnext(state_dict):
+        return torch_convnext_to_flax(state_dict)
     if _looks_like_mobilenet_v3(state_dict):
         return torch_mobilenet_v3_to_flax(state_dict)
     if _looks_like_efficientnet(state_dict):
@@ -815,6 +958,10 @@ def flax_to_torch(variables: dict, dropout=(),
         return flax_vgg_to_torch(variables, dropout)
     if network_name == "alexnet":
         return flax_alexnet_to_torch(variables, dropout)
+    if network_name and network_name.startswith("convnext"):
+        return flax_convnext_to_torch(variables, dropout)
+    if "stem_ln" in params:  # ConvNeXt (before the MBConv stem_conv check)
+        return flax_convnext_to_torch(variables, dropout)
     if "conv1" in params:
         return flax_resnet_to_torch(variables, dropout)
     if any(re.match(r"^layer\d+_conv\d+$", m) for m in params):

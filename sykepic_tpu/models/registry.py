@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import alexnet, efficientnet, mobilenet, resnet, vgg
+from . import alexnet, convnext, efficientnet, mobilenet, resnet, vgg
 
 MODEL_REGISTRY = {
     "resnet18": resnet.resnet18,
@@ -30,6 +30,8 @@ MODEL_REGISTRY = {
     "vgg19": vgg.vgg19,
     "vgg19_bn": vgg.vgg19_bn,
     "alexnet": alexnet.alexnet,
+    "convnext_tiny": convnext.convnext_tiny,
+    "convnext_small": convnext.convnext_small,
 }
 
 

@@ -113,6 +113,34 @@ def test_sharded_forward_matches_replicated_grouped(mesh):
     np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-6)
 
 
+def test_sharded_forward_matches_replicated_convnext(mesh):
+    """ConvNeXt layer4 blocks ride the tp pattern: the depthwise 7x7
+    kernel and both MLP matmuls shard on their out-feature axis; the
+    sharded forward must match the replicated run (LayerNorm + erf-GELU
+    under GSPMD)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model("convnext_tiny", num_classes=5, head=(32,))
+    variables = init_variables(model, (32, 32, 3), seed=5)
+
+    def forward(params, x):
+        return model.apply({"params": params}, x, train=False)
+
+    x = jnp.asarray(
+        np.random.default_rng(6).uniform(0, 1, (8, 32, 32, 3)), jnp.float32
+    )
+    base = np.asarray(jax.jit(forward)(variables["params"], x))
+    params_tp = parallel.shard_wide_kernels(variables["params"], mesh)
+    assert (params_tp["layer4_0"]["mlp1"]["kernel"]
+            .sharding.spec[-1] == "model")
+    assert (params_tp["layer4_0"]["dwconv"]["kernel"]
+            .sharding.spec[-1] == "model")
+    x_sharded = parallel.shard_batch(mesh, np.asarray(x))
+    out = np.asarray(jax.jit(forward)(params_tp, x_sharded))
+    np.testing.assert_allclose(out, base, rtol=2e-5, atol=2e-6)
+
+
 def test_trainer_applies_tp_automatically(mesh):
     from sykepic_tpu.train.config import PreprocessSpec
     from sykepic_tpu.train.input import HostBatch
