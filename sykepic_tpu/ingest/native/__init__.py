@@ -53,6 +53,19 @@ def lib():
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_char_p,
         ctypes.c_longlong,
     ]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    handle.shelf_pack.restype = ctypes.c_longlong
+    handle.shelf_pack.argtypes = [
+        _i32p, _i32p, ctypes.c_longlong,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_longlong,
+        _i32p, _i32p, _i32p, _i32p, _i32p,
+    ]
+    handle.shelf_blit.restype = ctypes.c_longlong
+    handle.shelf_blit.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), _i32p, _i32p, _i32p, _i32p, _i32p,
+        ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int32,
+    ]
     _lib = handle
     return _lib
 
@@ -75,6 +88,62 @@ def adc_parse(raw: bytes):
     if got < 0:
         return None
     return widths[:got], heights[:got], starts[:got]
+
+
+def _i32_ptr(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def shelf_pack(heights, widths, win_h, win_w, max_windows, max_slots):
+    """Greedy shelf placement of a pending (height, width) set — the exact
+    algorithm of ``shelf._Shelver.pack``. Returns ``(item, win, y0, x0,
+    n_windows)`` int32 arrays over positions into the inputs, or None if
+    native is unavailable."""
+    handle = lib()
+    if handle is None:
+        return None
+    heights = np.ascontiguousarray(heights, np.int32)
+    widths = np.ascontiguousarray(widths, np.int32)
+    n = len(heights)
+    cap = min(n, max_slots) if max_slots else n
+    out_item = np.empty(cap, np.int32)
+    out_win = np.empty(cap, np.int32)
+    out_y = np.empty(cap, np.int32)
+    out_x = np.empty(cap, np.int32)
+    out_nwin = np.zeros(1, np.int32)
+    got = handle.shelf_pack(
+        _i32_ptr(heights), _i32_ptr(widths), n,
+        win_h, win_w, max_windows, max_slots,
+        _i32_ptr(out_item), _i32_ptr(out_win), _i32_ptr(out_y),
+        _i32_ptr(out_x), _i32_ptr(out_nwin),
+    )
+    if got < 0:
+        return None
+    return (out_item[:got], out_win[:got], out_y[:got], out_x[:got],
+            int(out_nwin[0]))
+
+
+def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows):
+    """memcpy each uint8 ROI into its window at the packed origin; returns
+    True on success, None if native is unavailable (caller falls back)."""
+    handle = lib()
+    if handle is None or len(imgs) == 0:
+        return None if handle is None else True
+    ptrs = (ctypes.c_void_p * len(imgs))(
+        *(img.ctypes.data for img in imgs)
+    )
+    heights = np.ascontiguousarray(heights, np.int32)
+    widths = np.ascontiguousarray(widths, np.int32)
+    win_idx = np.ascontiguousarray(win_idx, np.int32)
+    y0 = np.ascontiguousarray(y0, np.int32)
+    x0 = np.ascontiguousarray(x0, np.int32)
+    got = handle.shelf_blit(
+        ptrs, _i32_ptr(heights), _i32_ptr(widths), _i32_ptr(win_idx),
+        _i32_ptr(y0), _i32_ptr(x0), len(imgs),
+        windows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        windows.shape[1], windows.shape[2],
+    )
+    return True if got >= 0 else None
 
 
 def format_probs(roi_ids, probs):

@@ -8,10 +8,12 @@
 //
 // Build: `make` in this directory -> libifcb_native.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <vector>
 
 extern "C" {
 
@@ -109,6 +111,114 @@ long long format_probs(const long long* roi_ids, const double* probs,
         out[pos++] = '\n';
     }
     return pos;
+}
+
+// Greedy first-fit-decreasing-height shelf placement — the exact
+// algorithm of sykepic_tpu.ingest.shelf._Shelver.pack(), one pack call
+// per invocation over the caller's pending (height, width) set:
+// shelves open at the tallest pending height that fits the window's free
+// rows, fill left to right preferring the tallest ROI whose width fits
+// (widest-first within a height, original order on ties), windows close
+// when nothing fits the leftover rows. Returns the placement count;
+// out_item gets positions into the caller's arrays, out_win/out_y/out_x
+// the window index and origin. The caller removes placed items and may
+// call again with the compacted remainder (semantics identical to the
+// Python fallback, which tests assert).
+long long shelf_pack(const int* heights, const int* widths, long long n,
+                     int win_h, int win_w, int max_windows,
+                     long long max_slots, int* out_item, int* out_win,
+                     int* out_y, int* out_x, int* out_nwin) {
+    if (win_h <= 0 || win_w <= 0) return -1;
+    // buckets[h] = pending item positions of height h, sorted width-desc
+    // (stable: equal widths keep original order). Heights taller than the
+    // window can never place; they stay pending like in the Python path.
+    std::vector<std::vector<int>> buckets((size_t)win_h + 1);
+    long long pending = 0;
+    for (long long i = 0; i < n; ++i) {
+        int h = heights[i];
+        if (h <= 0 || widths[i] <= 0) return -1;
+        if (h > win_h) continue;
+        buckets[(size_t)h].push_back((int)i);
+        ++pending;
+    }
+    for (auto& b : buckets) {
+        std::stable_sort(b.begin(), b.end(), [&](int a, int c) {
+            return widths[a] > widths[c];
+        });
+    }
+
+    auto take = [&](int max_h, int max_w) -> int {
+        for (int h = max_h; h >= 1; --h) {
+            auto& b = buckets[(size_t)h];
+            for (size_t k = 0; k < b.size(); ++k) {
+                if (widths[b[k]] <= max_w) {
+                    int item = b[k];
+                    b.erase(b.begin() + (long)k);
+                    --pending;
+                    return item;
+                }
+            }
+        }
+        return -1;
+    };
+
+    long long count = 0;
+    int win = 0;
+    while (win < max_windows && pending > 0) {
+        int free_y = 0;
+        while (free_y < win_h) {
+            int first = take(win_h - free_y, win_w);
+            if (first < 0) break;  // nothing fits the leftover rows
+            int shelf_h = heights[first];
+            int x = widths[first];
+            out_item[count] = first;
+            out_win[count] = win;
+            out_y[count] = free_y;
+            out_x[count] = 0;
+            ++count;
+            while (x < win_w) {
+                if (count >= max_slots) break;
+                int nxt = take(shelf_h, win_w - x);
+                if (nxt < 0) break;
+                out_item[count] = nxt;
+                out_win[count] = win;
+                out_y[count] = free_y;
+                out_x[count] = x;
+                ++count;
+                x += widths[nxt];
+            }
+            free_y += shelf_h;
+            if (count >= max_slots) break;
+        }
+        ++win;
+        if (count >= max_slots) break;
+    }
+    *out_nwin = win;
+    return count;
+}
+
+// Blit variably-sized uint8 ROIs into (win_h, win_w) windows at the
+// placements shelf_pack produced: imgs[i] points at a C-contiguous
+// (heights[i], widths[i]) array. Pure row memcpys.
+long long shelf_blit(const unsigned char* const* imgs, const int* heights,
+                     const int* widths, const int* win_idx, const int* y0,
+                     const int* x0, long long n, unsigned char* windows,
+                     int win_h, int win_w) {
+    for (long long i = 0; i < n; ++i) {
+        int h = heights[i], w = widths[i];
+        if (y0[i] < 0 || x0[i] < 0 || y0[i] + h > win_h ||
+            x0[i] + w > win_w) {
+            return -1;
+        }
+        unsigned char* dst = windows +
+            ((long long)win_idx[i] * win_h + y0[i]) * win_w + x0[i];
+        const unsigned char* src = imgs[i];
+        for (int r = 0; r < h; ++r) {
+            std::memcpy(dst + (long long)r * win_w, src + (long long)r * w,
+                        (size_t)w);
+        }
+    }
+    return n;
 }
 
 }  // extern "C"

@@ -117,20 +117,75 @@ class _Shelver:
     the tallest ROI whose width fits (heights adjacent in sorted order, so
     in-shelf headroom stays small), and windows close when no pending ROI
     fits the remaining rows.
+
+    The placement loop is the host-side hot path of the classify stream,
+    so it runs in C++ when the native library is available
+    (``native.shelf_pack`` — the same algorithm, asserted equivalent in
+    ``tests/test_shelf.py``); the Python path below is the documented
+    fallback and the behavioral contract.
     """
 
     def __init__(self, items):
         # items: list of (sample_idx, roi_id, img, mode_or_None)
         self.items = items
+        n = len(items)
+        self.h = np.fromiter((it[2].shape[0] for it in items), np.int32, n)
+        self.w = np.fromiter((it[2].shape[1] for it in items), np.int32, n)
+        self.alive = np.ones(n, bool)
+        self._python_ready = False
+        from . import native as _native
+
+        self._native = _native if _native.lib() is not None else None
+
+    # -- shared state ------------------------------------------------------
+
+    def pending(self) -> bool:
+        return bool(self.alive.any())
+
+    def pending_order(self) -> list:
+        """Pending item indices in pack preference order (height desc,
+        width desc, insertion order) — the order ``flush`` re-buffers
+        leftovers in so carried sets keep packing identically."""
+        idx = np.flatnonzero(self.alive)
+        order = np.lexsort((-self.w[idx], -self.h[idx]))
+        return idx[order].tolist()
+
+    def pack(self, max_windows: int, max_slots: int):
+        """Place ROIs into up to ``max_windows`` windows.
+
+        Returns ``(placements, n_windows)`` where placements is a tuple of
+        int32 arrays ``(item_index, win, y0, x0)``. Unplaced items stay
+        pending.
+        """
+        if self._native is not None:
+            idx = np.flatnonzero(self.alive).astype(np.int32)
+            res = self._native.shelf_pack(
+                self.h[idx], self.w[idx], WIN_H, WIN_W,
+                max_windows, max_slots,
+            )
+            if res is not None:
+                item, win, y0, x0, n_windows = res
+                orig = idx[item]
+                self.alive[orig] = False
+                return (orig, win, y0, x0), n_windows
+            self._native = None  # load raced/failed: fall back for good
+        return self._pack_python(max_windows, max_slots)
+
+    # -- pure-Python fallback (the reference semantics) --------------------
+
+    def _ensure_python(self):
+        if self._python_ready:
+            return
         by_height: dict[int, list[int]] = {}
-        for i, it in enumerate(items):
-            by_height.setdefault(it[2].shape[0], []).append(i)
+        for i in np.flatnonzero(self.alive):
+            by_height.setdefault(int(self.h[i]), []).append(int(i))
         # per-height index lists sorted by width DESC (widest-first keeps
         # the narrow ROIs for plugging right-edge gaps)
         for h, idxs in by_height.items():
-            idxs.sort(key=lambda i: -items[i][2].shape[1])
+            idxs.sort(key=lambda i: -int(self.w[i]))
         self.by_height = by_height
         self.heights_desc = sorted(by_height, reverse=True)
+        self._python_ready = True
 
     def _take(self, max_h: int, max_w: int):
         """Pop the tallest pending ROI with h <= max_h and width <= max_w."""
@@ -142,20 +197,14 @@ class _Shelver:
                 continue
             # idxs sorted by width desc: first fitting one is the widest
             for k, i in enumerate(idxs):
-                if self.items[i][2].shape[1] <= max_w:
+                if self.w[i] <= max_w:
                     del idxs[k]
+                    self.alive[i] = False
                     return i
         return None
 
-    def pending(self) -> bool:
-        return any(self.by_height.get(h) for h in self.heights_desc)
-
-    def pack(self, max_windows: int, max_slots: int):
-        """Place ROIs into up to ``max_windows`` windows.
-
-        Returns ``(placements, n_windows)`` where placements is a list of
-        ``(item_index, win, y0, x0)``. Unplaced items stay pending.
-        """
+    def _pack_python(self, max_windows: int, max_slots: int):
+        self._ensure_python()
         placements = []
         win = 0
         while win < max_windows and self.pending():
@@ -164,8 +213,8 @@ class _Shelver:
                 first = self._take(WIN_H - free_y, WIN_W)
                 if first is None:
                     break  # nothing fits the leftover rows
-                shelf_h = self.items[first][2].shape[0]
-                x = self.items[first][2].shape[1]
+                shelf_h = int(self.h[first])
+                x = int(self.w[first])
                 placements.append((first, win, free_y, 0))
                 while x < WIN_W:
                     if len(placements) >= max_slots:
@@ -174,19 +223,23 @@ class _Shelver:
                     if nxt is None:
                         break
                     placements.append((nxt, win, free_y, x))
-                    x += self.items[nxt][2].shape[1]
+                    x += int(self.w[nxt])
                 free_y += shelf_h
                 if len(placements) >= max_slots:
                     break
             win += 1
             if len(placements) >= max_slots:
                 break
-        return placements, win
+        cols = (np.array([p[i] for p in placements], np.int32)
+                for i in range(4))
+        return tuple(cols), win
 
 
 def _emit(items, placements, n_windows, batch_multiple, compute_modes):
+    item, win, y, x = placements
+    k = len(item)
     nc = pad_nc(n_windows)
-    r = pad_slots(len(placements), batch_multiple)
+    r = pad_slots(k, batch_multiple)
     windows = np.zeros((nc, WIN_H, WIN_W), np.uint8)
     win_idx = np.zeros(r, np.int32)
     y0 = np.zeros(r, np.int32)
@@ -196,23 +249,32 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     roi_ids = np.zeros(r, np.int64)
     sample_idx = np.zeros(r, np.int32)
     modes = np.zeros(r, np.uint8) if compute_modes else None
-    for s, (i, w, y, x) in enumerate(placements):
-        smp, rid, img, mode = items[i]
-        h, wd = img.shape
-        windows[w, y : y + h, x : x + wd] = img
-        win_idx[s] = w
-        y0[s] = y
-        x0[s] = x
-        heights[s] = h
-        widths[s] = wd
-        roi_ids[s] = rid
-        sample_idx[s] = smp
-        if modes is not None:
-            modes[s] = mode
+
+    sel = [items[i] for i in item.tolist()]
+    imgs = [it[2] if it[2].flags.c_contiguous
+            else np.ascontiguousarray(it[2]) for it in sel]
+    win_idx[:k] = win
+    y0[:k] = y
+    x0[:k] = x
+    heights[:k] = np.fromiter((im.shape[0] for im in imgs), np.int32, k)
+    widths[:k] = np.fromiter((im.shape[1] for im in imgs), np.int32, k)
+    roi_ids[:k] = np.fromiter((it[1] for it in sel), np.int64, k)
+    sample_idx[:k] = np.fromiter((it[0] for it in sel), np.int32, k)
+    if modes is not None:
+        modes[:k] = np.fromiter((it[3] for it in sel), np.uint8, k)
+
+    from . import native as _native
+
+    if k == 0 or _native.shelf_blit(imgs, heights[:k], widths[:k],
+                                    win_idx[:k], y0[:k], x0[:k],
+                                    windows) is None:
+        for s, im in enumerate(imgs):
+            h, wd = im.shape
+            windows[win_idx[s], y0[s]:y0[s] + h, x0[s]:x0[s] + wd] = im
     return ShelfBatch(
         windows=windows, win_idx=win_idx, y0=y0, x0=x0,
         heights=heights, widths=widths, roi_ids=roi_ids,
-        sample_idx=sample_idx, n_valid=len(placements), modes=modes,
+        sample_idx=sample_idx, n_valid=k, modes=modes,
     )
 
 
@@ -270,18 +332,18 @@ def pack_shelves(
         short = 0  # windows short of a full dispatch when carrying
         while True:
             placements, n_windows = shelver.pack(nc_full, slot_cap)
-            if not placements:
+            if len(placements[0]) == 0:
                 break
-            full = n_windows >= nc_full or len(placements) >= slot_cap
+            full = (n_windows >= nc_full
+                    or len(placements[0]) >= slot_cap)
             if final or full:
                 out.append(_emit(buffered, placements, n_windows,
                                  batch_multiple, compute_modes))
             else:
-                carried.extend(p[0] for p in placements)
+                carried.extend(placements[0].tolist())
                 short = nc_full - n_windows
                 break  # keep the partial dispatch buffered for more ROIs
-        left = carried + [i for h in shelver.heights_desc
-                          for i in shelver.by_height.get(h, [])]
+        left = carried + shelver.pending_order()
         buffered = [buffered[i] for i in left]
         buffered_bytes = sum(it[2].nbytes for it in buffered)
         # A carry-all pack means occupancy beat the 0.98 flush factor (the

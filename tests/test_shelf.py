@@ -279,6 +279,63 @@ def test_precompile_snaps_off_ladder_shelf_keys(model_dir):
     assert seen == [(shelf.pad_nc(3), shelf.pad_slots(100))]
 
 
+def test_native_pack_matches_python_fallback():
+    """The C++ shelf placement (native.shelf_pack) must reproduce the
+    Python fallback EXACTLY — same placements, same window count, same
+    leftover order — across random size mixes and cap settings."""
+    from sykepic_tpu.ingest import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        n = int(rng.integers(50, 3000))
+        h = rng.integers(4, 181, n)
+        w = rng.integers(4, 181, n)
+        # duplicate sizes exercise the stable tie-break
+        if n > 100:
+            h[::3] = 24
+            w[::5] = 40
+        items = [(0, i + 1, np.zeros((int(h[i]), int(w[i])), np.uint8),
+                  None) for i in range(n)]
+        max_windows = int(rng.choice([1, 3, 8, 64]))
+        max_slots = int(rng.choice([32, 500, 4096]))
+
+        nat = shelf._Shelver(items)
+        assert nat._native is not None
+        py = shelf._Shelver(items)
+        py._native = None
+        while True:
+            p_nat, w_nat = nat.pack(max_windows, max_slots)
+            p_py, w_py = py.pack(max_windows, max_slots)
+            assert w_nat == w_py, trial
+            for a, b in zip(p_nat, p_py):
+                np.testing.assert_array_equal(a, b, err_msg=str(trial))
+            assert nat.pending_order() == py.pending_order(), trial
+            if len(p_nat[0]) == 0:
+                break
+
+
+def test_emit_native_blit_matches_python(monkeypatch):
+    """Windows built by the native blit are byte-identical to the Python
+    slice-assignment fallback."""
+    from sykepic_tpu.ingest import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(22)
+    rois = _rand_rois(600, rng, h_range=(4, 120), w_range=(4, 180))
+    fast = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180)))
+    monkeypatch.setattr(native, "shelf_blit",
+                        lambda *a, **k: None)
+    slow = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180)))
+    assert len(fast) == len(slow)
+    for a, b in zip(fast, slow):
+        np.testing.assert_array_equal(a.windows, b.windows)
+        np.testing.assert_array_equal(a.win_idx, b.win_idx)
+        np.testing.assert_array_equal(a.roi_ids, b.roi_ids)
+
+
 def test_dispatch_shelf_computes_missing_modes(model_dir):
     """A hand-built ShelfBatch without precomputed modes must classify
     under border=mode by recovering modes from the windows (public
