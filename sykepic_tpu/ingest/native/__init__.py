@@ -60,6 +60,10 @@ def lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_longlong,
         _i32p, _i32p, _i32p, _i32p, _i32p,
     ]
+    handle.u8_mode.restype = ctypes.c_int32
+    handle.u8_mode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+    ]
     handle.shelf_blit.restype = ctypes.c_longlong
     handle.shelf_blit.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), _i32p, _i32p, _i32p, _i32p, _i32p,
@@ -121,6 +125,17 @@ def shelf_pack(heights, widths, win_h, win_w, max_windows, max_slots):
         return None
     return (out_item[:got], out_win[:got], out_y[:got], out_x[:got],
             int(out_nwin[0]))
+
+
+def u8_mode(img):
+    """Mode pixel of a C-contiguous uint8 array (first max wins), or None
+    if native is unavailable."""
+    handle = lib()
+    if handle is None:
+        return None
+    return int(handle.u8_mode(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), img.size,
+    ))
 
 
 def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows):

@@ -197,6 +197,18 @@ long long shelf_pack(const int* heights, const int* widths, long long n,
     return count;
 }
 
+// Mode pixel of a uint8 buffer (256-bin histogram argmax, FIRST max wins
+// — the reference border-fill semantics, cv2.calcHist + argmax).
+int u8_mode(const unsigned char* img, long long npix) {
+    long long hist[256] = {0};
+    for (long long i = 0; i < npix; ++i) ++hist[img[i]];
+    int best = 0;
+    for (int v = 1; v < 256; ++v) {
+        if (hist[v] > hist[best]) best = v;
+    }
+    return best;
+}
+
 // Blit variably-sized uint8 ROIs into (win_h, win_w) windows at the
 // placements shelf_pack produced: imgs[i] points at a C-contiguous
 // (heights[i], widths[i]) array. Pure row memcpys.

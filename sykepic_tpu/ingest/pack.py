@@ -81,9 +81,17 @@ def mode_pixel(img: np.ndarray) -> int:
     """Most common pixel value of one image — the reference's border fill
     (``image.py:229-237``: cv2.calcHist 256 bins + argmax, first-max wins).
     THE single definition: both packers and ``ops/preprocess`` use it, so
-    the slot and shelf paths cannot drift apart on border semantics."""
-    return int(np.bincount(np.asarray(img, np.uint8).ravel(),
-                           minlength=256).argmax())
+    the slot and shelf paths cannot drift apart on border semantics.
+    Runs in C++ when the native library is available (same first-max
+    histogram argmax; the NumPy line below is the contract)."""
+    arr = np.asarray(img, np.uint8)
+    if arr.flags.c_contiguous:
+        from . import native
+
+        mode = native.u8_mode(arr)
+        if mode is not None:
+            return mode
+    return int(np.bincount(arr.ravel(), minlength=256).argmax())
 
 
 def bucket_for(h: int, w: int, buckets=None) -> tuple[int, int]:

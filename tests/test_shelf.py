@@ -316,6 +316,25 @@ def test_native_pack_matches_python_fallback():
                 break
 
 
+def test_native_mode_matches_numpy_contract():
+    """native.u8_mode must equal the NumPy bincount-argmax contract,
+    including first-max tie wins and single-value images."""
+    from sykepic_tpu.ingest import native, pack
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    cases = [rng.integers(0, 256, (int(rng.integers(1, 150)),
+                                   int(rng.integers(1, 150)))).astype(
+                 np.uint8) for _ in range(40)]
+    cases.append(np.full((5, 5), 200, np.uint8))
+    cases.append((rng.integers(0, 4, (60, 60)) * 3).astype(np.uint8))  # ties
+    for img in cases:
+        want = int(np.bincount(img.ravel(), minlength=256).argmax())
+        assert native.u8_mode(img) == want
+        assert pack.mode_pixel(img) == want
+
+
 def test_emit_native_blit_matches_python(monkeypatch):
     """Windows built by the native blit are byte-identical to the Python
     slice-assignment fallback."""
