@@ -494,9 +494,11 @@ class Classifier:
         # Shelf keys snap onto the same ladders pack_shelves emits on —
         # warming an off-ladder (nc, r) would compile a program the
         # runtime never dispatches and leave the real shape cold.
+        slot_ceil = shelf.floor_slots(self._shelf_slot_cap,
+                                      self._batch_multiple)
         keys = {
             (shelf.pad_nc(k[0]),
-             shelf.pad_slots(k[1], self._batch_multiple))
+             min(shelf.pad_slots(k[1], self._batch_multiple), slot_ceil))
             if len(k) == 2 else k
             for k in canvas_shapes
         }

@@ -68,7 +68,7 @@ def lib():
     handle.shelf_blit.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), _i32p, _i32p, _i32p, _i32p, _i32p,
         ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
     _lib = handle
     return _lib
@@ -156,7 +156,7 @@ def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows):
         ptrs, _i32_ptr(heights), _i32_ptr(widths), _i32_ptr(win_idx),
         _i32_ptr(y0), _i32_ptr(x0), len(imgs),
         windows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        windows.shape[1], windows.shape[2],
+        windows.shape[0], windows.shape[1], windows.shape[2],
     )
     return True if got >= 0 else None
 

@@ -134,10 +134,15 @@ long long shelf_pack(const int* heights, const int* widths, long long n,
     // window can never place; they stay pending like in the Python path.
     std::vector<std::vector<int>> buckets((size_t)win_h + 1);
     long long pending = 0;
+    long long unplaceable = 0;  // taller than the window: never placed,
+                                // but pending like in the Python path
     for (long long i = 0; i < n; ++i) {
         int h = heights[i];
         if (h <= 0 || widths[i] <= 0) return -1;
-        if (h > win_h) continue;
+        if (h > win_h) {
+            ++unplaceable;
+            continue;
+        }
         buckets[(size_t)h].push_back((int)i);
         ++pending;
     }
@@ -164,7 +169,7 @@ long long shelf_pack(const int* heights, const int* widths, long long n,
 
     long long count = 0;
     int win = 0;
-    while (win < max_windows && pending > 0) {
+    while (win < max_windows && pending + unplaceable > 0) {
         int free_y = 0;
         while (free_y < win_h) {
             int first = take(win_h - free_y, win_w);
@@ -215,11 +220,11 @@ int u8_mode(const unsigned char* img, long long npix) {
 long long shelf_blit(const unsigned char* const* imgs, const int* heights,
                      const int* widths, const int* win_idx, const int* y0,
                      const int* x0, long long n, unsigned char* windows,
-                     int win_h, int win_w) {
+                     int n_windows, int win_h, int win_w) {
     for (long long i = 0; i < n; ++i) {
         int h = heights[i], w = widths[i];
-        if (y0[i] < 0 || x0[i] < 0 || y0[i] + h > win_h ||
-            x0[i] + w > win_w) {
+        if (win_idx[i] < 0 || win_idx[i] >= n_windows || y0[i] < 0 ||
+            x0[i] < 0 || y0[i] + h > win_h || x0[i] + w > win_w) {
             return -1;
         }
         unsigned char* dst = windows +

@@ -560,11 +560,17 @@ def torch_convnext_to_flax(state_dict: dict) -> dict:
 
     head_linears: dict = {}
     for key, value in sd.items():
-        m = re.match(r"^head\.(\d+)\.(weight|bias)$", key)
-        if m:
-            head_linears.setdefault(int(m.group(1)), {})[m.group(2)] = (
-                _to_numpy(value)
-            )
+        m = re.match(r"^(?:head|classifier)\.(\d+)\.(weight|bias)$", key)
+        if not m:
+            continue
+        # classifier.0 is the dropped LayerNorm (1-D weight), not a head
+        # Linear; only 2-D weights (and their biases) are head layers
+        w_key = f"{key.rsplit('.', 1)[0]}.weight"
+        if getattr(sd[w_key], "ndim", np.asarray(sd[w_key]).ndim) != 2:
+            continue
+        head_linears.setdefault(int(m.group(1)), {})[m.group(2)] = (
+            _to_numpy(value)
+        )
     if head_linears:
         params["head"] = _collect_head(head_linears)
     return {"params": params, "batch_stats": {}}
@@ -578,7 +584,12 @@ def flax_convnext_to_torch(variables: dict, dropout=()) -> dict:
 
     params = variables["params"]
     stage3 = sum(bool(re.match(r"^layer3_\d+$", m)) for m in params)
-    name = {9: "convnext_tiny", 27: "convnext_small"}[stage3]
+    name = {9: "convnext_tiny", 27: "convnext_small"}.get(stage3)
+    if name is None:
+        raise UnsupportedArchitectureError(
+            f"variable tree with {stage3} stage-3 blocks matches neither "
+            "convnext_tiny (9) nor convnext_small (27)"
+        )
     sd: dict = {}
 
     def put_ln(prefix, tree):

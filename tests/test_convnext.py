@@ -153,6 +153,45 @@ def test_reverse_export_roundtrip():
     assert set(sd2) == set(sd)
 
 
+def test_raw_torchvision_dict_maps_classifier_linear():
+    """A raw torchvision dict (features.* + classifier.*) must map the
+    classifier's Linear into the head and skip the dropped LayerNorm
+    (classifier.0, 1-D weight)."""
+    import torch
+    import torch.nn as tnn
+
+    from sykepic_tpu.models import convert_torch
+
+    net = _torch_convnext("convnext_tiny")
+    torch.manual_seed(2)
+    ln = tnn.LayerNorm(768, eps=1e-6)
+    fc = tnn.Linear(768, 11)
+    sd = dict(net.state_dict())
+    sd["classifier.0.weight"], sd["classifier.0.bias"] = (
+        ln.weight.data, ln.bias.data)
+    sd["classifier.2.weight"], sd["classifier.2.bias"] = (
+        fc.weight.data, fc.bias.data)
+    variables = convert_torch.torch_to_flax("convnext_tiny", sd)
+    head = variables["params"]["head"]
+    assert list(head) == ["fc0"]
+    np.testing.assert_array_equal(head["fc0"]["kernel"],
+                                  fc.weight.data.numpy().T)
+
+
+def test_reverse_export_rejects_unknown_depth():
+    """A stem_ln tree with a non-tiny/small stage-3 depth must raise the
+    named UnsupportedArchitectureError, not an opaque KeyError."""
+    from sykepic_tpu.models import convert_torch
+
+    model = build_model("convnext_tiny", num_classes=3, head=(8,))
+    variables = init_variables(model, (32, 32, 3), seed=4)
+    params = dict(variables["params"])
+    del params["layer3_8"]  # 9 -> 8 stage-3 blocks
+    with pytest.raises(convert_torch.UnsupportedArchitectureError,
+                       match="stage-3"):
+        convert_torch.flax_to_torch({"params": params})
+
+
 def test_label_groups():
     model = build_model("convnext_tiny", num_classes=4, head=(16,))
     variables = init_variables(model, (64, 64, 3))

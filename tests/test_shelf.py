@@ -316,6 +316,66 @@ def test_native_pack_matches_python_fallback():
                 break
 
 
+def test_native_blit_rejects_out_of_range_window():
+    """A window index past the tensor must be rejected (-1 -> None), not
+    silently memcpy'd past the allocation."""
+    from sykepic_tpu.ingest import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    windows = np.zeros((1, shelf.WIN_H, shelf.WIN_W), np.uint8)
+    img = np.ones((4, 4), np.uint8)
+    assert native.shelf_blit(
+        [img], np.array([4], np.int32), np.array([4], np.int32),
+        np.array([5], np.int32), np.array([0], np.int32),
+        np.array([0], np.int32), windows) is None
+    assert not windows.any()
+
+
+def test_native_pack_overtall_item_matches_python():
+    """An item taller than the window stays pending in BOTH paths and
+    burns the window budget identically (n_windows parity)."""
+    from sykepic_tpu.ingest import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    items = [(0, 1, np.zeros((shelf.WIN_H + 8, 50), np.uint8), None),
+             (0, 2, np.zeros((40, 60), np.uint8), None)]
+    nat = shelf._Shelver(items)
+    assert nat._native is not None
+    py = shelf._Shelver(items)
+    py._native = None
+    p_nat, w_nat = nat.pack(8, 4096)
+    p_py, w_py = py.pack(8, 4096)
+    assert w_nat == w_py
+    for a, b in zip(p_nat, p_py):
+        np.testing.assert_array_equal(a, b)
+    assert nat.pending() and py.pending()
+
+
+def test_precompile_clamps_to_floored_slot_cap(model_dir):
+    """Warming a raw slot count near the cap must compile the FLOORED
+    ladder shape the runtime actually dispatches, not pad_slots' next
+    rung above the cap."""
+    from sykepic_tpu.compute import probability
+
+    clf = probability.prepare_model(model_dir, batch_size=64)
+    clf._batch_multiple = 6  # emulate a 6-way data mesh
+    seen = []
+    orig = clf.dispatch_shelf
+
+    def spy(batch, meta=None):
+        seen.append(len(batch.win_idx))
+        return orig(batch, meta)
+
+    clf.dispatch_shelf = spy
+    try:
+        clf.precompile([(1, clf._shelf_slot_cap - 10)])
+    finally:
+        clf.dispatch_shelf = orig
+    assert seen == [shelf.floor_slots(clf._shelf_slot_cap, 6)]
+
+
 def test_native_mode_matches_numpy_contract():
     """native.u8_mode must equal the NumPy bincount-argmax contract,
     including first-max tie wins and single-value images."""
