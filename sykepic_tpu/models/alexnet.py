@@ -56,8 +56,21 @@ class AlexNet(nn.Module):
     last_activation: str | None = None
     dtype: Any = jnp.float32
 
+    # Below 63px the third 3x3/2 max pool runs on a 1x1 map and empties it
+    # (torch raises "Output size is too small"; silently pooling a 0x0 map
+    # would mean NaNs from the adaptive pool instead).
+    MIN_INPUT = 63
+
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        if x.shape[1] < self.MIN_INPUT or x.shape[2] < self.MIN_INPUT:
+            raise ValueError(
+                f"alexnet needs inputs of at least {self.MIN_INPUT}x"
+                f"{self.MIN_INPUT} (got {x.shape[1]}x{x.shape[2]}): the "
+                "torchvision pooling stack produces an empty feature map "
+                "below that, exactly where torch itself errors — raise "
+                "[image] shape in the training INI"
+            )
         for stage, j, ch, k, s, p in ALEXNET_CONVS:
             x = nn.Conv(
                 ch, (k, k), (s, s), padding=((p, p), (p, p)),

@@ -99,8 +99,20 @@ class ConvNeXt(nn.Module):
     last_activation: str | None = None
     dtype: Any = jnp.float32
 
+    # Below 32px (4x stem * three 2x2/2 downsamples) a downsample conv
+    # runs on a 1x1 map and empties it (torch errors there; silently
+    # convolving would NaN the global pool).
+    MIN_INPUT = 32
+
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        if x.shape[1] < self.MIN_INPUT or x.shape[2] < self.MIN_INPUT:
+            raise ValueError(
+                f"convnext needs inputs of at least {self.MIN_INPUT}x"
+                f"{self.MIN_INPUT} (got {x.shape[1]}x{x.shape[2]}): the "
+                "stem and downsample strides empty the feature map below "
+                "that — raise [image] shape in the training INI"
+            )
         x = nn.Conv(
             self.dims[0], (4, 4), (4, 4), padding="VALID",
             dtype=self.dtype, name="stem_conv",

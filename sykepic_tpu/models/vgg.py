@@ -75,8 +75,19 @@ class VGG(nn.Module):
     last_activation: str | None = None
     dtype: Any = jnp.float32
 
+    # Below 32px the fifth 2x2/2 max pool runs on a 1x1 map and empties it
+    # (torch errors there; silently pooling would NaN the adaptive pool).
+    MIN_INPUT = 32
+
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
+        if x.shape[1] < self.MIN_INPUT or x.shape[2] < self.MIN_INPUT:
+            raise ValueError(
+                f"vgg needs inputs of at least {self.MIN_INPUT}x"
+                f"{self.MIN_INPUT} (got {x.shape[1]}x{x.shape[2]}): five "
+                "2x2/2 max pools empty the feature map below that — raise "
+                "[image] shape in the training INI"
+            )
         stage, j = 1, 0
         for v in self.cfg:
             if v == "M":

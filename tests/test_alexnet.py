@@ -53,6 +53,14 @@ def test_forward_shapes():
     assert feats.shape == (2, 256 * 6 * 6)
 
 
+def test_too_small_input_raises():
+    """Below 63px torch's pooling stack errors; we must raise the same
+    loud config error instead of emitting NaNs from an empty map."""
+    model = build_model("alexnet", num_classes=3, head=(16,))
+    with pytest.raises(ValueError, match="63"):
+        init_variables(model, (32, 32, 3))
+
+
 def test_torch_roundtrip_forward_agreement():
     """Reference TorchVisionNet-style AlexNet checkpoint (base.0 =
     features + head.K Linears) -> flax: identical variable structure and

@@ -94,6 +94,13 @@ def test_forward_shapes():
     assert feats.shape == (2, 768)
 
 
+def test_too_small_input_raises():
+    """Below 32px a downsample conv empties the map; raise loudly."""
+    model = build_model("convnext_tiny", num_classes=3, head=(16,))
+    with pytest.raises(ValueError, match="32"):
+        init_variables(model, (16, 16, 3))
+
+
 def test_torch_roundtrip_forward_agreement():
     """Reference TorchVisionNet-style ConvNeXt checkpoint (base.0 =
     features + head.K Linears) -> flax: identical variable structure and

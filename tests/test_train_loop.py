@@ -193,6 +193,45 @@ def test_resume_continues_in_same_dir(trained_model_dir, tmp_path):
     assert best.read_bytes() == marker  # best checkpoint untouched
 
 
+def test_bn_free_family_trains(trained_model_dir, tmp_path):
+    """The trainer/loop/checkpoint path must work for families WITHOUT
+    BatchNorm (empty batch_stats: alexnet here, convnext likewise) — the
+    freeze groups, mutable-collection handling and model-dir artifact
+    cannot assume BN exists. AlexNet is the cheap proxy; the engine must
+    load the result."""
+    import cv2  # noqa: F401  (decoders registered by the fixture import)
+
+    from sykepic_tpu.compute.engine import Classifier
+
+    config = (trained_model_dir / "config.ini").read_text()
+    config = config.replace("network = resnet18", "network = alexnet")
+    config = config.replace("max_epochs = 2", "max_epochs = 1")
+    # alexnet's pooling stack needs >= 63px inputs (models/alexnet.py)
+    config = config.replace("shape = 3, 32, 32", "shape = 3, 64, 64")
+    models = tmp_path / "models_alex"
+    # point [model] path at a fresh dir (keep [dataset] path intact)
+    lines = config.splitlines()
+    in_model = False
+    for i, line in enumerate(lines):
+        if line.strip() == "[model]":
+            in_model = True
+        elif line.startswith("["):
+            in_model = False
+        elif in_model and line.startswith("path ="):
+            lines[i] = f"path = {models}"
+    (tmp_path / "alex.ini").write_text("\n".join(lines))
+
+    args = SimpleNamespace(config=str(tmp_path / "alex.ini"), collage=None,
+                           dist=None, save_images=None)
+    model_dir = loop.main(args)
+    assert model_dir.name == "alexnet_1"
+    assert (model_dir / "best_state.msgpack").is_file()
+    clf = Classifier(model_dir, batch_size=8)
+    results = list(clf.classify_rois(
+        [(0, 1, np.full((24, 20), 220, np.uint8))]))
+    assert np.isclose(results[0][2].sum(), 1.0, atol=1e-5)
+
+
 def test_full_deployment_round_trip(trained_model_dir, tmp_path):
     """The whole deployment contract in one walk (reference
     ``train/train.py:107-198`` + ``compute/probability.py`` +

@@ -24,6 +24,13 @@ def test_forward_shapes(name):
     assert feats.shape == (2, 512 * 7 * 7)
 
 
+def test_too_small_input_raises():
+    """Below 32px the fifth max pool empties the map; raise loudly."""
+    model = build_model("vgg16", num_classes=3, head=(16,))
+    with pytest.raises(ValueError, match="32"):
+        init_variables(model, (31, 31, 3))
+
+
 def test_adaptive_pool_matches_torch():
     """Both directions of torch AdaptiveAvgPool2d: downsample (in > out)
     and the overlapping upsample a 180x180 input hits (5x5 -> 7x7)."""
