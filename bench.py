@@ -289,6 +289,37 @@ def inference_benchmark(root: Path) -> None:
     )
 
 
+def host_pack_benchmark() -> None:
+    """Host-side shelf-packing throughput on the realistic mix (CPU only,
+    no device involved): the ceiling the HOST imposes on the classify
+    stream. Must exceed both the link rate and the on-chip ceiling for
+    the pipeline to be wire-bound as documented (README). Native C++
+    placement/blit/mode via ingest/native; SYKEPIC_NATIVE_INFO reports
+    which path ran."""
+    from sykepic_tpu.ingest import native, shelf
+
+    rng = np.random.default_rng(7)
+    n = 30_000
+    rois = [(0, i + 1, rng.integers(0, 255, shape, np.uint8))
+            for i, shape in enumerate(_roi_shapes(rng, n))]
+    raw_bytes = sum(r[2].nbytes for r in rois)
+    t0 = time.perf_counter()
+    batches = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                      compute_modes=True))
+    dt = time.perf_counter() - t0
+    placed = sum(b.n_valid for b in batches)
+    assert placed == n, (placed, n)
+    print(json.dumps({
+        "metric": "host_pack_rois_per_sec",
+        "value": round(placed / dt, 1), "unit": "ROIs/s",
+        "vs_baseline": None,
+        "native": native.lib() is not None,
+        "bytes_per_roi_raw": round(raw_bytes / placed, 1),
+        "bytes_per_roi_wire": round(
+            sum(b.windows.nbytes for b in batches) / placed, 1),
+    }))
+
+
 def measure_link_mbps() -> float:
     """UPLOAD bandwidth of an 8 MB incompressible payload — the direction
     that bounds the e2e number (canvas bytes up dwarf probability rows
@@ -497,6 +528,11 @@ def main() -> None:
         return
     root = Path(tempfile.mkdtemp(prefix="sykepic_bench_"))
     try:
+        try:
+            host_pack_benchmark()
+        except Exception as e:
+            print(json.dumps({"metric": "host_pack_rois_per_sec",
+                              "error": str(e)[:200]}))
         try:
             train_benchmark(root)
         except Exception as e:

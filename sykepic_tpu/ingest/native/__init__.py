@@ -64,6 +64,11 @@ def lib():
     handle.u8_mode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
     ]
+    handle.u8_modes.restype = ctypes.c_longlong
+    handle.u8_modes.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), _i32p, _i32p, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     handle.shelf_blit.restype = ctypes.c_longlong
     handle.shelf_blit.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), _i32p, _i32p, _i32p, _i32p, _i32p,
@@ -136,6 +141,26 @@ def u8_mode(img):
     return int(handle.u8_mode(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), img.size,
     ))
+
+
+def u8_modes(imgs, heights, widths):
+    """Mode pixel of each C-contiguous uint8 ROI in one call (first max
+    wins), or None if native is unavailable."""
+    handle = lib()
+    if handle is None:
+        return None
+    n = len(imgs)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    ptrs = (ctypes.c_void_p * n)(*(img.ctypes.data for img in imgs))
+    heights = np.ascontiguousarray(heights, np.int32)
+    widths = np.ascontiguousarray(widths, np.int32)
+    out = np.empty(n, np.uint8)
+    got = handle.u8_modes(
+        ptrs, _i32_ptr(heights), _i32_ptr(widths), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if got >= 0 else None
 
 
 def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows):

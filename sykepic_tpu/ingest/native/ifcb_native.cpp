@@ -214,6 +214,19 @@ int u8_mode(const unsigned char* img, long long npix) {
     return best;
 }
 
+// Batched mode pixels: one call per emitted dispatch instead of one
+// ctypes round trip per ROI (the marshalling overhead dominated the
+// histogram itself at ~13 us/call).
+long long u8_modes(const unsigned char* const* imgs, const int* heights,
+                   const int* widths, long long n, unsigned char* out) {
+    for (long long i = 0; i < n; ++i) {
+        if (heights[i] <= 0 || widths[i] <= 0) return -1;
+        out[i] = (unsigned char)u8_mode(
+            imgs[i], (long long)heights[i] * widths[i]);
+    }
+    return n;
+}
+
 // Blit variably-sized uint8 ROIs into (win_h, win_w) windows at the
 // placements shelf_pack produced: imgs[i] points at a C-contiguous
 // (heights[i], widths[i]) array. Pure row memcpys.

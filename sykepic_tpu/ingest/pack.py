@@ -345,7 +345,16 @@ def _emit(group, bh, bw, batch_size, pad_to_batch,
         widths[i] = w
         roi_ids[i] = rid
         sample_idx[i] = sidx
-        if modes is not None:
-            modes[i] = mode_pixel(img)
+    if modes is not None and n:
+        # one batched native call per emitted batch (per-ROI ctypes
+        # round trips dominate the histograms themselves)
+        from . import native
+
+        imgs = [img if img.flags.c_contiguous else np.ascontiguousarray(img)
+                for _, _, img in group]
+        got = native.u8_modes(imgs, heights[:n], widths[:n])
+        if got is None:
+            got = np.fromiter((mode_pixel(im) for im in imgs), np.uint8, n)
+        modes[:n] = got
     return PackedBatch(canvas, heights, widths, roi_ids, sample_idx,
                        n_valid=n, modes=modes)

@@ -235,6 +235,19 @@ class _Shelver:
         return tuple(cols), win
 
 
+def _batch_modes(imgs, heights, widths) -> np.ndarray:
+    """Mode pixel per (contiguous uint8) ROI, one native call for the
+    whole dispatch; NumPy fallback keeps the single border definition
+    (:func:`sykepic_tpu.ingest.pack.mode_pixel`)."""
+    from . import native
+
+    got = native.u8_modes(imgs, heights, widths)
+    if got is None:
+        got = np.fromiter((pack.mode_pixel(im) for im in imgs),
+                          np.uint8, len(imgs))
+    return got
+
+
 def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     item, win, y, x = placements
     k = len(item)
@@ -260,8 +273,11 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     widths[:k] = np.fromiter((im.shape[1] for im in imgs), np.int32, k)
     roi_ids[:k] = np.fromiter((it[1] for it in sel), np.int64, k)
     sample_idx[:k] = np.fromiter((it[0] for it in sel), np.int32, k)
-    if modes is not None:
-        modes[:k] = np.fromiter((it[3] for it in sel), np.uint8, k)
+    if modes is not None and k:
+        # one batched native call per dispatch (per-ROI ctypes round
+        # trips dominated the histograms themselves)
+        got = _batch_modes(imgs, heights[:k], widths[:k])
+        modes[:k] = got
 
     from . import native as _native
 
@@ -359,8 +375,9 @@ def pack_shelves(
         img = pack.pre_shrink(img, target_h, target_w)
         if img.shape[0] > WIN_H or img.shape[1] > WIN_W:
             img = pack.shrink_to_fit(img, WIN_H, WIN_W)
-        mode = preprocess_mode(img) if compute_modes else None
-        buffered.append((smp, rid, img, mode))
+        # modes are computed batched at _emit time (one native call per
+        # dispatch); the 4th slot stays for item-tuple layout stability
+        buffered.append((smp, rid, img, None))
         buffered_bytes += img.nbytes
         if buffered_bytes >= next_flush or len(buffered) >= slot_cap:
             yield from flush(final=False)
