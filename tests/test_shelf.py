@@ -288,14 +288,28 @@ def test_native_pack_matches_python_fallback():
     if native.lib() is None:
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(21)
-    for trial in range(6):
-        n = int(rng.integers(50, 3000))
-        h = rng.integers(4, 181, n)
-        w = rng.integers(4, 181, n)
-        # duplicate sizes exercise the stable tie-break
-        if n > 100:
-            h[::3] = 24
-            w[::5] = 40
+    adversarial = [
+        # all one height (single bucket, pure width/tie ordering)
+        (np.full(400, 24), rng.integers(4, 181, 400)),
+        # full-window widths (one ROI per shelf row)
+        (rng.integers(4, 181, 120), np.full(120, shelf.WIN_W)),
+        # 1-px slivers (max placements per window, slot-cap pressure)
+        (np.full(3000, 1), np.full(3000, 1)),
+        # exact window height (one shelf per window)
+        (np.full(50, shelf.WIN_H), rng.integers(4, 181, 50)),
+    ]
+    for trial in range(10):
+        if trial < len(adversarial):
+            h, w = (a.astype(np.int64) for a in adversarial[trial])
+            n = len(h)
+        else:
+            n = int(rng.integers(50, 3000))
+            h = rng.integers(4, 181, n)
+            w = rng.integers(4, 181, n)
+            # duplicate sizes exercise the stable tie-break
+            if n > 100:
+                h[::3] = 24
+                w[::5] = 40
         items = [(0, i + 1, np.zeros((int(h[i]), int(w[i])), np.uint8),
                   None) for i in range(n)]
         max_windows = int(rng.choice([1, 3, 8, 64]))
