@@ -748,10 +748,13 @@ class UnsupportedArchitectureError(ValueError):
     whose global pooling is a CHILD MODULE (resnet/resnext/wide_resnet,
     efficientnet, mobilenet, vgg, alexnet, convnext). densenet-style
     models pool functionally inside ``forward()``, so the reference feeds
-    a (1024*5*5)-dim flatten into a 1024-dim Linear and crashes; the
-    families implemented here cover every torchvision architecture the
-    reference's construction actually runs at its production input size
-    except niche ones (googlenet, regnet)."""
+    a (1024*5*5)-dim flatten into a 1024-dim Linear and crashes;
+    googlenet crashes it too (the aux classifiers are child modules
+    between inception5b and avgpool, so the Sequential pipes features
+    through them mid-stream — shape mismatch). The families implemented
+    here cover every torchvision architecture the reference's
+    construction actually runs at its production input size except
+    regnet."""
 
 
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
