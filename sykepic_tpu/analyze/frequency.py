@@ -1,5 +1,13 @@
 """Class-frequency time series from probability CSV trees
-(reference ``sykepic/analyze/frequency.py``)."""
+(reference ``sykepic/analyze/frequency.py``).
+
+Known reference bug intentionally NOT replicated: the reference's
+``start``/``end`` filter crashes at HEAD (``frequency.py:109`` compares
+the sample's timezone-AWARE datetime against naive ``strptime`` values
+-> TypeError). We compare in naive local terms (``filter_csv_by_date``
+strips tzinfo), matching the docstring'd intent; the crash and our fix
+are pinned in ``tests/test_oracle_postprocess.py::test_frequency_matches``.
+"""
 
 from __future__ import annotations
 

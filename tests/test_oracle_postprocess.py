@@ -12,6 +12,9 @@ documented intentional bug fixes are avoided or normalized per test:
 - ``evaluation`` KeyError on classes missing from the thresholds file ->
   thresholds generated for every class
 - ``swell_df`` naming drift at reference HEAD -> compared pre-swell
+- ``frequency`` start/end filter crash at reference HEAD (aware-vs-naive
+  datetime comparison) -> crash pinned, our filter checked against the
+  reference's unfiltered frame
 """
 
 from __future__ import annotations
@@ -44,18 +47,22 @@ def oracle():
     sys.path.insert(0, str(REFERENCE))
     try:
         import sykepic.analyze.evaluation as r_evaluation
+        import sykepic.analyze.frequency as r_frequency
         import sykepic.compute.abundance as r_abundance
         import sykepic.compute.class_stats as r_class_stats
         import sykepic.compute.classification as r_classification
+        import sykepic.compute.features_per_prediction as r_fpp
         import sykepic.compute.prediction as r_prediction
         import sykepic.compute.size_group as r_size_group
     finally:
         sys.path.remove(str(REFERENCE))
     return types.SimpleNamespace(
         evaluation=r_evaluation,
+        frequency=r_frequency,
         abundance=r_abundance,
         class_stats=r_class_stats,
         classification=r_classification,
+        features_per_prediction=r_fpp,
         prediction=r_prediction,
         size_group=r_size_group,
     )
@@ -237,3 +244,81 @@ def test_evaluation_matches(oracle, tree, tmp_path):
     pd.testing.assert_frame_equal(
         ours_best.sort_index(), ref_best.sort_index(), check_dtype=False
     )
+
+
+def test_frequency_matches(oracle, tree):
+    """Class-frequency time series: full tree, date/hour filters, and the
+    column filter all agree with the reference's own code."""
+    from sykepic_tpu.analyze import frequency as ours
+
+    probs, _, _, _ = tree
+    pred_dir = probs[0].parent
+
+    ours_df = ours.frequency_df(pred_dir, thresholds=0.4)
+    ref_df = oracle.frequency.frequency_df(pred_dir, thresholds=0.4)
+    pd.testing.assert_frame_equal(ours_df, ref_df, check_dtype=False)
+
+    # start/end filtering CRASHES at reference HEAD (aware sample
+    # datetimes vs naive strptime comparison, frequency.py:109) — a
+    # documented bug we fix; pin the crash and check our filter against
+    # the reference's unfiltered frame subsetted by rows
+    kwargs = dict(thresholds=0.0, start="2021-06-01 00:10",
+                  end="2021-06-01 00:40")
+    with pytest.raises(TypeError, match="offset-naive"):
+        oracle.frequency.frequency_df(pred_dir, **kwargs)
+    ours_win = ours.frequency_df(pred_dir, **kwargs)
+    ref_all = oracle.frequency.frequency_df(pred_dir, thresholds=0.0)
+    expect = ref_all[(ref_all.index >= "2021-06-01 00:10")
+                     & (ref_all.index <= "2021-06-01 00:40")]
+    expect = expect.dropna(axis=1, how="all")
+    pd.testing.assert_frame_equal(
+        ours_win.dropna(axis=1, how="all"), expect, check_dtype=False
+    )
+
+    hours = dict(thresholds=0.0, hour_window="00:15-01:00")
+    ours_h = ours.frequency_df(pred_dir, **hours)
+    ref_h = oracle.frequency.frequency_df(pred_dir, **hours)
+    pd.testing.assert_frame_equal(ours_h, ref_h, check_dtype=False)
+
+    pd.testing.assert_frame_equal(
+        ours.filter_df(ours_df, top=2),
+        oracle.frequency.filter_df(ref_df, top=2),
+        check_dtype=False,
+    )
+
+
+def test_features_per_prediction_matches(oracle, tree, tmp_path):
+    """Month-chunked filament feature frames agree with the reference's
+    own class_df across a two-month CSV tree (chunk boundaries included).
+    The CLI numbering differs deliberately: the reference's main
+    compounds output names (out1, out12, out123 — reference
+    ``features_per_prediction.py:31-35``); ours numbers cleanly, so the
+    oracle comparison is at the class_df level."""
+    from sykepic_tpu.compute import features_per_prediction as ours
+
+    probs, feats, _, thresholds = tree
+    # clone the June tree into July so the month-chunk boundary runs
+    prob_dir = tmp_path / "p2"
+    feat_dir = tmp_path / "f2"
+    prob_dir.mkdir()
+    feat_dir.mkdir()
+    two_probs, two_feats = [], []
+    for p_csv, f_csv in zip(probs, feats):
+        for month in ("06", "07"):
+            name = p_csv.name.replace("D202106", f"D2021{month}")
+            (prob_dir / name).write_text(p_csv.read_text())
+            two_probs.append(prob_dir / name)
+            name_f = f_csv.name.replace("D202106", f"D2021{month}")
+            (feat_dir / name_f).write_text(f_csv.read_text())
+            two_feats.append(feat_dir / name_f)
+    two_probs.sort()
+    two_feats.sort()
+
+    ours_chunks = ours.class_df(two_probs, two_feats,
+                                thresholds_file=thresholds)
+    ref_chunks = oracle.features_per_prediction.class_df(
+        two_probs, two_feats, thresholds_file=thresholds
+    )
+    assert len(ours_chunks) == len(ref_chunks)
+    for a, b in zip(ours_chunks, ref_chunks):
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
