@@ -94,6 +94,20 @@ def mode_pixel(img: np.ndarray) -> int:
     return int(np.bincount(arr.ravel(), minlength=256).argmax())
 
 
+def batch_modes(imgs, heights, widths) -> np.ndarray:
+    """Mode pixel per (contiguous uint8) ROI, one native call for the
+    whole batch — per-ROI ctypes round trips dominate the histograms
+    themselves. The NumPy fallback keeps the single border definition
+    (:func:`mode_pixel`). Shared by both packers' emit paths."""
+    from . import native
+
+    got = native.u8_modes(imgs, heights, widths)
+    if got is None:
+        got = np.fromiter((mode_pixel(im) for im in imgs),
+                          np.uint8, len(imgs))
+    return got
+
+
 def bucket_for(h: int, w: int, buckets=None) -> tuple[int, int]:
     """Canvas shape for an (h, w) ROI.
 
@@ -346,15 +360,8 @@ def _emit(group, bh, bw, batch_size, pad_to_batch,
         roi_ids[i] = rid
         sample_idx[i] = sidx
     if modes is not None and n:
-        # one batched native call per emitted batch (per-ROI ctypes
-        # round trips dominate the histograms themselves)
-        from . import native
-
         imgs = [img if img.flags.c_contiguous else np.ascontiguousarray(img)
                 for _, _, img in group]
-        got = native.u8_modes(imgs, heights[:n], widths[:n])
-        if got is None:
-            got = np.fromiter((mode_pixel(im) for im in imgs), np.uint8, n)
-        modes[:n] = got
+        modes[:n] = batch_modes(imgs, heights[:n], widths[:n])
     return PackedBatch(canvas, heights, widths, roi_ids, sample_idx,
                        n_valid=n, modes=modes)

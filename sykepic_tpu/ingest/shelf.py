@@ -235,19 +235,6 @@ class _Shelver:
         return tuple(cols), win
 
 
-def _batch_modes(imgs, heights, widths) -> np.ndarray:
-    """Mode pixel per (contiguous uint8) ROI, one native call for the
-    whole dispatch; NumPy fallback keeps the single border definition
-    (:func:`sykepic_tpu.ingest.pack.mode_pixel`)."""
-    from . import native
-
-    got = native.u8_modes(imgs, heights, widths)
-    if got is None:
-        got = np.fromiter((pack.mode_pixel(im) for im in imgs),
-                          np.uint8, len(imgs))
-    return got
-
-
 def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     item, win, y, x = placements
     k = len(item)
@@ -274,10 +261,7 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     roi_ids[:k] = np.fromiter((it[1] for it in sel), np.int64, k)
     sample_idx[:k] = np.fromiter((it[0] for it in sel), np.int32, k)
     if modes is not None and k:
-        # one batched native call per dispatch (per-ROI ctypes round
-        # trips dominated the histograms themselves)
-        got = _batch_modes(imgs, heights[:k], widths[:k])
-        modes[:k] = got
+        modes[:k] = pack.batch_modes(imgs, heights[:k], widths[:k])
 
     from . import native as _native
 
