@@ -390,6 +390,30 @@ def test_precompile_clamps_to_floored_slot_cap(model_dir):
     assert seen == [shelf.floor_slots(clf._shelf_slot_cap, 6)]
 
 
+def test_pure_python_fallback_produces_identical_dispatches(monkeypatch):
+    """With the native library entirely absent (lib() -> None), the whole
+    pack_shelves flow — placement, blits, border modes — must produce
+    byte-identical dispatches to the native path."""
+    from sykepic_tpu.ingest import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(24)
+    rois = _rand_rois(700, rng, h_range=(4, 120), w_range=(4, 180))
+    fast = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                   compute_modes=True))
+    monkeypatch.setattr(native, "lib", lambda: None)
+    slow = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                   compute_modes=True))
+    assert len(fast) == len(slow)
+    for a, b in zip(fast, slow):
+        np.testing.assert_array_equal(a.windows, b.windows)
+        np.testing.assert_array_equal(a.win_idx, b.win_idx)
+        np.testing.assert_array_equal(a.modes, b.modes)
+        np.testing.assert_array_equal(a.roi_ids, b.roi_ids)
+        assert a.n_valid == b.n_valid
+
+
 def test_native_mode_matches_numpy_contract():
     """native.u8_mode must equal the NumPy bincount-argmax contract,
     including first-max tie wins and single-value images."""
