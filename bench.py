@@ -252,9 +252,7 @@ def inference_benchmark(root: Path) -> None:
         onchip_rps = round(n / secs, 1)
     except Exception:  # the ceiling probe must never sink the metric
         pass
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
                 "value": round(rps, 1),
                 "unit": "ROIs/s",
@@ -284,9 +282,34 @@ def inference_benchmark(root: Path) -> None:
                 "wire_saturation": round(
                     rps * bytes_per_roi / (link_mean * 1e6), 2
                 ),
-            }
-        )
-    )
+    }
+    print(json.dumps(payload))
+    _record_history(payload)
+
+
+HISTORY = Path(__file__).parent / "BENCH_HISTORY.jsonl"
+
+
+def _record_history(payload: dict) -> None:
+    """Append a successful primary-metric run to BENCH_HISTORY.jsonl so a
+    later tunnel-down failure can cite the last real measurement instead
+    of leaving the round artifact contextless."""
+    try:
+        entry = dict(payload)
+        entry["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime())
+        with open(HISTORY, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass  # history is best-effort; never sink the metric
+
+
+def _last_recorded() -> dict | None:
+    try:
+        lines = HISTORY.read_text().strip().splitlines()
+        return json.loads(lines[-1]) if lines else None
+    except (OSError, ValueError):
+        return None
 
 
 def host_pack_benchmark() -> None:
@@ -294,7 +317,7 @@ def host_pack_benchmark() -> None:
     no device involved): the ceiling the HOST imposes on the classify
     stream. Must exceed both the link rate and the on-chip ceiling for
     the pipeline to be wire-bound as documented (README). Native C++
-    placement/blit/mode via ingest/native; SYKEPIC_NATIVE_INFO reports
+    placement/blit/mode via ingest/native; the ``native`` key reports
     which path ran."""
     from sykepic_tpu.ingest import native, shelf
 
@@ -524,6 +547,10 @@ def main() -> None:
             "value": None, "unit": "ROIs/s", "vs_baseline": None,
             "error": "jax backend did not initialize within 180 s — "
                      "tunneled TPU unreachable",
+            # the most recent REAL measurement, clearly labeled as such,
+            # so a tunnel outage at round end doesn't leave the artifact
+            # contextless
+            "last_recorded_run": _last_recorded(),
         }))
         return
     root = Path(tempfile.mkdtemp(prefix="sykepic_bench_"))
