@@ -733,9 +733,148 @@ def _looks_like_resnet(state_dict: dict) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# RegNet (torchvision ``regnet_x/y_*`` / TorchVisionNet-wrapped)
+# ---------------------------------------------------------------------------
+
+def _normalize_regnet_keys(state_dict: dict) -> dict:
+    """Rewrite reference ``base.N.*`` into torchvision RegNet naming:
+    children = [stem, trunk_output, avgpool, fc], so base.0 == stem and
+    base.1 == trunk_output (avgpool holds no parameters)."""
+    out = {}
+    for key, value in state_dict.items():
+        m = re.match(r"^base\.([01])\.(.*)$", key)
+        if m:
+            child = "stem" if m.group(1) == "0" else "trunk_output"
+            key = f"{child}.{m.group(2)}"
+        out[key] = value
+    return out
+
+
+def torch_regnet_to_flax(state_dict: dict) -> dict:
+    """Convert a torch RegNet(+head) state dict to our variable tree.
+
+    torchvision key layout (``torchvision/models/regnet.py``):
+    ``stem.0/.1`` conv+bn; ``trunk_output.block{S}.block{S}-{B}`` blocks
+    with ``proj.0/.1`` (projection conv+bn) and ``f.{a,b,c}.0/.1``
+    bottleneck conv+bn units plus optional ``f.se.fc{1,2}`` 1x1 convs;
+    ``fc`` (raw) or ``head.K`` (wrapped) Linears."""
+    sd = _normalize_regnet_keys(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    head_linears: dict = {}
+
+    for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        v = _to_numpy(value)
+        parts = key.split(".")
+        if parts[0] in ("head", "fc"):
+            idx = int(parts[1]) if parts[0] == "head" else 0
+            head_linears.setdefault(idx, {})[parts[-1]] = v
+            continue
+        if parts[0] == "stem":
+            if parts[1] == "0":
+                _put(params, ("stem_conv", "kernel"), v.transpose(2, 3, 1, 0))
+            else:
+                _put_bn(params, stats, ("stem_bn",), parts[-1], v)
+            continue
+        if parts[0] != "trunk_output":
+            raise KeyError(f"Unhandled key {key}")
+        # trunk_output.block{S}.block{S}-{B}.(proj|f).<unit>...
+        stage = int(parts[1][len("block"):])
+        block = int(parts[2].split("-")[1])
+        mod = f"layer{stage}_{block}"
+        if parts[3] == "proj":
+            if parts[4] == "0":
+                _put(params, (mod, "proj_conv", "kernel"),
+                     v.transpose(2, 3, 1, 0))
+            else:
+                _put_bn(params, stats, (mod, "proj_bn"), parts[-1], v)
+        elif parts[3] == "f":
+            unit = parts[4]
+            if unit == "se":
+                fc = parts[5]  # fc1 / fc2 (1x1 convs WITH bias)
+                leaf = "kernel" if parts[-1] == "weight" else "bias"
+                arr = v.transpose(2, 3, 1, 0) if leaf == "kernel" else v
+                _put(params, (mod, "se", fc, leaf), arr)
+            elif parts[5] == "0":
+                _put(params, (mod, f"{unit}_conv", "kernel"),
+                     v.transpose(2, 3, 1, 0))
+            else:
+                _put_bn(params, stats, (mod, f"{unit}_bn"), parts[-1], v)
+        else:
+            raise KeyError(f"Unhandled key {key}")
+
+    head_params = _collect_head(head_linears)
+    if head_params:
+        params["head"] = head_params
+    return {"params": params, "batch_stats": stats}
+
+
+def flax_regnet_to_torch(variables: dict, dropout=()) -> dict:
+    """Our RegNet variable tree -> a reference ``TorchVisionNet`` state
+    dict (base.0 == stem, base.1 == trunk_output). Inverse of
+    :func:`torch_regnet_to_flax`."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+
+    if "stem_conv" not in params:
+        raise KeyError("variable tree is not a RegNet (no stem_conv)")
+    _sd_put_conv(sd, "base.0.0.weight", params["stem_conv"])
+    _sd_put_bn(sd, "base.0.1", params["stem_bn"], stats["stem_bn"])
+
+    for mod, tree in params.items():
+        m = re.match(r"^layer(\d+)_(\d+)$", mod)
+        if not m:
+            continue
+        stage, block = m.groups()
+        prefix = f"base.1.block{stage}.block{stage}-{block}"
+        if "proj_conv" in tree:
+            _sd_put_conv(sd, f"{prefix}.proj.0.weight", tree["proj_conv"])
+            _sd_put_bn(sd, f"{prefix}.proj.1", tree["proj_bn"],
+                       stats[mod]["proj_bn"])
+        for unit in ("a", "b", "c"):
+            _sd_put_conv(sd, f"{prefix}.f.{unit}.0.weight",
+                         tree[f"{unit}_conv"])
+            _sd_put_bn(sd, f"{prefix}.f.{unit}.1", tree[f"{unit}_bn"],
+                       stats[mod][f"{unit}_bn"])
+        if "se" in tree:
+            for fc in ("fc1", "fc2"):
+                _sd_put_conv(sd, f"{prefix}.f.se.{fc}.weight",
+                             tree["se"][fc])
+                _sd_put(sd, f"{prefix}.f.se.{fc}.bias",
+                        np.asarray(tree["se"][fc]["bias"]))
+
+    _sd_put_head(sd, params, dropout)
+    return sd
+
+
+def _looks_like_regnet(state_dict: dict) -> bool:
+    """RegNet fingerprint: the ``trunk_output.blockS.blockS-B`` stage
+    naming, raw (``trunk_output.``) or TorchVisionNet-wrapped
+    (``base.1.block1.``). No other torchvision family nests named
+    ``blockS-B`` children."""
+    return any(
+        k.startswith("trunk_output.block") or
+        re.match(r"^base\.1\.block\d+\.block\d+-\d+\.", k)
+        for k in state_dict
+    )
+
+
+def _flax_tree_is_regnet(params: dict) -> bool:
+    """Our RegNet blocks are the only ones with ``a_conv``/``b_conv``/
+    ``c_conv`` bottleneck units."""
+    return any(
+        re.match(r"^layer\d+_\d+$", m) and "a_conv" in params[m]
+        for m in params
+    )
+
+
 SUPPORTED_FAMILIES = ("resnet*/resnext*/wide_resnet*, efficientnet_b*, "
                       "mobilenet_v3_*, vgg16/19[_bn], alexnet, "
-                      "convnext_tiny/small")
+                      "convnext_tiny/small, regnet_x/y_400mf/800mf")
 
 
 class UnsupportedArchitectureError(ValueError):
@@ -746,15 +885,21 @@ class UnsupportedArchitectureError(ValueError):
     Sequential(children[:-1])`` followed by flatten into a Linear sized
     from ``children[-1].in_features`` — only actually works for families
     whose global pooling is a CHILD MODULE (resnet/resnext/wide_resnet,
-    efficientnet, mobilenet, vgg, alexnet, convnext). densenet-style
-    models pool functionally inside ``forward()``, so the reference feeds
-    a (1024*5*5)-dim flatten into a 1024-dim Linear and crashes;
-    googlenet crashes it too (the aux classifiers are child modules
-    between inception5b and avgpool, so the Sequential pipes features
-    through them mid-stream — shape mismatch). The families implemented
-    here cover every torchvision architecture the reference's
-    construction actually runs at its production input size except
-    regnet."""
+    efficientnet, mobilenet, vgg, alexnet, convnext, regnet).
+    densenet-style models pool functionally inside ``forward()``, so the
+    reference feeds a (1024*5*5)-dim flatten into a 1024-dim Linear and
+    crashes; googlenet crashes it too (the aux classifiers are child
+    modules between inception5b and avgpool, so the Sequential pipes
+    features through them mid-stream — shape mismatch); mnasnet and
+    shufflenet pool with a functional ``x.mean([2, 3])`` and crash the
+    same way densenet does; squeezenet's classifier Sequential contains
+    no Linear at all, so the wrapper's ``in_features`` lookup dies at
+    construction. The families implemented here cover every torchvision
+    CONVNET the reference's construction actually runs at its production
+    input size; the transformer families are out of scope (ViT's
+    functional patch-embed reshape crashes the wrapper's Sequential, and
+    nobody deploys Swin through this pipeline's 180px plankton
+    contract)."""
 
 
 def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
@@ -778,10 +923,14 @@ def torch_to_flax(network_name: str | None, state_dict: dict) -> dict:
             return torch_alexnet_to_flax(state_dict)
         if network_name.startswith("convnext"):
             return torch_convnext_to_flax(state_dict)
+        if network_name.startswith("regnet"):
+            return torch_regnet_to_flax(state_dict)
         raise UnsupportedArchitectureError(
             f"Network '{network_name}' is not supported; "
             f"supported families: {SUPPORTED_FAMILIES}"
         )
+    if _looks_like_regnet(state_dict):
+        return torch_regnet_to_flax(state_dict)
     if _looks_like_convnext(state_dict):
         return torch_convnext_to_flax(state_dict)
     if _looks_like_mobilenet_v3(state_dict):
@@ -974,8 +1123,12 @@ def flax_to_torch(variables: dict, dropout=(),
         return flax_alexnet_to_torch(variables, dropout)
     if network_name and network_name.startswith("convnext"):
         return flax_convnext_to_torch(variables, dropout)
+    if network_name and network_name.startswith("regnet"):
+        return flax_regnet_to_torch(variables, dropout)
     if "stem_ln" in params:  # ConvNeXt (before the MBConv stem_conv check)
         return flax_convnext_to_torch(variables, dropout)
+    if _flax_tree_is_regnet(params):  # before the MBConv stem_conv check
+        return flax_regnet_to_torch(variables, dropout)
     if "conv1" in params:
         return flax_resnet_to_torch(variables, dropout)
     if any(re.match(r"^layer\d+_conv\d+$", m) for m in params):

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import alexnet, convnext, efficientnet, mobilenet, resnet, vgg
+from . import alexnet, convnext, efficientnet, mobilenet, regnet, resnet, vgg
 
 MODEL_REGISTRY = {
     "resnet18": resnet.resnet18,
@@ -32,6 +32,10 @@ MODEL_REGISTRY = {
     "alexnet": alexnet.alexnet,
     "convnext_tiny": convnext.convnext_tiny,
     "convnext_small": convnext.convnext_small,
+    "regnet_x_400mf": regnet.regnet_x_400mf,
+    "regnet_x_800mf": regnet.regnet_x_800mf,
+    "regnet_y_400mf": regnet.regnet_y_400mf,
+    "regnet_y_800mf": regnet.regnet_y_800mf,
 }
 
 
