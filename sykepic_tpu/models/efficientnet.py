@@ -1,5 +1,5 @@
-"""Flax EfficientNet family (torchvision ``efficientnet_b0``-compatible
-topology) — widens the model registry beyond ResNets.
+"""Flax EfficientNet family (torchvision ``efficientnet_b0``-``b7``
+compatible topology) — widens the model registry beyond ResNets.
 
 The reference's ``TorchVisionNet`` nominally accepts any torchvision model
 name (``sykepic/train/network.py:48``: ``getattr(models, name)(...)``; its
@@ -201,3 +201,19 @@ def efficientnet_b2(**kw) -> EfficientNet:
 
 def efficientnet_b3(**kw) -> EfficientNet:
     return _scaled_efficientnet(1.2, 1.4, **kw)
+
+
+def efficientnet_b4(**kw) -> EfficientNet:
+    return _scaled_efficientnet(1.4, 1.8, **kw)
+
+
+def efficientnet_b5(**kw) -> EfficientNet:
+    return _scaled_efficientnet(1.6, 2.2, **kw)
+
+
+def efficientnet_b6(**kw) -> EfficientNet:
+    return _scaled_efficientnet(1.8, 2.6, **kw)
+
+
+def efficientnet_b7(**kw) -> EfficientNet:
+    return _scaled_efficientnet(2.0, 3.1, **kw)

@@ -23,6 +23,10 @@ MODEL_REGISTRY = {
     "efficientnet_b1": efficientnet.efficientnet_b1,
     "efficientnet_b2": efficientnet.efficientnet_b2,
     "efficientnet_b3": efficientnet.efficientnet_b3,
+    "efficientnet_b4": efficientnet.efficientnet_b4,
+    "efficientnet_b5": efficientnet.efficientnet_b5,
+    "efficientnet_b6": efficientnet.efficientnet_b6,
+    "efficientnet_b7": efficientnet.efficientnet_b7,
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
     "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
     "vgg16": vgg.vgg16,

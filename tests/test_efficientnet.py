@@ -246,6 +246,18 @@ def test_compound_scaling_matches_torchvision_channels():
     cfg2 = _scaled_config(1.1, 1.2)
     assert [c for _, c, _, _, _ in cfg2] == [16, 24, 48, 88, 120, 208, 352]
     assert [r for _, _, r, _, _ in cfg2] == [2, 3, 3, 4, 4, 5, 2]
+    # b4: width 1.4, depth 1.8 (published EfficientNet-B4 plan)
+    cfg4 = _scaled_config(1.4, 1.8)
+    assert [c for _, c, _, _, _ in cfg4] == [24, 32, 56, 112, 160, 272, 448]
+    assert [r for _, _, r, _, _ in cfg4] == [2, 4, 4, 6, 6, 8, 2]
+    assert _round_filters(32, 1.4) == 48      # stem
+    assert _round_filters(1280, 1.4) == 1792  # head
+    # b7: width 2.0, depth 3.1
+    cfg7 = _scaled_config(2.0, 3.1)
+    assert [c for _, c, _, _, _ in cfg7] == [32, 48, 80, 160, 224, 384, 640]
+    assert [r for _, _, r, _, _ in cfg7] == [4, 7, 7, 10, 10, 13, 4]
+    assert _round_filters(32, 2.0) == 64
+    assert _round_filters(1280, 2.0) == 2560
 
 
 def test_efficientnet_b1_builds_and_runs():
