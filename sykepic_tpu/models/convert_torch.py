@@ -180,6 +180,11 @@ def torch_efficientnet_to_flax(state_dict: dict) -> dict:
     .block.{i}`` MBConv stages where the expand conv+bn (index 0) exists
     only when expand_ratio > 1 (first stage omits it); the last ``features``
     entry is the 1x1 head conv+bn; ``classifier.1`` the final Linear.
+
+    Handles V2 (``efficientnet_v2_*``) too: FusedMBConv blocks have no SE
+    module — one dense kxk conv+bn (plus a 1x1 projection when the expand
+    ratio > 1) — which is exactly how they are told apart from MBConv
+    (every V1/V2 MBConv carries ``block.{i}.fc1`` SE convs).
     """
     sd = _normalize_base0_keys(state_dict)
     params: dict = {}
@@ -215,13 +220,14 @@ def torch_efficientnet_to_flax(state_dict: dict) -> dict:
             continue
         block_r = int(parts[2])
         mod = f"layer{fid}_{block_r}"
-        # expand conv present iff the block has a 4th submodule
-        has_expand = f"features.{fid}.{block_r}.block.3.0.weight" in sd
+        base = f"features.{fid}.{block_r}.block"
+        if f"{base}.2.fc1.weight" in sd:    # MBConv, expand ratio > 1
+            role_by_index = {0: "expand", 1: "dw", 2: "se", 3: "project"}
+        elif f"{base}.1.fc1.weight" in sd:  # MBConv, expand ratio 1
+            role_by_index = {0: "dw", 1: "se", 2: "project"}
+        else:                               # FusedMBConv (V2) — SE-free
+            role_by_index = {0: "fused", 1: "project"}
         sub = int(parts[4])
-        role_by_index = (
-            {0: "expand", 1: "dw", 2: "se", 3: "project"}
-            if has_expand else {0: "dw", 1: "se", 2: "project"}
-        )
         role = role_by_index[sub]
         if role == "se":
             fc = parts[5]  # fc1 / fc2
@@ -278,17 +284,23 @@ def _sd_put_bn(sd: dict, prefix, p_tree, s_tree) -> None:
 
 def _sd_put_block(sd: dict, block_prefix: str, tree: dict,
                   stats_tree: dict) -> None:
-    """Export one MBConv/InvertedResidual block at ``block_prefix``:
-    torchvision unit order [expand] dw [se] project, each conv+bn pair at
+    """Export one MBConv/InvertedResidual/FusedMBConv block at
+    ``block_prefix``: torchvision unit order [expand] dw [se] project
+    (MBConv) or fused [project] (V2 FusedMBConv), each conv+bn pair at
     ``block.{i}.0/.1`` and SE at ``block.{i}.fc1/fc2``. Roles present are
-    discovered from the tree (expand/se are optional)."""
-    roles = []
-    if "expand_conv" in tree:
-        roles.append("expand")
-    roles.append("dw")
-    if "se" in tree:
-        roles.append("se")
-    roles.append("project")
+    discovered from the tree (expand/se/project are optional)."""
+    if "fused_conv" in tree:
+        roles = ["fused"]
+        if "project_conv" in tree:
+            roles.append("project")
+    else:
+        roles = []
+        if "expand_conv" in tree:
+            roles.append("expand")
+        roles.append("dw")
+        if "se" in tree:
+            roles.append("se")
+        roles.append("project")
     for i, role in enumerate(roles):
         prefix = f"{block_prefix}.block.{i}"
         if role == "se":
@@ -873,8 +885,8 @@ def _flax_tree_is_regnet(params: dict) -> bool:
 
 
 SUPPORTED_FAMILIES = ("resnet*/resnext*/wide_resnet*, efficientnet_b*, "
-                      "mobilenet_v3_*, vgg16/19[_bn], alexnet, "
-                      "convnext_tiny/small, regnet_x/y_400mf/800mf")
+                      "efficientnet_v2_*, mobilenet_v3_*, vgg16/19[_bn], "
+                      "alexnet, convnext_tiny/small, regnet_x/y_400mf/800mf")
 
 
 class UnsupportedArchitectureError(ValueError):

@@ -27,6 +27,9 @@ MODEL_REGISTRY = {
     "efficientnet_b5": efficientnet.efficientnet_b5,
     "efficientnet_b6": efficientnet.efficientnet_b6,
     "efficientnet_b7": efficientnet.efficientnet_b7,
+    "efficientnet_v2_s": efficientnet.efficientnet_v2_s,
+    "efficientnet_v2_m": efficientnet.efficientnet_v2_m,
+    "efficientnet_v2_l": efficientnet.efficientnet_v2_l,
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
     "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
     "vgg16": vgg.vgg16,

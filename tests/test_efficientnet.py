@@ -267,6 +267,169 @@ def test_efficientnet_b1_builds_and_runs():
     assert out.shape == (1, 4)
 
 
+def _torch_efficientnet_v2(config, stem_ch, num_classes=1000):
+    """torch mirror of torchvision ``efficientnet_v2_*`` (FusedMBConv +
+    MBConv stages, BatchNorm eps 1e-3) with torchvision-identical
+    ``state_dict`` keys — torchvision itself is not installed here."""
+    import torch.nn as tnn
+
+    def conv_bn_act(cin, cout, k, s, groups=1, act=True):
+        mods = [
+            tnn.Conv2d(cin, cout, k, s, padding=k // 2, groups=groups,
+                       bias=False),
+            tnn.BatchNorm2d(cout, eps=1e-3),
+        ]
+        if act:
+            mods.append(tnn.SiLU(inplace=True))
+        return tnn.Sequential(*mods)
+
+    class SE(tnn.Module):
+        def __init__(self, ch, squeeze):
+            super().__init__()
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc1 = tnn.Conv2d(ch, squeeze, 1)
+            self.fc2 = tnn.Conv2d(squeeze, ch, 1)
+            self.activation = tnn.SiLU()
+            self.scale_activation = tnn.Sigmoid()
+
+        def forward(self, x):
+            s = self.activation(self.fc1(self.avgpool(x)))
+            return x * self.scale_activation(self.fc2(s))
+
+    class MBConv(tnn.Module):
+        def __init__(self, cin, cout, expand, k, s):
+            super().__init__()
+            mid = cin * expand
+            layers = []
+            if expand != 1:
+                layers.append(conv_bn_act(cin, mid, 1, 1))
+            layers.append(conv_bn_act(mid, mid, k, s, groups=mid))
+            layers.append(SE(mid, max(1, cin // 4)))
+            layers.append(conv_bn_act(mid, cout, 1, 1, act=False))
+            self.block = tnn.Sequential(*layers)
+            self.use_res = s == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    class FusedMBConv(tnn.Module):
+        def __init__(self, cin, cout, expand, k, s):
+            super().__init__()
+            mid = cin * expand
+            if expand != 1:
+                layers = [conv_bn_act(cin, mid, k, s),
+                          conv_bn_act(mid, cout, 1, 1, act=False)]
+            else:
+                layers = [conv_bn_act(cin, cout, k, s)]
+            self.block = tnn.Sequential(*layers)
+            self.use_res = s == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    stages = [conv_bn_act(3, stem_ch, 3, 2)]
+    cin = stem_ch
+    for kind, expand, cout, reps, s, k in config:
+        block_cls = FusedMBConv if kind == "fused" else MBConv
+        blocks = []
+        for r in range(reps):
+            blocks.append(block_cls(cin, cout, expand, k, s if r == 0 else 1))
+            cin = cout
+        stages.append(tnn.Sequential(*blocks))
+    stages.append(conv_bn_act(cin, 1280, 1, 1))
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Sequential(*stages)
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(0.2), tnn.Linear(1280, num_classes)
+            )
+
+        def forward(self, x):
+            x = self.features(x)
+            x = self.avgpool(x).flatten(1)
+            return self.classifier(x)
+
+    return Net()
+
+
+def test_torch_efficientnet_v2_s_roundtrip():
+    """torchvision-keyed EfficientNetV2-S state dict -> Flax: identical
+    tree structure to our init and forward agreement to f32 tolerance —
+    covers both FusedMBConv shapes (expand 1 single-conv, expand 4
+    conv+project) and the SE'd MBConv stages under eps-1e-3 BN."""
+    import torch
+
+    from sykepic_tpu.models import convert_torch
+    from sykepic_tpu.models.efficientnet import V2_S_CONFIG
+
+    torch.manual_seed(0)
+    net = _torch_efficientnet_v2(V2_S_CONFIG, stem_ch=24, num_classes=6)
+    with torch.no_grad():
+        net.train()
+        net(torch.randn(4, 3, 64, 64))
+        net.eval()
+    variables = convert_torch.torch_to_flax(
+        "efficientnet_v2_s", net.state_dict()
+    )
+    model = build_model("efficientnet_v2_s", num_classes=6, head=())
+    init = init_variables(model, (64, 64, 3))
+    assert set(flatten_dict(variables["params"])) == set(
+        flatten_dict(init["params"])
+    )
+    assert set(flatten_dict(variables["batch_stats"])) == set(
+        flatten_dict(init["batch_stats"])
+    )
+    x = np.random.default_rng(1).uniform(0, 1, (2, 64, 64, 3)).astype(
+        np.float32
+    )
+    ours = np.asarray(
+        model.apply(
+            {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+            },
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_v2_reverse_export_roundtrip():
+    """Our V2 variables -> reference-style .pth dict -> back, bit-exact,
+    with the fused blocks landing on ``block.0/.1`` torchvision indices."""
+    from sykepic_tpu.models import convert_torch
+
+    model = build_model("efficientnet_v2_s", num_classes=4, head=(16,))
+    variables = init_variables(model, (64, 64, 3), seed=5)
+    sd = convert_torch.flax_to_torch(
+        variables, dropout=(), network_name="efficientnet_v2_s"
+    )
+    # fused stage 1: single conv (expand 1) -> only block.0
+    assert "base.0.1.0.block.0.0.weight" in sd
+    assert "base.0.1.0.block.1.0.weight" not in sd
+    # fused stage 2: expand 4 -> conv + 1x1 project, no SE
+    assert "base.0.2.0.block.0.0.weight" in sd
+    assert "base.0.2.0.block.1.0.weight" in sd
+    assert not any("fc1" in k and ".2.0." in k for k in sd)
+    back = convert_torch.torch_to_flax(None, sd)  # family sniffed
+    for coll in ("params", "batch_stats"):
+        want = flatten_dict(variables[coll])
+        got = flatten_dict(back[coll])
+        assert set(want) == set(got)
+        for key, leaf in want.items():
+            np.testing.assert_array_equal(
+                np.asarray(leaf, np.float32), got[key], err_msg=str(key)
+            )
+
+
 def test_reverse_export_roundtrip():
     """Our variables -> reference-loadable .pth state dict -> back: every
     leaf returns bit-identical, and the head Linears land on the

@@ -265,7 +265,8 @@ def test_unsupported_architecture_errors():
         "classifier.weight": np.zeros((10, 4)),
     }
     with pytest.raises(convert_torch.UnsupportedArchitectureError,
-                       match="resnet\\*, efficientnet_b\\*, mobilenet_v3_\\*"):
+                       match="resnet\\*, efficientnet_b\\*, "
+                             "efficientnet_v2_\\*, mobilenet_v3_\\*"):
         convert_torch.torch_to_flax(None, sd)
     with pytest.raises(convert_torch.UnsupportedArchitectureError,
                        match="densenet121"):
