@@ -413,8 +413,11 @@ def torch_mobilenet_v3_to_flax(state_dict: dict) -> dict:
 # VGG (torchvision ``vgg16[_bn]`` / ``vgg19[_bn]`` / TorchVisionNet-wrapped)
 # ---------------------------------------------------------------------------
 
+_VGG_BY_CONV_COUNT = {8: "vgg11", 10: "vgg13", 13: "vgg16", 16: "vgg19"}
+
+
 def _vgg_variant_from_keys(sd: dict) -> str:
-    """Infer vgg16/vgg19 (+_bn) from normalized feature keys: the conv
+    """Infer vgg11/13/16/19 (+_bn) from normalized feature keys: the conv
     count identifies the depth, ``running_mean`` presence the BN flavor."""
     conv_keys = [k for k in sd
                  if re.match(r"^features\.\d+\.weight$", k)
@@ -422,11 +425,11 @@ def _vgg_variant_from_keys(sd: dict) -> str:
     bn = any(k.startswith("features.") and k.endswith("running_mean")
              for k in sd)
     n_convs = len(conv_keys)
-    base = {13: "vgg16", 16: "vgg19"}.get(n_convs)
+    base = _VGG_BY_CONV_COUNT.get(n_convs)
     if base is None:
         raise UnsupportedArchitectureError(
-            f"VGG-style state dict with {n_convs} convs matches neither "
-            "vgg16 (13) nor vgg19 (16)"
+            f"VGG-style state dict with {n_convs} convs matches none of "
+            "vgg11 (8), vgg13 (10), vgg16 (13), vgg19 (16)"
         )
     return f"{base}_bn" if bn else base
 
@@ -483,7 +486,7 @@ def flax_vgg_to_torch(variables: dict, dropout=()) -> dict:
     if not convs:
         raise KeyError("variable tree is not a VGG (no layerS_convJ)")
     bn = any(re.match(r"^layer\d+_bn\d+$", m) for m in params)
-    base = {13: "vgg16", 16: "vgg19"}[len(convs)]
+    base = _VGG_BY_CONV_COUNT[len(convs)]
     name = f"{base}_bn" if bn else base
     sd: dict = {}
     for idx, stage, j in vgg_mod.feature_index_map(name):
@@ -499,19 +502,30 @@ def flax_vgg_to_torch(variables: dict, dropout=()) -> dict:
     return sd
 
 
+# (stage-3 depth, stem width) -> variant. tiny/small differ only in
+# stage-3 depth; small/base/large all run 27 stage-3 blocks and differ
+# only in width.
+_CONVNEXT_BY_SHAPE = {
+    (9, 96): "convnext_tiny",
+    (27, 96): "convnext_small",
+    (27, 128): "convnext_base",
+    (27, 192): "convnext_large",
+}
+
+
 def _convnext_variant_from_keys(sd: dict) -> str:
-    """tiny/small differ only in stage-3 depth (9 vs 27 blocks at
-    ``features.5``)."""
     stage3 = {
         int(m.group(1)) for k in sd
         if (m := re.match(r"^features\.5\.(\d+)\.block\.", k))
     }
-    n = len(stage3)
-    name = {9: "convnext_tiny", 27: "convnext_small"}.get(n)
+    stem = sd.get("features.0.0.weight")
+    width = int(np.asarray(stem).shape[0]) if stem is not None else 0
+    name = _CONVNEXT_BY_SHAPE.get((len(stage3), width))
     if name is None:
         raise UnsupportedArchitectureError(
-            f"ConvNeXt-style state dict with {n} stage-3 blocks matches "
-            "neither convnext_tiny (9) nor convnext_small (27)"
+            f"ConvNeXt-style state dict with {len(stage3)} stage-3 blocks"
+            f" at stem width {width} matches none of "
+            f"{sorted(_CONVNEXT_BY_SHAPE.values())}"
         )
     return name
 
@@ -596,11 +610,12 @@ def flax_convnext_to_torch(variables: dict, dropout=()) -> dict:
 
     params = variables["params"]
     stage3 = sum(bool(re.match(r"^layer3_\d+$", m)) for m in params)
-    name = {9: "convnext_tiny", 27: "convnext_small"}.get(stage3)
+    width = int(np.asarray(params["stem_conv"]["kernel"]).shape[-1])
+    name = _CONVNEXT_BY_SHAPE.get((stage3, width))
     if name is None:
         raise UnsupportedArchitectureError(
-            f"variable tree with {stage3} stage-3 blocks matches neither "
-            "convnext_tiny (9) nor convnext_small (27)"
+            f"variable tree with {stage3} stage-3 blocks at stem width "
+            f"{width} matches none of {sorted(_CONVNEXT_BY_SHAPE.values())}"
         )
     sd: dict = {}
 
@@ -885,8 +900,10 @@ def _flax_tree_is_regnet(params: dict) -> bool:
 
 
 SUPPORTED_FAMILIES = ("resnet*/resnext*/wide_resnet*, efficientnet_b*, "
-                      "efficientnet_v2_*, mobilenet_v3_*, vgg16/19[_bn], "
-                      "alexnet, convnext_tiny/small, regnet_x/y_400mf/800mf")
+                      "efficientnet_v2_*, mobilenet_v3_*, "
+                      "vgg11/13/16/19[_bn], alexnet, "
+                      "convnext_tiny/small/base/large, "
+                      "regnet_x/y_400mf-32gf")
 
 
 class UnsupportedArchitectureError(ValueError):

@@ -49,6 +49,8 @@ from .resnet import Head
 CONVNEXT_CFGS: dict[str, tuple] = {
     "convnext_tiny": ((96, 192, 384, 768), (3, 3, 9, 3), 0.1),
     "convnext_small": ((96, 192, 384, 768), (3, 3, 27, 3), 0.4),
+    "convnext_base": ((128, 256, 512, 1024), (3, 3, 27, 3), 0.5),
+    "convnext_large": ((192, 384, 768, 1536), (3, 3, 27, 3), 0.5),
 }
 
 _LN = dict(epsilon=1e-6, use_bias=True, use_scale=True)
@@ -158,6 +160,16 @@ def convnext_tiny(**kw) -> ConvNeXt:
 
 def convnext_small(**kw) -> ConvNeXt:
     dims, blocks, sd = CONVNEXT_CFGS["convnext_small"]
+    return ConvNeXt(dims=dims, blocks=blocks, sd_prob=sd, **kw)
+
+
+def convnext_base(**kw) -> ConvNeXt:
+    dims, blocks, sd = CONVNEXT_CFGS["convnext_base"]
+    return ConvNeXt(dims=dims, blocks=blocks, sd_prob=sd, **kw)
+
+
+def convnext_large(**kw) -> ConvNeXt:
+    dims, blocks, sd = CONVNEXT_CFGS["convnext_large"]
     return ConvNeXt(dims=dims, blocks=blocks, sd_prob=sd, **kw)
 
 

@@ -15,8 +15,10 @@ MODEL_REGISTRY = {
     "resnet34": resnet.resnet34,
     "resnet50": resnet.resnet50,
     "resnet101": resnet.resnet101,
+    "resnet152": resnet.resnet152,
     "resnext50_32x4d": resnet.resnext50_32x4d,
     "resnext101_32x8d": resnet.resnext101_32x8d,
+    "resnext101_64x4d": resnet.resnext101_64x4d,
     "wide_resnet50_2": resnet.wide_resnet50_2,
     "wide_resnet101_2": resnet.wide_resnet101_2,
     "efficientnet_b0": efficientnet.efficientnet_b0,
@@ -32,6 +34,10 @@ MODEL_REGISTRY = {
     "efficientnet_v2_l": efficientnet.efficientnet_v2_l,
     "mobilenet_v3_large": mobilenet.mobilenet_v3_large,
     "mobilenet_v3_small": mobilenet.mobilenet_v3_small,
+    "vgg11": vgg.vgg11,
+    "vgg11_bn": vgg.vgg11_bn,
+    "vgg13": vgg.vgg13,
+    "vgg13_bn": vgg.vgg13_bn,
     "vgg16": vgg.vgg16,
     "vgg16_bn": vgg.vgg16_bn,
     "vgg19": vgg.vgg19,
@@ -39,10 +45,22 @@ MODEL_REGISTRY = {
     "alexnet": alexnet.alexnet,
     "convnext_tiny": convnext.convnext_tiny,
     "convnext_small": convnext.convnext_small,
+    "convnext_base": convnext.convnext_base,
+    "convnext_large": convnext.convnext_large,
     "regnet_x_400mf": regnet.regnet_x_400mf,
     "regnet_x_800mf": regnet.regnet_x_800mf,
+    "regnet_x_1_6gf": regnet.regnet_x_1_6gf,
+    "regnet_x_3_2gf": regnet.regnet_x_3_2gf,
+    "regnet_x_8gf": regnet.regnet_x_8gf,
+    "regnet_x_16gf": regnet.regnet_x_16gf,
+    "regnet_x_32gf": regnet.regnet_x_32gf,
     "regnet_y_400mf": regnet.regnet_y_400mf,
     "regnet_y_800mf": regnet.regnet_y_800mf,
+    "regnet_y_1_6gf": regnet.regnet_y_1_6gf,
+    "regnet_y_3_2gf": regnet.regnet_y_3_2gf,
+    "regnet_y_8gf": regnet.regnet_y_8gf,
+    "regnet_y_16gf": regnet.regnet_y_16gf,
+    "regnet_y_32gf": regnet.regnet_y_32gf,
 }
 
 

@@ -36,12 +36,35 @@ from flax import linen as nn
 
 from .resnet import Head
 
-# name -> (per-stage depths, per-stage widths, group_width, se_ratio)
+# name -> (per-stage depths, per-stage widths, group_width, se_ratio).
+# group_width is a scalar, or a per-stage tuple where torchvision's
+# compatibility pass clamps a stage (group width = min(g, stage width):
+# regnet_x_8gf's first stage is 80 wide against g=120).
+#
+# Stage plans are the quantized-linear-parameterization outputs of each
+# variant's published (depth, w_0, w_a, w_m, group_width) inits
+# (torchvision ``BlockParams.from_init_params``: widths w_0 + w_a*j
+# snapped to powers of w_m, quantized to multiples of 8, grouped into
+# stages where the width changes, then rounded to the group width with
+# round-half-up ``_make_divisible``). The generator was validated by
+# reproducing all four *_400mf/800mf tables exactly before deriving the
+# larger variants.
 REGNET_CFGS = {
     "regnet_x_400mf": ((1, 2, 7, 12), (32, 64, 160, 400), 16, 0.0),
     "regnet_x_800mf": ((1, 3, 7, 5), (64, 128, 288, 672), 16, 0.0),
+    "regnet_x_1_6gf": ((2, 4, 10, 2), (72, 168, 408, 912), 24, 0.0),
+    "regnet_x_3_2gf": ((2, 6, 15, 2), (96, 192, 432, 1008), 48, 0.0),
+    "regnet_x_8gf": ((2, 5, 15, 1), (80, 240, 720, 1920),
+                     (80, 120, 120, 120), 0.0),
+    "regnet_x_16gf": ((2, 6, 13, 1), (256, 512, 896, 2048), 128, 0.0),
+    "regnet_x_32gf": ((2, 7, 13, 1), (336, 672, 1344, 2520), 168, 0.0),
     "regnet_y_400mf": ((1, 3, 6, 6), (48, 104, 208, 440), 8, 0.25),
     "regnet_y_800mf": ((1, 3, 8, 2), (64, 144, 320, 784), 16, 0.25),
+    "regnet_y_1_6gf": ((2, 6, 17, 2), (48, 120, 336, 888), 24, 0.25),
+    "regnet_y_3_2gf": ((2, 5, 13, 1), (72, 216, 576, 1512), 24, 0.25),
+    "regnet_y_8gf": ((2, 4, 10, 1), (224, 448, 896, 2016), 56, 0.25),
+    "regnet_y_16gf": ((2, 4, 11, 1), (224, 448, 1232, 3024), 112, 0.25),
+    "regnet_y_32gf": ((2, 5, 12, 1), (232, 696, 1392, 3712), 232, 0.25),
 }
 
 STEM_WIDTH = 32  # torchvision uses stem width 32 for every variant
@@ -125,7 +148,7 @@ class RegNet(nn.Module):
     num_classes: int
     depths: Sequence[int]
     widths: Sequence[int]
-    group_width: int
+    group_width: int | Sequence[int]
     se_ratio: float = 0.0
     head: Sequence[int] = (256, 128)
     dropout: Sequence = ()
@@ -147,6 +170,9 @@ class RegNet(nn.Module):
         x = nn.relu(x)
         in_ch = STEM_WIDTH
         for si, (depth, width) in enumerate(zip(self.depths, self.widths)):
+            gw = (self.group_width[si]
+                  if isinstance(self.group_width, (tuple, list))
+                  else self.group_width)
             for b in range(depth):
                 x = ResBottleneckBlock(
                     in_ch=in_ch,
@@ -154,7 +180,7 @@ class RegNet(nn.Module):
                     # every stage downsamples in its first block (the stem
                     # plus 4 stage strides = /32 total)
                     stride=2 if b == 0 else 1,
-                    group_width=self.group_width,
+                    group_width=gw,
                     se_ratio=self.se_ratio,
                     dtype=self.dtype,
                     name=f"layer{si + 1}_{b}",
@@ -195,3 +221,43 @@ def regnet_y_400mf(**kw) -> RegNet:
 
 def regnet_y_800mf(**kw) -> RegNet:
     return _regnet("regnet_y_800mf", **kw)
+
+
+def regnet_x_1_6gf(**kw) -> RegNet:
+    return _regnet("regnet_x_1_6gf", **kw)
+
+
+def regnet_x_3_2gf(**kw) -> RegNet:
+    return _regnet("regnet_x_3_2gf", **kw)
+
+
+def regnet_x_8gf(**kw) -> RegNet:
+    return _regnet("regnet_x_8gf", **kw)
+
+
+def regnet_x_16gf(**kw) -> RegNet:
+    return _regnet("regnet_x_16gf", **kw)
+
+
+def regnet_x_32gf(**kw) -> RegNet:
+    return _regnet("regnet_x_32gf", **kw)
+
+
+def regnet_y_1_6gf(**kw) -> RegNet:
+    return _regnet("regnet_y_1_6gf", **kw)
+
+
+def regnet_y_3_2gf(**kw) -> RegNet:
+    return _regnet("regnet_y_3_2gf", **kw)
+
+
+def regnet_y_8gf(**kw) -> RegNet:
+    return _regnet("regnet_y_8gf", **kw)
+
+
+def regnet_y_16gf(**kw) -> RegNet:
+    return _regnet("regnet_y_16gf", **kw)
+
+
+def regnet_y_32gf(**kw) -> RegNet:
+    return _regnet("regnet_y_32gf", **kw)

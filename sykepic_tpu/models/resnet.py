@@ -237,6 +237,10 @@ def resnet101(**kw) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck, **kw)
 
 
+def resnet152(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck, **kw)
+
+
 # ResNeXt / Wide-ResNet: torchvision builds these from the same Bottleneck
 # with (groups, width_per_group) overrides, so their state dicts carry
 # byte-identical key names to resnet50/101 and both converters apply
@@ -252,6 +256,12 @@ def resnext50_32x4d(**kw) -> ResNet:
 def resnext101_32x8d(**kw) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 23, 3),
                   block_cls=partial(Bottleneck, groups=32, base_width=8),
+                  **kw)
+
+
+def resnext101_64x4d(**kw) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3),
+                  block_cls=partial(Bottleneck, groups=64, base_width=4),
                   **kw)
 
 

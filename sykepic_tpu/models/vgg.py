@@ -41,6 +41,10 @@ from .resnet import Head
 # Conv widths per stage; "M" = 2x2/2 max pool closing the stage
 # (torchvision ``vgg.cfgs`` D/E).
 VGG_CFGS: dict[str, tuple] = {
+    "vgg11": (64, "M", 128, "M", 256, 256, "M",
+              512, 512, "M", 512, 512, "M"),
+    "vgg13": (64, 64, "M", 128, 128, "M", 256, 256, "M",
+              512, 512, "M", 512, 512, "M"),
     "vgg16": (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
               512, 512, 512, "M", 512, 512, 512, "M"),
     "vgg19": (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -122,6 +126,22 @@ class VGG(nn.Module):
         if self.last_activation:
             x = getattr(nn, self.last_activation)(x)
         return x
+
+
+def vgg11(**kw) -> VGG:
+    return VGG(cfg=VGG_CFGS["vgg11"], batch_norm=False, **kw)
+
+
+def vgg11_bn(**kw) -> VGG:
+    return VGG(cfg=VGG_CFGS["vgg11"], batch_norm=True, **kw)
+
+
+def vgg13(**kw) -> VGG:
+    return VGG(cfg=VGG_CFGS["vgg13"], batch_norm=False, **kw)
+
+
+def vgg13_bn(**kw) -> VGG:
+    return VGG(cfg=VGG_CFGS["vgg13"], batch_norm=True, **kw)
 
 
 def vgg16(**kw) -> VGG:

@@ -160,6 +160,25 @@ def test_reverse_export_roundtrip():
     assert set(sd2) == set(sd)
 
 
+def test_base_reverse_export_roundtrip():
+    """convnext_base exercises the width-disambiguated variant inference
+    (small/base/large all have 27 stage-3 blocks; base is told apart by
+    its 128-wide stem)."""
+    from sykepic_tpu.models import convert_torch
+
+    model = build_model("convnext_base", num_classes=3, head=(16,))
+    variables = init_variables(model, (64, 64, 3), seed=3)
+    sd = convert_torch.flax_to_torch(variables)  # sniffed: base by width
+    assert sd["base.0.1.0.layer_scale"].shape == (128, 1, 1)
+    back = convert_torch.torch_to_flax(None, sd)
+    want = flatten_dict(variables["params"])
+    got = flatten_dict(back["params"])
+    assert set(want) == set(got)
+    for key, leaf in want.items():
+        np.testing.assert_array_equal(np.asarray(leaf, np.float32),
+                                      got[key], err_msg=str(key))
+
+
 def test_raw_torchvision_dict_maps_classifier_linear():
     """A raw torchvision dict (features.* + classifier.*) must map the
     classifier's Linear into the head and skip the dropped LayerNorm

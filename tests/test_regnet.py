@@ -31,6 +31,9 @@ def _torch_regnet(name, num_classes=5, head=(32,), seed=0):
 
     torch.manual_seed(seed)
     depths, widths, group_width, se_ratio = REGNET_CFGS[name]
+    stage_gw = (tuple(group_width)
+                if isinstance(group_width, (tuple, list))
+                else (group_width,) * len(depths))
 
     class SE(tnn.Module):
         # torchvision.ops.SqueezeExcitation key layout: fc1/fc2 only
@@ -55,14 +58,13 @@ def _torch_regnet(name, num_classes=5, head=(32,), seed=0):
         return tnn.Sequential(*layers)
 
     class Block(tnn.Module):
-        def __init__(self, cin, cout, stride):
+        def __init__(self, cin, cout, stride, gw):
             super().__init__()
             self.proj = (cna(cin, cout, 1, stride, act=False)
                          if cin != cout or stride != 1 else None)
             f = OrderedDict()
             f["a"] = cna(cin, cout, 1)
-            f["b"] = cna(cout, cout, 3, stride,
-                         groups=cout // group_width)
+            f["b"] = cna(cout, cout, 3, stride, groups=cout // gw)
             if se_ratio:
                 f["se"] = SE(cout, int(round(se_ratio * cin)))
             f["c"] = cna(cout, cout, 1, act=False)
@@ -83,7 +85,7 @@ def _torch_regnet(name, num_classes=5, head=(32,), seed=0):
                 blocks = OrderedDict()
                 for b in range(d):
                     blocks[f"block{si}-{b}"] = Block(
-                        cin, w, 2 if b == 0 else 1)
+                        cin, w, 2 if b == 0 else 1, stage_gw[si - 1])
                     cin = w
                 stages[f"block{si}"] = tnn.Sequential(blocks)
             self.base = tnn.Sequential(
@@ -108,7 +110,14 @@ def _torch_regnet(name, num_classes=5, head=(32,), seed=0):
     return net
 
 
-@pytest.mark.parametrize("name", ["regnet_y_400mf", "regnet_x_400mf"])
+@pytest.mark.parametrize("name", [
+    "regnet_y_400mf",
+    "regnet_x_400mf",
+    # larger-tier representatives: y_1_6gf (SE + deep stage 3) and x_8gf
+    # (the one variant whose first-stage group width is clamped 120 -> 80)
+    "regnet_y_1_6gf",
+    "regnet_x_8gf",
+])
 def test_forward_parity_with_torch_mirror(name):
     import torch
 
@@ -166,6 +175,62 @@ def test_label_groups():
     assert labels[("layer1_0", "b_conv", "kernel")] == G_REST
     assert labels[("stem_conv", "kernel")] == G_REST
     assert set(labels) == set(flat)
+
+
+def test_cfg_tables_derive_from_published_inits():
+    """Every REGNET_CFGS stage plan must equal the quantized-linear
+    parameterization of its published (depth, w_0, w_a, w_m, group_width)
+    init params (torchvision ``BlockParams.from_init_params``: widths
+    w_0 + w_a*j snapped to powers of w_m, quantized to multiples of 8,
+    split into stages where the width changes, then rounded to the group
+    width with round-half-up ``_make_divisible``). Guards the transcribed
+    tables — a wrong width would make pretrained conversion land on
+    mismatched shapes."""
+    inits = {
+        "regnet_x_400mf": (22, 24, 24.48, 2.54, 16),
+        "regnet_x_800mf": (16, 56, 35.73, 2.28, 16),
+        "regnet_x_1_6gf": (18, 80, 34.01, 2.25, 24),
+        "regnet_x_3_2gf": (25, 88, 26.31, 2.25, 48),
+        "regnet_x_8gf": (23, 80, 49.56, 2.88, 120),
+        "regnet_x_16gf": (22, 216, 55.59, 2.1, 128),
+        "regnet_x_32gf": (23, 320, 69.86, 2.0, 168),
+        "regnet_y_400mf": (16, 48, 27.89, 2.09, 8),
+        "regnet_y_800mf": (14, 56, 38.84, 2.4, 16),
+        "regnet_y_1_6gf": (27, 48, 20.71, 2.65, 24),
+        "regnet_y_3_2gf": (21, 80, 42.63, 2.66, 24),
+        "regnet_y_8gf": (17, 192, 76.82, 2.19, 56),
+        "regnet_y_16gf": (18, 200, 106.23, 2.48, 112),
+        "regnet_y_32gf": (20, 232, 115.89, 2.53, 232),
+    }
+
+    def make_divisible(v, d):
+        new = max(d, int(v + d / 2) // d * d)
+        if new < 0.9 * v:
+            new += d
+        return new
+
+    def derive(depth, w_0, w_a, w_m, g):
+        ws_cont = np.arange(depth) * w_a + w_0
+        ks = np.round(np.log(ws_cont / w_0) / np.log(w_m))
+        bw = (np.round(w_0 * np.power(w_m, ks) / 8) * 8).astype(int)
+        bw = bw.tolist()
+        splits = ([True]
+                  + [bw[i] != bw[i - 1] for i in range(1, depth)]
+                  + [True])
+        stage_w = [w for w, t in zip(bw, splits[:-1]) if t]
+        idx = [i for i, t in enumerate(splits) if t]
+        stage_d = np.diff(idx).tolist()
+        gmin = [min(g, w) for w in stage_w]
+        stage_w = [make_divisible(w, gg) for w, gg in zip(stage_w, gmin)]
+        return tuple(stage_d), tuple(stage_w), tuple(gmin)
+
+    assert set(inits) == set(REGNET_CFGS)
+    for name, (d, w0, wa, wm, g) in inits.items():
+        depths, widths, gmin = derive(d, w0, wa, wm, g)
+        cfg_d, cfg_w, cfg_g, _ = REGNET_CFGS[name]
+        cfg_g = (tuple(cfg_g) if isinstance(cfg_g, (tuple, list))
+                 else (cfg_g,) * len(cfg_d))
+        assert (depths, widths, gmin) == (cfg_d, cfg_w, cfg_g), name
 
 
 def test_stage_geometry():

@@ -84,6 +84,7 @@ def _torch_resnext(stage_sizes, groups, base_width, num_classes, head,
 CASES = {
     # name -> (stage_sizes, groups, base_width)
     "resnext50_32x4d": ((3, 4, 6, 3), 32, 4),
+    "resnext101_64x4d": ((3, 4, 23, 3), 64, 4),
     "wide_resnet50_2": ((3, 4, 6, 3), 1, 128),
 }
 
@@ -130,6 +131,20 @@ def test_grouped_width_matches_torchvision_formula():
                                    head=(8,)), (32, 32, 3))
     k = v["params"]["layer1_0"]["conv2"]["kernel"]
     assert k.shape == (3, 3, 128, 128)
+    # resnext101_64x4d stage1: width = int(64 * 4/64) * 64 = 256
+    v = init_variables(build_model("resnext101_64x4d", num_classes=3,
+                                   head=(8,)), (32, 32, 3))
+    k = v["params"]["layer1_0"]["conv2"]["kernel"]
+    assert k.shape == (3, 3, 4, 256)  # 256 in-channels / 64 groups
+
+
+def test_resnet152_builds_with_expected_depth():
+    model = build_model("resnet152", num_classes=3, head=(8,))
+    variables = init_variables(model, (32, 32, 3))
+    mods = [m for m in variables["params"] if m.startswith("layer")]
+    # stage sizes (3, 8, 36, 3): deepest block of each stage exists
+    assert {"layer1_2", "layer2_7", "layer3_35", "layer4_2"} <= set(mods)
+    assert sum(m.startswith("layer") for m in mods) == 3 + 8 + 36 + 3
 
 
 @pytest.mark.parametrize("name", sorted(CASES))

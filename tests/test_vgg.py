@@ -93,7 +93,7 @@ def _torch_vgg(name, seed=0):
     return Net()
 
 
-@pytest.mark.parametrize("name", ["vgg16", "vgg16_bn"])
+@pytest.mark.parametrize("name", ["vgg16", "vgg16_bn", "vgg11_bn", "vgg13"])
 def test_torch_roundtrip_forward_agreement(name):
     """Reference TorchVisionNet-style VGG checkpoint (base.0 = features +
     head.K Linears) -> flax: identical variable structure to our init and
@@ -142,7 +142,8 @@ def test_torch_roundtrip_forward_agreement(name):
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("name", ["vgg16", "vgg16_bn", "vgg19"])
+@pytest.mark.parametrize("name", ["vgg16", "vgg16_bn", "vgg19",
+                                  "vgg11", "vgg13_bn"])
 def test_reverse_export_roundtrip(name):
     from sykepic_tpu.models import convert_torch
 
@@ -171,3 +172,9 @@ def test_feature_index_map_matches_torchvision():
         0, 3, 7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40]
     assert [i for i, _, _ in feature_index_map("vgg19")] == [
         0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    assert [i for i, _, _ in feature_index_map("vgg11")] == [
+        0, 3, 6, 8, 11, 13, 16, 18]
+    assert [i for i, _, _ in feature_index_map("vgg11_bn")] == [
+        0, 4, 8, 11, 15, 18, 22, 25]
+    assert [i for i, _, _ in feature_index_map("vgg13")] == [
+        0, 2, 5, 7, 10, 12, 15, 17, 20, 22]
