@@ -154,6 +154,21 @@ class Classifier:
         from ..ingest import shelf as _shelf
 
         self._shelf_slot_cap = min(_shelf.SLOT_CAP, max(batch_size, 1024))
+        # Lossless wire codec (ingest/wirecodec.py): ship 4-bit delta
+        # planes + exception streams instead of raw windows and decode on
+        # device (~1.5x fewer bytes on realistic mixes, bit-identical
+        # probabilities). The e2e stream is link-bound wherever the chip
+        # is remote, so this is on by default; SYKEPIC_WIRE_CODEC=off
+        # reverts to raw windows (e.g. a local chip where host CPU is
+        # scarcer than PCIe bandwidth). Per-dispatch payoff gating means
+        # incompressible content ships raw either way.
+        self.wire_codec = (
+            _os.environ.get("SYKEPIC_WIRE_CODEC", "on").lower()
+            not in ("off", "0", "no")
+        ) and self.packing == "shelf"
+        # per-stream accounting: dispatches shipped encoded vs raw
+        # (payoff-gated per dispatch), exposed for bench.py and tests
+        self.wire_stats = {"encoded": 0, "raw": 0}
         # per-stage wall clocks, printed at stream end when SYKEPIC_PROFILE
         # is set (no-op stages otherwise)
         self.timer = profiling.StageTimer()
@@ -274,10 +289,18 @@ class Classifier:
             meta = self._shelf_meta(batch)
         new_h, new_w, pad_top, pad_left, border = meta
         with self.timer.stage("device.dispatch"):
-            windows = (
-                jax.device_put(batch.windows, self._replicated)
-                if self._replicated is not None else batch.windows
-            )
+            if batch.wire is not None:
+                from ..ops import wiredecode
+
+                put = (
+                    (lambda a: jax.device_put(a, self._replicated))
+                    if self._replicated is not None else jax.device_put
+                )
+                windows = wiredecode.decode(batch.wire, put=put)
+            elif self._replicated is not None:
+                windows = jax.device_put(batch.windows, self._replicated)
+            else:
+                windows = batch.windows
             slot_args = tuple(
                 self._put(a)
                 for a in (batch.win_idx, batch.y0, batch.x0,
@@ -303,8 +326,21 @@ class Classifier:
             compute_modes=(self.spec.border == "mode"),
             slot_cap=self._shelf_slot_cap,
         )
-        return self._produce_on_thread(gen, self._shelf_meta,
-                                       "sykepic-shelf")
+
+        def meta_fn(batch):
+            if self.wire_codec:
+                from ..ingest import wirecodec
+
+                # encode on the producer thread so it overlaps the link
+                # like the rest of the host work ("host.meta" includes
+                # this stage's time)
+                with self.timer.stage("host.encode"):
+                    batch.wire = wirecodec.encode(batch.windows)
+                key = "encoded" if batch.wire is not None else "raw"
+                self.wire_stats[key] += 1
+            return self._shelf_meta(batch)
+
+        return self._produce_on_thread(gen, meta_fn, "sykepic-shelf")
 
     def _produce_on_thread(self, gen, meta_fn, name: str):
         """Run a batch generator + its metadata pass on a producer thread,
@@ -518,6 +554,17 @@ class Classifier:
                     n_valid=0,
                     modes=np.zeros(r, np.uint8),
                 )
+                if self.wire_codec:
+                    # warm the decode programs for this window count too
+                    # (unpack/finalize compile per nc; one nonzero pixel
+                    # forces a one-chunk exception stream so the chained
+                    # scatter program also compiles)
+                    from ..ingest import wirecodec
+
+                    wired = np.zeros((nc, shelf.WIN_H, shelf.WIN_W),
+                                     np.uint8)
+                    wired[0, 0, 0] = 200
+                    sbatch.wire = wirecodec.encode(wired, force=True)
                 results.append(self.dispatch_shelf(sbatch))
                 continue
             b, hc, wc = key

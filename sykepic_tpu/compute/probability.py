@@ -167,7 +167,16 @@ def precompile_for_samples(sample_paths, clf: Classifier,
         ):
             key = (sbatch.windows.shape[0], len(sbatch.win_idx))
             volume[key] = volume.get(key, 0) + sbatch.n_valid
-            total_bytes += sbatch.windows.nbytes
+            if with_bytes and clf.wire_codec:
+                # count what the stream will actually ship: the encoded
+                # payload when it pays, raw windows when it does not
+                from ..ingest import wirecodec
+
+                payload = wirecodec.encode(sbatch.windows)
+                total_bytes += (payload.nbytes if payload is not None
+                                else sbatch.windows.nbytes)
+            else:
+                total_bytes += sbatch.windows.nbytes
             total_rois += sbatch.n_valid
     else:
         for batch in pack.pack_rois(

@@ -251,4 +251,88 @@ long long shelf_blit(const unsigned char* const* imgs, const int* heights,
     return n;
 }
 
+// Lossless wire codec encoder (the C++ twin of wirecodec.encode's NumPy
+// path; byte-for-byte identical output, asserted in tests/test_wirecodec.py).
+// Per window: pick the predictor (vertical/horizontal) with fewer 4-bit
+// exceptions, pack deltas mod 16 into a nibble plane, and emit mod-256
+// residual exceptions as (pos_delta u8, residual u8) entries in global scan
+// order with 255-advance dummies for long gaps. Returns the entry count,
+// or -2 when it exceeds `cap` (the caller's payoff bound: content this
+// noisy ships raw anyway), -1 on bad arguments.
+long long wire_encode(const unsigned char* windows, int nc, int h, int w,
+                      unsigned char* plane, unsigned char* flags,
+                      unsigned char* pd, unsigned char* val, long long cap) {
+    if (nc <= 0 || h <= 0 || w <= 0 || (w & 1)) return -1;
+    const long long win_px = (long long)h * w;
+    long long n_entries = 0;
+    long long last_pos = -1;
+    for (int k = 0; k < nc; ++k) {
+        const unsigned char* win = windows + (long long)k * win_px;
+        // pass 1: exception counts under each predictor
+        long long nv = 0, nh = 0;
+        for (int r = 0; r < h; ++r) {
+            const unsigned char* row = win + (long long)r * w;
+            const unsigned char* up = row - w;  // valid when r > 0
+            for (int c = 0; c < w; ++c) {
+                int dv = row[c] - (r ? up[c] : 0);
+                int dh = row[c] - (c ? row[c - 1] : 0);
+                nv += (dv < -8) | (dv > 7);
+                nh += (dh < -8) | (dh > 7);
+            }
+        }
+        const int horiz = nh < nv;
+        flags[k] = (unsigned char)horiz;
+        // pass 2: nibble plane + exception stream for the chosen predictor
+        unsigned char* pl = plane + (long long)k * h * (w / 2);
+        for (int r = 0; r < h; ++r) {
+            const unsigned char* row = win + (long long)r * w;
+            const unsigned char* up = row - w;
+            for (int c = 0; c < w; c += 2) {
+                int d0, d1;
+                if (horiz) {
+                    d0 = row[c] - (c ? row[c - 1] : 0);
+                    d1 = row[c + 1] - row[c];
+                } else {
+                    d0 = row[c] - (r ? up[c] : 0);
+                    d1 = row[c + 1] - (r ? up[c + 1] : 0);
+                }
+                const int n0 = d0 & 15, n1 = d1 & 15;
+                pl[(long long)r * (w / 2) + c / 2] =
+                    (unsigned char)(n0 | (n1 << 4));
+                const int dec0 = n0 - ((n0 > 7) << 4);
+                const int dec1 = n1 - ((n1 > 7) << 4);
+                const int res0 = (d0 - dec0) & 255;
+                const int res1 = (d1 - dec1) & 255;
+                if (res0) {
+                    long long pos = (long long)k * win_px +
+                                    (long long)r * w + c;
+                    long long gap = pos - last_pos;
+                    long long nd = (gap - 1) / 255;
+                    if (n_entries + nd + 1 > cap) return -2;
+                    for (long long j = 0; j < nd; ++j) {
+                        pd[n_entries] = 255; val[n_entries] = 0; ++n_entries;
+                    }
+                    pd[n_entries] = (unsigned char)(gap - 255 * nd);
+                    val[n_entries] = (unsigned char)res0; ++n_entries;
+                    last_pos = pos;
+                }
+                if (res1) {
+                    long long pos = (long long)k * win_px +
+                                    (long long)r * w + c + 1;
+                    long long gap = pos - last_pos;
+                    long long nd = (gap - 1) / 255;
+                    if (n_entries + nd + 1 > cap) return -2;
+                    for (long long j = 0; j < nd; ++j) {
+                        pd[n_entries] = 255; val[n_entries] = 0; ++n_entries;
+                    }
+                    pd[n_entries] = (unsigned char)(gap - 255 * nd);
+                    val[n_entries] = (unsigned char)res1; ++n_entries;
+                    last_pos = pos;
+                }
+            }
+        }
+    }
+    return n_entries;
+}
+
 }  // extern "C"

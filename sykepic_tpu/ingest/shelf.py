@@ -107,6 +107,10 @@ class ShelfBatch:
     sample_idx: np.ndarray  # (R,) int32
     n_valid: int
     modes: np.ndarray | None = None  # (R,) uint8
+    # lossless encoded stand-in for ``windows`` (ingest/wirecodec.py);
+    # when set, the engine ships this instead of the raw tensor and
+    # decodes on device — bit-identical windows, ~1.5x fewer wire bytes
+    wire: object | None = None
 
 
 class _Shelver:

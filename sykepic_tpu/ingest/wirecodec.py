@@ -1,0 +1,176 @@
+"""Lossless wire codec for shelf windows: ~1.5x fewer host->device bytes.
+
+The end-to-end classification stream is LINK-bound on any remote/tunneled
+TPU (measured wire_saturation ~1.0 in bench.py): throughput ==
+link_bandwidth / bytes_per_roi. Shelf packing already ships within a few
+percent of the raw pixel floor, so the remaining lever is shipping fewer
+than 8 bits per pixel — losslessly, because CSV parity with the reference
+(``sykepic/compute/probability.py:180-206``) is bit-level and a lossy
+codec would change predictions.
+
+Scheme (designed around what this TPU does fast — dense elementwise ops,
+cumsum, and scatter-add at ~22 M updates/s measured — and what it does
+not: elementwise gathers and dynamic shapes):
+
+- Per window, pixels are predicted by their top neighbour (vertical) or
+  left neighbour (horizontal); the encoder picks the cheaper predictor
+  per window (1 flag byte). Row/col 0 predicts from 0, i.e. stores the
+  absolute value — no special case.
+- Prediction deltas are stored mod 16 in a dense 4-bit plane (half the
+  raw bytes). Deltas outside [-8, 7] leave a nonzero mod-256 residual;
+  those are *exceptions*.
+- Exceptions ship as one flat stream over the whole dispatch in scan
+  order: (pos_delta u8, residual u8). Gaps > 255 insert dummy entries
+  (advance 255, residual 0 — a scatter-add of zero is a no-op). The
+  stream pads to a multiple of ``CHUNK`` entries so the device-side
+  scatter program compiles ONCE for every dispatch.
+- Decode = unpack nibbles -> scatter-add residuals -> cumsum mod 256
+  along the predictor axis (:mod:`sykepic_tpu.ops.wiredecode`). Exact:
+  all arithmetic is mod 256, so ``decode(encode(w)) == w`` bit-for-bit
+  for ANY uint8 content.
+
+When the content does not compress (noise-like windows, tiny tail
+dispatches), :func:`encode` returns ``None`` and the caller ships the raw
+windows — the codec can therefore never cost wire bytes, only save them.
+Measured on the realistic bench mix: 3.70 -> ~2.5 KB/ROI (ratio ~1.5);
+the 4.4 bit/px delta entropy of real IFCB pixels bounds any lossless
+scheme near ~1.8x.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# Exception-stream chunk: the device scatter program has a fixed
+# (CHUNK,)-shaped signature and is chained once per chunk, so the whole
+# stream needs exactly ONE compiled scatter program regardless of how many
+# exceptions a dispatch carries. Padding cost: <= CHUNK-1 entries
+# (~128 KB) per dispatch, ~1.5% of a full dispatch's payload.
+CHUNK = 65536
+
+# Ship encoded only when it saves at least this fraction of the raw bytes
+# (the decode work is nearly free next to the CNN, but switching
+# representations for a ~1% win would churn program cache entries).
+MIN_SAVING = 0.03
+
+# The C++ encoder (ingest/native/ifcb_native.cpp::wire_encode) is the hot
+# path (~10x the NumPy twin below; the producer thread must outrun the
+# link); tests flip this off to pin the NumPy contract and byte-equality.
+USE_NATIVE = True
+
+
+@dataclass
+class WirePayload:
+    """Encoded stand-in for a ``ShelfBatch.windows`` tensor."""
+
+    plane: np.ndarray  # (Nc, H, W//2) uint8 -- packed 4-bit deltas
+    pd: np.ndarray  # (E,) uint8 -- position deltas (E % CHUNK == 0)
+    val: np.ndarray  # (E,) uint8 -- mod-256 residuals
+    flags: np.ndarray  # (Nc,) uint8 -- 0 = vertical, 1 = horizontal
+    shape: tuple[int, int, int]  # original windows shape
+    n_exc: int  # real exception entries (before chunk padding)
+
+    @property
+    def nbytes(self) -> int:
+        return (self.plane.nbytes + self.pd.nbytes + self.val.nbytes
+                + self.flags.nbytes)
+
+
+def _signed4(d: np.ndarray) -> np.ndarray:
+    """The value the decoder reconstructs from ``d & 15`` (two's
+    complement nibble in [-8, 7])."""
+    return ((d + 8) & 15) - 8
+
+
+def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
+    """Encode one dispatch's windows; ``None`` when raw ships cheaper.
+
+    ``windows`` must be a C-contiguous uint8 array of shape (Nc, H, W)
+    with W even (shelf windows are (192, 512)). ``force`` skips the
+    payoff gate (tests exercising exactness on tiny dispatches).
+    """
+    nc, h, w = windows.shape
+    if USE_NATIVE:
+        from . import native
+
+        # payoff bound doubles as an early abort: a stream that noisy can
+        # never pay, so the native encoder stops as soon as it is certain
+        cap = windows.size if force else windows.size // 4
+        res = native.wire_encode(windows, cap)
+        if res == "overflow":
+            return None
+        if res is not None:
+            plane, flags, pd_raw, val_raw, total = res
+            padded = -(-total // CHUNK) * CHUNK
+            enc_bytes = plane.nbytes + padded * 2 + nc
+            if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
+                return None
+            pd = np.zeros(padded, np.uint8)
+            val = np.zeros(padded, np.uint8)
+            pd[:total] = pd_raw
+            val[:total] = val_raw
+            return WirePayload(
+                plane=plane, pd=pd, val=val, flags=flags,
+                shape=(nc, h, w),
+                n_exc=int(np.count_nonzero(val_raw)),
+            )
+        # library unavailable: fall through to the NumPy twin
+
+    a = windows.astype(np.int16)
+    dv = np.diff(a, axis=1, prepend=np.zeros((nc, 1, w), np.int16))
+    dh = np.diff(a, axis=2, prepend=np.zeros((nc, h, 1), np.int16))
+    rv = (dv - _signed4(dv)).astype(np.int16) & 255
+    rh = (dh - _signed4(dh)).astype(np.int16) & 255
+    # per-window predictor: fewer exceptions wins (plane cost is equal)
+    nv = np.count_nonzero(rv, axis=(1, 2))
+    nh = np.count_nonzero(rh, axis=(1, 2))
+    flags = (nh < nv).astype(np.uint8)
+    pick = flags.astype(bool)[:, None, None]
+    d = np.where(pick, dh, dv)
+    r = np.where(pick, rh, rv).astype(np.uint8)
+
+    # exception stream: scan-order positions + mod-256 residuals
+    flat = r.reshape(-1)
+    pos = np.flatnonzero(flat)
+    n_exc = len(pos)
+    # advance-255 dummy entries keep position deltas in uint8
+    gaps = np.diff(pos, prepend=-1)  # decoded pos = cumsum(pd) - 1
+    dummies = (gaps - 1) // 255
+    counts = dummies + 1
+    total = int(counts.sum())
+    padded = -(-total // CHUNK) * CHUNK  # 0 chunks when no exceptions
+
+    enc_bytes = nc * h * (w // 2) + padded * 2 + nc
+    if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
+        return None
+
+    pd = np.full(padded, 255, np.uint8)
+    val = np.zeros(padded, np.uint8)
+    last = np.cumsum(counts) - 1
+    pd[last] = (gaps - 255 * dummies).astype(np.uint8)
+    val[last] = flat[pos]
+    pd[total:] = 0  # chunk padding: advance 0, add 0 (no-op)
+
+    nib = (d & 15).astype(np.uint8)
+    plane = nib[:, :, 0::2] | (nib[:, :, 1::2] << 4)
+    return WirePayload(plane=plane, pd=pd, val=val, flags=flags,
+                       shape=(nc, h, w), n_exc=n_exc)
+
+
+def decode_reference(payload: WirePayload) -> np.ndarray:
+    """Pure-NumPy decoder: the behavioral contract the device program in
+    :mod:`sykepic_tpu.ops.wiredecode` is tested against."""
+    nc, h, w = payload.shape
+    lo = (payload.plane & 15).astype(np.int32)
+    hi = (payload.plane >> 4).astype(np.int32)
+    d = np.stack([lo, hi], axis=-1).reshape(nc, h, w)
+    d -= 16 * (d > 7)
+    pos = np.cumsum(payload.pd.astype(np.int64)) - 1
+    keep = (pos >= 0) & (pos < nc * h * w)
+    np.add.at(d.reshape(-1), pos[keep], payload.val[keep].astype(np.int32))
+    pv = np.cumsum(d, axis=1)
+    ph = np.cumsum(d, axis=2)
+    out = np.where(payload.flags.astype(bool)[:, None, None], ph, pv)
+    return (out & 255).astype(np.uint8)
