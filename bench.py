@@ -273,6 +273,12 @@ def inference_benchmark(root: Path) -> None:
                 # "shelf" = 2-D shelf packing (ingest/shelf.py): ~16% fewer
                 # wire bytes than per-ROI slots on the realistic mix
                 "packing": clf.packing,
+                # lossless wire codec (ingest/wirecodec.py): 4-bit delta
+                # plane + exception stream decoded on device, ~1.5x fewer
+                # wire bytes on this mix (bytes_per_roi above reflects it);
+                # dispatch counts show how often the payoff gate engaged
+                "wire_codec": clf.wire_codec,
+                "wire_dispatches": dict(clf.wire_stats),
                 # device-compute-only throughput on the same workload
                 # (wire excluded): the non-tunneled production ceiling
                 "onchip_rois_per_sec": onchip_rps,
@@ -319,27 +325,47 @@ def host_pack_benchmark() -> None:
     the pipeline to be wire-bound as documented (README). Native C++
     placement/blit/mode via ingest/native; the ``native`` key reports
     which path ran."""
-    from sykepic_tpu.ingest import native, shelf
+    from sykepic_tpu.ingest import native, shelf, wirecodec
 
     rng = np.random.default_rng(7)
     n = 30_000
-    rois = [(0, i + 1, rng.integers(0, 255, shape, np.uint8))
-            for i, shape in enumerate(_roi_shapes(rng, n))]
+    # the bench mix's pixel CONTENT (real fixture ROIs resized), not pure
+    # noise: the wire-codec encode below is part of the production host
+    # path and its cost is content-dependent
+    import cv2
+
+    from sykepic_tpu.ingest import ifcb
+
+    fixture = REPO / "tests/data/raw/valid/D20180712T065600_IFCB114"
+    images = [img for _, img in ifcb.read_sample(fixture).images()]
+    cache: dict[tuple[int, int], np.ndarray] = {}
+    rois = []
+    for i, (h, w) in enumerate(_roi_shapes(rng, n)):
+        img = cache.get((h, w))
+        if img is None:
+            src = images[(h * 31 + w) % len(images)]
+            img = cv2.resize(src, (w, h), interpolation=cv2.INTER_AREA)
+            cache[(h, w)] = img
+        rois.append((0, i + 1, img))
     raw_bytes = sum(r[2].nbytes for r in rois)
     t0 = time.perf_counter()
-    batches = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
-                                      compute_modes=True))
+    wire_bytes = 0
+    placed = 0
+    for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                compute_modes=True):
+        payload = wirecodec.encode(b.windows)  # the classify stream's path
+        wire_bytes += payload.nbytes if payload is not None else b.windows.nbytes
+        placed += b.n_valid
     dt = time.perf_counter() - t0
-    placed = sum(b.n_valid for b in batches)
     assert placed == n, (placed, n)
     print(json.dumps({
         "metric": "host_pack_rois_per_sec",
         "value": round(placed / dt, 1), "unit": "ROIs/s",
         "vs_baseline": None,
         "native": native.lib() is not None,
+        "wire_codec": True,  # pack + encode: the full host-side classify path
         "bytes_per_roi_raw": round(raw_bytes / placed, 1),
-        "bytes_per_roi_wire": round(
-            sum(b.windows.nbytes for b in batches) / placed, 1),
+        "bytes_per_roi_wire": round(wire_bytes / placed, 1),
     }))
 
 
