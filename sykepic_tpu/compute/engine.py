@@ -165,7 +165,7 @@ class Classifier:
         self.wire_codec = (
             _os.environ.get("SYKEPIC_WIRE_CODEC", "on").lower()
             not in ("off", "0", "no")
-        ) and self.packing == "shelf"
+        )
         # per-stream accounting: dispatches shipped encoded vs raw
         # (payoff-gated per dispatch), exposed for bench.py and tests
         self.wire_stats = {"encoded": 0, "raw": 0}
@@ -290,13 +290,7 @@ class Classifier:
         new_h, new_w, pad_top, pad_left, border = meta
         with self.timer.stage("device.dispatch"):
             if batch.wire is not None:
-                from ..ops import wiredecode
-
-                put = (
-                    (lambda a: jax.device_put(a, self._replicated))
-                    if self._replicated is not None else jax.device_put
-                )
-                windows = wiredecode.decode(batch.wire, put=put)
+                windows = self._decode_wire(batch.wire)
             elif self._replicated is not None:
                 windows = jax.device_put(batch.windows, self._replicated)
             else:
@@ -329,15 +323,10 @@ class Classifier:
 
         def meta_fn(batch):
             if self.wire_codec:
-                from ..ingest import wirecodec
-
                 # encode on the producer thread so it overlaps the link
                 # like the rest of the host work ("host.meta" includes
                 # this stage's time)
-                with self.timer.stage("host.encode"):
-                    batch.wire = wirecodec.encode(batch.windows)
-                key = "encoded" if batch.wire is not None else "raw"
-                self.wire_stats[key] += 1
+                self._encode_wire(batch)
             return self._shelf_meta(batch)
 
         return self._produce_on_thread(gen, meta_fn, "sykepic-shelf")
@@ -405,6 +394,28 @@ class Classifier:
             return jax.device_put(a, self._data_sharding)
         return a
 
+    def _encode_wire(self, batch):
+        """Producer-thread half of the wire codec: encode the pixel tensor
+        (windows or canvas) when it pays; records the per-stream stats."""
+        from ..ingest import wirecodec
+
+        pixels = (batch.windows if hasattr(batch, "windows")
+                  else batch.canvas)
+        with self.timer.stage("host.encode"):
+            batch.wire = wirecodec.encode(pixels)
+        self.wire_stats["encoded" if batch.wire is not None else "raw"] += 1
+
+    def _decode_wire(self, payload):
+        """Device half: payload -> decoded uint8 pixel tensor, placed like
+        a replicated weight when a mesh exists."""
+        from ..ops import wiredecode
+
+        put = (
+            (lambda a: jax.device_put(a, self._replicated))
+            if self._replicated is not None else jax.device_put
+        )
+        return wiredecode.decode(payload, put=put)
+
     def _host_meta(self, batch: pack.PackedBatch):
         """Resize geometry + border fill for one packed batch (host numpy).
         Cheap when the packer pre-computed per-ROI modes; otherwise falls
@@ -428,15 +439,18 @@ class Classifier:
             meta = self._host_meta(batch)
         new_h, new_w, pad_top, pad_left, border = meta
         with self.timer.stage("device.dispatch"):
+            canvas = (self._decode_wire(batch.wire)
+                      if batch.wire is not None
+                      else self._put(batch.canvas))
             args = tuple(
                 self._put(a)
                 for a in (
-                    batch.canvas, batch.heights, batch.widths,
+                    batch.heights, batch.widths,
                     new_h, new_w, pad_top, pad_left, border,
                 )
             )
             return self._infer(
-                *args,
+                canvas, *args,
                 target_h=self.spec.target_h,
                 target_w=self.spec.target_w,
             )
@@ -577,6 +591,12 @@ class Classifier:
                 n_valid=0,
                 modes=np.zeros(b, np.uint8),
             )
+            if self.wire_codec and self._data_sharding is None:
+                from ..ingest import wirecodec
+
+                wired = np.zeros((b, hc, wc), np.uint8)
+                wired[0, 0, 0] = 200  # force one exception chunk (see shelf)
+                batch.wire = wirecodec.encode(wired, force=True)
             results.append(self.dispatch_packed(batch))
             if fused:
                 from ..ops import features_device
@@ -602,8 +622,18 @@ class Classifier:
             compute_modes=(self.spec.border == "mode"),
             consolidate_tails=consolidate_tails,
         )
-        return self._produce_on_thread(gen, self._host_meta,
-                                       "sykepic-pack")
+
+        def meta_fn(batch):
+            # slot canvases are DATA-sharded over a mesh (dispatch_packed's
+            # _put); the decoded tensor would come out replicated instead,
+            # so the codec covers the slot path only without a mesh. The
+            # shelf path replicates its windows either way and keeps the
+            # codec on both.
+            if self.wire_codec and self._data_sharding is None:
+                self._encode_wire(batch)
+            return self._host_meta(batch)
+
+        return self._produce_on_thread(gen, meta_fn, "sykepic-pack")
 
     def classify_rois(self, tagged_rois):
         """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.
@@ -695,7 +725,11 @@ class Classifier:
             # shared by both device programs
             new_h, new_w, pad_top, pad_left, border = meta
             with self.timer.stage("device.dispatch"):
-                canvas = self._put(batch.canvas)
+                # decoded ONCE on device, shared by both programs (the
+                # codec is bit-exact, so device features are unchanged)
+                canvas = (self._decode_wire(batch.wire)
+                          if batch.wire is not None
+                          else self._put(batch.canvas))
                 heights = self._put(batch.heights)
                 widths = self._put(batch.widths)
                 device_probs = self._infer(

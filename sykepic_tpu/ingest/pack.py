@@ -55,6 +55,9 @@ class PackedBatch:
     sample_idx: np.ndarray  # (B,) int32 -- index into the caller's sample list
     n_valid: int  # number of real (non-padding) slots
     modes: np.ndarray | None = None  # (B,) uint8 -- per-ROI mode pixel
+    # lossless encoded stand-in for ``canvas`` (ingest/wirecodec.py);
+    # when set, the engine ships this and decodes on device (bit-exact)
+    wire: object | None = None
 
 
 # The dynamic grid's largest canvas side; anything bigger is host-shrunk.

@@ -43,12 +43,24 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Exception-stream chunk: the device scatter program has a fixed
-# (CHUNK,)-shaped signature and is chained once per chunk, so the whole
-# stream needs exactly ONE compiled scatter program regardless of how many
-# exceptions a dispatch carries. Padding cost: <= CHUNK-1 entries
-# (~128 KB) per dispatch, ~1.5% of a full dispatch's payload.
-CHUNK = 65536
+# Exception-stream chunking: the device scatter program has a fixed
+# (chunk,)-shaped signature and is chained once per chunk, so a given
+# pixel-tensor shape needs exactly ONE compiled scatter program no matter
+# how many exceptions a dispatch carries. The chunk scales with the
+# tensor (power of two, ~npx/32, clamped below) so small dispatches — the
+# slot path, stream tails — don't drown in padding: the worst-case
+# padding is one chunk, ~6% of the tensor's raw bytes.
+CHUNK = 65536  # ceiling: full shelf dispatches (6.3 MB) use this
+MIN_CHUNK = 4096
+
+
+def chunk_for(npx: int) -> int:
+    """Exception-chunk length for an ``npx``-pixel dispatch (consistent
+    between encoder padding and decoder slicing via ``WirePayload.chunk``)."""
+    c = MIN_CHUNK
+    while c < CHUNK and c * 32 < npx:
+        c *= 2
+    return c
 
 # Ship encoded only when it saves at least this fraction of the raw bytes
 # (the decode work is nearly free next to the CNN, but switching
@@ -66,11 +78,12 @@ class WirePayload:
     """Encoded stand-in for a ``ShelfBatch.windows`` tensor."""
 
     plane: np.ndarray  # (Nc, H, W//2) uint8 -- packed 4-bit deltas
-    pd: np.ndarray  # (E,) uint8 -- position deltas (E % CHUNK == 0)
+    pd: np.ndarray  # (E,) uint8 -- position deltas (E % chunk == 0)
     val: np.ndarray  # (E,) uint8 -- mod-256 residuals
     flags: np.ndarray  # (Nc,) uint8 -- 0 = vertical, 1 = horizontal
     shape: tuple[int, int, int]  # original windows shape
     n_exc: int  # real exception entries (before chunk padding)
+    chunk: int = CHUNK  # scatter-chunk length this payload was padded to
 
     @property
     def nbytes(self) -> int:
@@ -92,6 +105,8 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
     payoff gate (tests exercising exactness on tiny dispatches).
     """
     nc, h, w = windows.shape
+    if w % 2:  # nibble plane packs two deltas per byte along the width
+        return None
     if USE_NATIVE:
         from . import native
 
@@ -103,7 +118,8 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
             return None
         if res is not None:
             plane, flags, pd_raw, val_raw, total = res
-            padded = -(-total // CHUNK) * CHUNK
+            chunk = chunk_for(windows.size)
+            padded = -(-total // chunk) * chunk
             enc_bytes = plane.nbytes + padded * 2 + nc
             if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
                 return None
@@ -115,6 +131,7 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
                 plane=plane, pd=pd, val=val, flags=flags,
                 shape=(nc, h, w),
                 n_exc=int(np.count_nonzero(val_raw)),
+                chunk=chunk,
             )
         # library unavailable: fall through to the NumPy twin
 
@@ -140,7 +157,8 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
     dummies = (gaps - 1) // 255
     counts = dummies + 1
     total = int(counts.sum())
-    padded = -(-total // CHUNK) * CHUNK  # 0 chunks when no exceptions
+    chunk = chunk_for(windows.size)
+    padded = -(-total // chunk) * chunk  # 0 chunks when no exceptions
 
     enc_bytes = nc * h * (w // 2) + padded * 2 + nc
     if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
@@ -156,7 +174,7 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
     nib = (d & 15).astype(np.uint8)
     plane = nib[:, :, 0::2] | (nib[:, :, 1::2] << 4)
     return WirePayload(plane=plane, pd=pd, val=val, flags=flags,
-                       shape=(nc, h, w), n_exc=n_exc)
+                       shape=(nc, h, w), n_exc=n_exc, chunk=chunk)
 
 
 def decode_reference(payload: WirePayload) -> np.ndarray:

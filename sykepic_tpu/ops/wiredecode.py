@@ -79,8 +79,9 @@ def decode(payload: wirecodec.WirePayload, put=None):
     d = unpack_plane(put(payload.plane))
     carry = put(jnp.int32(-1))
     n = len(payload.pd)
-    for start in range(0, n, wirecodec.CHUNK):
-        end = start + wirecodec.CHUNK
+    chunk = payload.chunk
+    for start in range(0, n, chunk):
+        end = start + chunk
         d, carry = scatter_chunk(d, put(payload.pd[start:end]),
                                  put(payload.val[start:end]), carry)
     return finalize(d, put(payload.flags))

@@ -124,8 +124,20 @@ def test_roundtrip_random_smooth_content():
 
 def test_chunk_padding_is_exact_multiple():
     payload = wirecodec.encode(_fixture_windows())
-    assert len(payload.pd) % wirecodec.CHUNK == 0
+    assert payload.chunk == wirecodec.chunk_for(3 * shelf.WIN_H * shelf.WIN_W)
+    assert len(payload.pd) % payload.chunk == 0
     assert len(payload.pd) == len(payload.val)
+
+
+def test_chunk_scales_with_dispatch_size():
+    assert wirecodec.chunk_for(64 * 192 * 512) == wirecodec.CHUNK
+    assert wirecodec.chunk_for(64 * 32 * 64) == wirecodec.MIN_CHUNK
+    # monotone powers of two within the clamp
+    prev = 0
+    for npx in (1, 10_000, 100_000, 1_000_000, 10_000_000):
+        c = wirecodec.chunk_for(npx)
+        assert c >= prev and (c & (c - 1)) == 0
+        prev = c
 
 
 def test_predictor_flags_choose_cheaper_axis():
@@ -227,3 +239,51 @@ def test_native_encoder_matches_numpy_bytes(monkeypatch):
         np.testing.assert_array_equal(nat.val, ref.val)
         assert nat.n_exc == ref.n_exc
         assert nat.shape == ref.shape
+
+
+def test_engine_codec_slot_path_identical(model_dir, monkeypatch):
+    """The per-ROI slot path (SYKEPIC_PACKING=slots) also rides the codec
+    and must match the raw path bit-for-bit."""
+    from sykepic_tpu.compute import probability
+
+    rng = np.random.default_rng(13)
+    rois = _smooth_rois(180, rng)
+
+    def run(codec):
+        monkeypatch.setenv("SYKEPIC_WIRE_CODEC", codec)
+        clf = probability.prepare_model(model_dir, batch_size=64)
+        clf.packing = "slots"
+        out = {(s, r): p for s, r, p in clf.classify_rois(iter(rois))}
+        return out, dict(clf.wire_stats)
+
+    on, stats_on = run("on")
+    off, _ = run("off")
+    assert stats_on["encoded"] > 0, stats_on
+    assert set(on) == set(off)
+    for k in on:
+        np.testing.assert_array_equal(on[k], off[k])
+
+
+def test_engine_codec_fused_path_identical(model_dir, monkeypatch):
+    """The fused classify+features path decodes the canvas once on device
+    and shares it: probabilities AND device features must be bit-equal to
+    the raw path."""
+    from sykepic_tpu.compute import probability
+
+    rng = np.random.default_rng(14)
+    rois = _smooth_rois(180, rng)
+
+    def run(codec):
+        monkeypatch.setenv("SYKEPIC_WIRE_CODEC", codec)
+        clf = probability.prepare_model(model_dir, batch_size=64)
+        out = {(s, r): (p, f) for s, r, p, f
+               in clf.classify_and_feature_rois(iter(rois))}
+        return out, dict(clf.wire_stats)
+
+    on, stats_on = run("on")
+    off, _ = run("off")
+    assert stats_on["encoded"] > 0, stats_on
+    assert set(on) == set(off)
+    for k in on:
+        np.testing.assert_array_equal(on[k][0], off[k][0])
+        assert on[k][1] == off[k][1]  # feature 4-tuples exactly equal
