@@ -41,18 +41,35 @@ def _platform_tag() -> str:
     if first in ("", "cpu"):
         import hashlib
 
+        # Fingerprint = flags + MODEL IDENTITY. Flags alone are not enough:
+        # XLA:CPU bakes LLVM tuning features derived from the cpu MODEL
+        # (e.g. +prefer-no-gather) into its AOT executables, so a migration
+        # between hosts with identical cpuinfo flags but different models
+        # produced entries that LOADED here with a feature-mismatch warning
+        # and then SIGILL-aborted the process mid-run (observed killing the
+        # test suite). Model name/family/stepping pins those derived
+        # features.
+        parts: list[str] = []
         feats = ""
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith(("flags", "Features")):
+                    key = line.split(":", 1)[0].strip()
+                    if key in ("vendor_id", "cpu family", "model",
+                               "model name", "stepping") and \
+                            len(parts) < 5 and line.count(":"):
+                        parts.append(line.split(":", 1)[1].strip())
+                    elif key in ("flags", "Features") and not feats:
                         feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    if feats and len(parts) >= 5:
                         break
         except OSError:  # pragma: no cover - non-Linux fallback
             import platform
 
             feats = platform.processor()
-        tag = hashlib.sha256(feats.encode()).hexdigest()[:12]
+        tag = hashlib.sha256(
+            ("|".join(parts) + "#" + feats).encode()
+        ).hexdigest()[:12]
         # "" (backend default) usually resolves to an accelerator when one
         # exists, but partitioning an accelerator's entries by host-CPU
         # fingerprint only over-splits the cache — never poisons it.
