@@ -18,6 +18,7 @@ size) pair, cached by jax.
 from __future__ import annotations
 
 import math
+import threading
 from functools import partial
 from pathlib import Path
 
@@ -169,6 +170,8 @@ class Classifier:
         # per-stream accounting: dispatches shipped encoded vs raw
         # (payoff-gated per dispatch), exposed for bench.py and tests
         self.wire_stats = {"encoded": 0, "raw": 0}
+        # _encode_wire runs on the metadata worker pool (several threads)
+        self._wire_stats_lock = threading.Lock()
         # per-stage wall clocks, printed at stream end when SYKEPIC_PROFILE
         # is set (no-op stages otherwise)
         self.timer = profiling.StageTimer()
@@ -331,20 +334,45 @@ class Classifier:
 
         return self._produce_on_thread(gen, meta_fn, "sykepic-shelf")
 
-    def _produce_on_thread(self, gen, meta_fn, name: str):
-        """Run a batch generator + its metadata pass on a producer thread,
-        yielding ``(batch, meta)``; exceptions relay to the consumer, and
-        abandoning the iterator cancels the producer. The dispatch thread
-        spends most of its time inside device transfers (GIL released), so
-        this overlaps decode/pack/metadata host work with the link instead
-        of serializing it (measured 136 us/ROI of metadata work inline — a
-        ~7 kROI/s ceiling all by itself on the bench mix)."""
+    def _produce_on_thread(self, gen, meta_fn, name: str,
+                           workers: int | None = None):
+        """Run a batch generator and its metadata pass off the dispatch
+        thread, yielding ``(batch, meta)`` in generator order; exceptions
+        relay to the consumer, and abandoning the iterator cancels the
+        producers. The dispatch thread spends most of its time inside
+        device transfers (GIL released), so this overlaps decode/pack/
+        metadata host work with the link instead of serializing it
+        (measured 136 us/ROI of metadata work inline — a ~7 kROI/s
+        ceiling all by itself on the bench mix).
+
+        With spare cores, the two host stages ALSO pipeline with each
+        other (each alone is a ceiling: decode+pack ~50 us/ROI, wire
+        encode + geometry ~55 us/ROI serialized on one thread):
+
+        - decode+pack stays sequential on one thread (the packer is a
+          stateful stream);
+        - ``meta_fn`` (wire encode + resize geometry; batch-independent)
+          fans out to a small pool, order preserved by enqueuing futures.
+
+        The native encoder and NumPy release the GIL, so the stages
+        genuinely overlap. On a host with <3 cores the pool is pure
+        context-switch overhead (measured 7.4k -> 4.6k ROIs/s producer
+        throughput on a 1-core host), so ``workers`` defaults to 0 there
+        and ``meta_fn`` runs inline on the packing thread."""
+        import os
         import queue
         import threading
+        from concurrent.futures import ThreadPoolExecutor
 
-        q: queue.Queue = queue.Queue(maxsize=4)
+        if workers is None:
+            workers = 2 if (os.cpu_count() or 1) >= 3 else 0
+
+        q: queue.Queue = queue.Queue(maxsize=max(2 * workers, 4))
         done = object()
         cancel = threading.Event()  # set when the consumer goes away
+        pool = (ThreadPoolExecutor(max_workers=workers,
+                                   thread_name_prefix=f"{name}-meta")
+                if workers else None)
 
         def offer(item) -> bool:
             while not cancel.is_set():
@@ -355,19 +383,23 @@ class Classifier:
                     continue
             return False
 
+        def stage2(batch):
+            with self.timer.stage("host.meta"):
+                return batch, meta_fn(batch)
+
         def produce():
             try:
                 while True:
-                    # decode+pack pulls the upstream ROI generator; meta is
-                    # the geometry/border pass. Separate stages on THIS
-                    # thread only (no cross-thread accumulator races).
                     with self.timer.stage("host.decode+pack"):
                         batch = next(gen, None)
                     if batch is None:
                         break
-                    with self.timer.stage("host.meta"):
-                        meta = meta_fn(batch)
-                    if not offer((batch, meta)):
+                    # submit-then-offer: the bounded queue is the
+                    # backpressure (at most ~2*workers batches beyond the
+                    # one packing are in memory)
+                    item = pool.submit(stage2, batch) if pool else \
+                        stage2(batch)
+                    if not offer(item):
                         return
             except BaseException as e:  # re-raised on the consumer side
                 offer(e)
@@ -382,9 +414,12 @@ class Classifier:
                     return
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                # stage2 exceptions re-raise out of .result()
+                yield item.result() if pool else item
         finally:
             cancel.set()  # unblock the producer if we exit early
+            if pool:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def _put(self, a):
         """Commit a batch array: sharded over the data mesh axis when one
@@ -403,7 +438,9 @@ class Classifier:
                   else batch.canvas)
         with self.timer.stage("host.encode"):
             batch.wire = wirecodec.encode(pixels)
-        self.wire_stats["encoded" if batch.wire is not None else "raw"] += 1
+        with self._wire_stats_lock:
+            self.wire_stats[
+                "encoded" if batch.wire is not None else "raw"] += 1
 
     def _decode_wire(self, payload):
         """Device half: payload -> decoded uint8 pixel tensor, placed like

@@ -33,7 +33,14 @@ def lib():
                 timeout=120,
             )
         except Exception:
-            return None
+            # -march=native can fail on exotic toolchains; retry portable
+            try:
+                subprocess.run(
+                    ["make", "-s", "PORTABLE=1"], cwd=_HERE, check=True,
+                    capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
     try:
         handle = ctypes.CDLL(str(_SO))
     except OSError:

@@ -264,72 +264,110 @@ long long wire_encode(const unsigned char* windows, int nc, int h, int w,
                       unsigned char* pd, unsigned char* val, long long cap) {
     if (nc <= 0 || h <= 0 || w <= 0 || (w & 1)) return -1;
     const long long win_px = (long long)h * w;
+    // Branch-free inner loops (the compiler vectorizes them; the scalar
+    // two-pass original measured 53 us/ROI on the bench mix — the single
+    // biggest host cost of the whole pipeline on a 1-core host). Residuals
+    // land in a scratch plane first; exceptions are then found by scanning
+    // 8 bytes at a time (>90% of residual bytes are zero at the measured
+    // ~9% exception rate, so most words skip in one compare).
+    std::vector<unsigned char> zrow((size_t)w, 0);
+    std::vector<unsigned char> res((size_t)win_px + 8, 0);
+    std::vector<unsigned char> nibs((size_t)w, 0);
     long long n_entries = 0;
     long long last_pos = -1;
     for (int k = 0; k < nc; ++k) {
         const unsigned char* win = windows + (long long)k * win_px;
-        // pass 1: exception counts under each predictor
+        // pass 1: exception counts under each predictor (vectorizable:
+        // d in [-255,263] after +8; unsigned compare catches both tails)
         long long nv = 0, nh = 0;
         for (int r = 0; r < h; ++r) {
             const unsigned char* row = win + (long long)r * w;
-            const unsigned char* up = row - w;  // valid when r > 0
-            for (int c = 0; c < w; ++c) {
-                int dv = row[c] - (r ? up[c] : 0);
-                int dh = row[c] - (c ? row[c - 1] : 0);
-                nv += (dv < -8) | (dv > 7);
-                nh += (dh < -8) | (dh > 7);
-            }
+            const unsigned char* up = r ? row - w : zrow.data();
+            int cv = (unsigned)(row[0] - up[0] + 8) > 15u;
+            int ch = (unsigned)(row[0] + 8) > 15u;
+            for (int c = 1; c < w; ++c)
+                cv += (unsigned)(row[c] - up[c] + 8) > 15u;
+            for (int c = 1; c < w; ++c)
+                ch += (unsigned)(row[c] - row[c - 1] + 8) > 15u;
+            nv += cv;
+            nh += ch;
         }
         const int horiz = nh < nv;
         flags[k] = (unsigned char)horiz;
-        // pass 2: nibble plane + exception stream for the chosen predictor
+        // exceptions alone already exceed the cap: no dummy-entry count
+        // can shrink it, so the noisy-content abort fires without pass 2
+        if (n_entries + (horiz ? nh : nv) > cap) return -2;
+        // pass 2: nibble plane + residual scratch, branch-free
         unsigned char* pl = plane + (long long)k * h * (w / 2);
         for (int r = 0; r < h; ++r) {
             const unsigned char* row = win + (long long)r * w;
-            const unsigned char* up = row - w;
-            for (int c = 0; c < w; c += 2) {
-                int d0, d1;
-                if (horiz) {
-                    d0 = row[c] - (c ? row[c - 1] : 0);
-                    d1 = row[c + 1] - row[c];
-                } else {
-                    d0 = row[c] - (r ? up[c] : 0);
-                    d1 = row[c + 1] - (r ? up[c + 1] : 0);
+            unsigned char* rr = res.data() + (long long)r * w;
+            unsigned char* nb = nibs.data();
+            if (horiz) {
+                int d0 = row[0];
+                nb[0] = (unsigned char)(d0 & 15);
+                rr[0] = (unsigned char)((d0 - ((d0 & 15) -
+                         (((d0 & 15) > 7) << 4))) & 255);
+                for (int c = 1; c < w; ++c) {
+                    int d = row[c] - row[c - 1];
+                    int n = d & 15;
+                    nb[c] = (unsigned char)n;
+                    rr[c] = (unsigned char)((d - (n - ((n > 7) << 4))) & 255);
                 }
-                const int n0 = d0 & 15, n1 = d1 & 15;
-                pl[(long long)r * (w / 2) + c / 2] =
-                    (unsigned char)(n0 | (n1 << 4));
-                const int dec0 = n0 - ((n0 > 7) << 4);
-                const int dec1 = n1 - ((n1 > 7) << 4);
-                const int res0 = (d0 - dec0) & 255;
-                const int res1 = (d1 - dec1) & 255;
-                if (res0) {
-                    long long pos = (long long)k * win_px +
-                                    (long long)r * w + c;
-                    long long gap = pos - last_pos;
-                    long long nd = (gap - 1) / 255;
-                    if (n_entries + nd + 1 > cap) return -2;
-                    for (long long j = 0; j < nd; ++j) {
-                        pd[n_entries] = 255; val[n_entries] = 0; ++n_entries;
-                    }
-                    pd[n_entries] = (unsigned char)(gap - 255 * nd);
-                    val[n_entries] = (unsigned char)res0; ++n_entries;
-                    last_pos = pos;
-                }
-                if (res1) {
-                    long long pos = (long long)k * win_px +
-                                    (long long)r * w + c + 1;
-                    long long gap = pos - last_pos;
-                    long long nd = (gap - 1) / 255;
-                    if (n_entries + nd + 1 > cap) return -2;
-                    for (long long j = 0; j < nd; ++j) {
-                        pd[n_entries] = 255; val[n_entries] = 0; ++n_entries;
-                    }
-                    pd[n_entries] = (unsigned char)(gap - 255 * nd);
-                    val[n_entries] = (unsigned char)res1; ++n_entries;
-                    last_pos = pos;
+            } else {
+                const unsigned char* up = r ? row - w : zrow.data();
+                for (int c = 0; c < w; ++c) {
+                    int d = row[c] - up[c];
+                    int n = d & 15;
+                    nb[c] = (unsigned char)n;
+                    rr[c] = (unsigned char)((d - (n - ((n > 7) << 4))) & 255);
                 }
             }
+            unsigned char* prow = pl + (long long)r * (w / 2);
+            for (int c = 0; c < w / 2; ++c)
+                prow[c] = (unsigned char)(nb[2 * c] | (nb[2 * c + 1] << 4));
+        }
+        // pass 3: word-scan the residual plane for the exception stream
+        const long long base = (long long)k * win_px;
+        const long long nwords = win_px / 8;
+        for (long long i = 0; i < nwords; ++i) {
+            unsigned long long v;
+            std::memcpy(&v, res.data() + i * 8, 8);
+            if (!v) continue;
+            for (int b = 0; b < 8; ++b) {
+                const unsigned char rv = (unsigned char)(v >> (8 * b));
+                if (!rv) continue;
+                const long long pos = base + i * 8 + b;
+                const long long gap = pos - last_pos;
+                const long long nd = (gap - 1) / 255;
+                if (n_entries + nd + 1 > cap) return -2;
+                for (long long j = 0; j < nd; ++j) {
+                    pd[n_entries] = 255;
+                    val[n_entries] = 0;
+                    ++n_entries;
+                }
+                pd[n_entries] = (unsigned char)(gap - 255 * nd);
+                val[n_entries] = rv;
+                ++n_entries;
+                last_pos = pos;
+            }
+        }
+        for (long long p = nwords * 8; p < win_px; ++p) {
+            const unsigned char rv = res[p];
+            if (!rv) continue;
+            const long long pos = base + p;
+            const long long gap = pos - last_pos;
+            const long long nd = (gap - 1) / 255;
+            if (n_entries + nd + 1 > cap) return -2;
+            for (long long j = 0; j < nd; ++j) {
+                pd[n_entries] = 255;
+                val[n_entries] = 0;
+                ++n_entries;
+            }
+            pd[n_entries] = (unsigned char)(gap - 255 * nd);
+            val[n_entries] = rv;
+            ++n_entries;
+            last_pos = pos;
         }
     }
     return n_entries;

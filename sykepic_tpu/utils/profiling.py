@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 
@@ -30,6 +31,9 @@ class StageTimer:
         self.enabled = ENABLED if enabled is None else enabled
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        # stages run concurrently (the engine's metadata worker pool);
+        # the += below is a read-modify-write needing the lock
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -40,8 +44,10 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> str:
         lines = ["stage                          total_s   calls    ms/call"]
