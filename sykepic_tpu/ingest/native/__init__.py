@@ -86,7 +86,7 @@ def lib():
     handle.wire_encode.restype = ctypes.c_longlong
     handle.wire_encode.argtypes = [
         _u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        _u8p, _u8p, _u8p, _u8p, ctypes.c_longlong,
+        _u8p, _u8p, _u8p, ctypes.c_longlong,
     ]
     _lib = handle
     return _lib
@@ -221,11 +221,11 @@ def format_probs(roi_ids, probs):
 
 def wire_encode(windows, cap):
     """Wire-codec encode of a (nc, h, w) uint8 windows tensor: returns
-    ``(plane, flags, pd, val, n_entries)`` with ``pd``/``val`` sized
-    ``n_entries`` (exceptions incl. dummy advances, global scan order), or
-    the string ``"overflow"`` when the entry count exceeds ``cap`` (caller
-    ships raw — content that noisy never pays), or None if the native
-    library is unavailable."""
+    ``(plane, flags, exc, n_entries)`` with ``exc`` sized ``n_entries``
+    (one byte per entry — advance<<4 | residual>>4, dummies advancing 15x,
+    global scan order), or the string ``"overflow"`` when the entry count
+    exceeds ``cap`` (caller ships raw — content that noisy never pays), or
+    None if the native library is unavailable."""
     handle = lib()
     if handle is None:
         return None
@@ -233,16 +233,15 @@ def wire_encode(windows, cap):
     windows = np.ascontiguousarray(windows)
     plane = np.empty((nc, h, w // 2), np.uint8)
     flags = np.empty(nc, np.uint8)
-    pd = np.empty(cap, np.uint8)
-    val = np.empty(cap, np.uint8)
+    exc = np.empty(cap, np.uint8)
 
     def u8(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
     got = handle.wire_encode(u8(windows), nc, h, w, u8(plane), u8(flags),
-                             u8(pd), u8(val), cap)
+                             u8(exc), cap)
     if got == -2:
         return "overflow"
     if got < 0:
         return None
-    return plane, flags, pd[:got], val[:got], int(got)
+    return plane, flags, exc[:got], int(got)

@@ -255,13 +255,13 @@ long long shelf_blit(const unsigned char* const* imgs, const int* heights,
 // path; byte-for-byte identical output, asserted in tests/test_wirecodec.py).
 // Per window: pick the predictor (vertical/horizontal) with fewer 4-bit
 // exceptions, pack deltas mod 16 into a nibble plane, and emit mod-256
-// residual exceptions as (pos_delta u8, residual u8) entries in global scan
-// order with 255-advance dummies for long gaps. Returns the entry count,
-// or -2 when it exceeds `cap` (the caller's payoff bound: content this
-// noisy ships raw anyway), -1 on bad arguments.
+// residual exceptions as single bytes (advance<<4 | residual>>4; zero low
+// nibble = dummy advancing 15x) in global scan order. Returns the entry
+// count, or -2 when it exceeds `cap` (the caller's payoff bound: content
+// this noisy ships raw anyway), -1 on bad arguments.
 long long wire_encode(const unsigned char* windows, int nc, int h, int w,
                       unsigned char* plane, unsigned char* flags,
-                      unsigned char* pd, unsigned char* val, long long cap) {
+                      unsigned char* exc, long long cap) {
     if (nc <= 0 || h <= 0 || w <= 0 || (w & 1)) return -1;
     const long long win_px = (long long)h * w;
     // Branch-free inner loops (the compiler vectorizes them; the scalar
@@ -327,7 +327,12 @@ long long wire_encode(const unsigned char* windows, int nc, int h, int w,
             for (int c = 0; c < w / 2; ++c)
                 prow[c] = (unsigned char)(nb[2 * c] | (nb[2 * c + 1] << 4));
         }
-        // pass 3: word-scan the residual plane for the exception stream
+        // pass 3: word-scan the residual plane for the exception stream.
+        // Entry byte = advance<<4 | residual>>4 (residuals are multiples
+        // of 16); a zero low nibble is a dummy whose advance counts 15x.
+        // Gap decomposition: final advance rem in [1,15], the remaining
+        // (gap-1)/15 units of 15 px ride dummies of <= 15 units each —
+        // the group's first dummy carries the partial, the rest are full.
         const long long base = (long long)k * win_px;
         const long long nwords = win_px / 8;
         for (long long i = 0; i < nwords; ++i) {
@@ -339,16 +344,17 @@ long long wire_encode(const unsigned char* windows, int nc, int h, int w,
                 if (!rv) continue;
                 const long long pos = base + i * 8 + b;
                 const long long gap = pos - last_pos;
-                const long long nd = (gap - 1) / 255;
+                long long units = (gap - 1) / 15;
+                const int rem = (int)(gap - 15 * units);
+                const long long nd = (units + 14) / 15;
                 if (n_entries + nd + 1 > cap) return -2;
-                for (long long j = 0; j < nd; ++j) {
-                    pd[n_entries] = 255;
-                    val[n_entries] = 0;
-                    ++n_entries;
+                if (nd) {
+                    for (long long j = 1; j < nd; ++j)
+                        exc[n_entries++] = 0xF0;
+                    const int part = (int)(units - 15 * (nd - 1));
+                    exc[n_entries++] = (unsigned char)(part << 4);
                 }
-                pd[n_entries] = (unsigned char)(gap - 255 * nd);
-                val[n_entries] = rv;
-                ++n_entries;
+                exc[n_entries++] = (unsigned char)((rem << 4) | (rv >> 4));
                 last_pos = pos;
             }
         }
@@ -357,16 +363,17 @@ long long wire_encode(const unsigned char* windows, int nc, int h, int w,
             if (!rv) continue;
             const long long pos = base + p;
             const long long gap = pos - last_pos;
-            const long long nd = (gap - 1) / 255;
+            long long units = (gap - 1) / 15;
+            const int rem = (int)(gap - 15 * units);
+            const long long nd = (units + 14) / 15;
             if (n_entries + nd + 1 > cap) return -2;
-            for (long long j = 0; j < nd; ++j) {
-                pd[n_entries] = 255;
-                val[n_entries] = 0;
-                ++n_entries;
+            if (nd) {
+                for (long long j = 1; j < nd; ++j)
+                    exc[n_entries++] = 0xF0;
+                const int part = (int)(units - 15 * (nd - 1));
+                exc[n_entries++] = (unsigned char)(part << 4);
             }
-            pd[n_entries] = (unsigned char)(gap - 255 * nd);
-            val[n_entries] = rv;
-            ++n_entries;
+            exc[n_entries++] = (unsigned char)((rem << 4) | (rv >> 4));
             last_pos = pos;
         }
     }

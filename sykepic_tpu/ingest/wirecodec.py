@@ -19,11 +19,15 @@ not: elementwise gathers and dynamic shapes):
 - Prediction deltas are stored mod 16 in a dense 4-bit plane (half the
   raw bytes). Deltas outside [-8, 7] leave a nonzero mod-256 residual;
   those are *exceptions*.
-- Exceptions ship as one flat stream over the whole dispatch in scan
-  order: (pos_delta u8, residual u8). Gaps > 255 insert dummy entries
-  (advance 255, residual 0 — a scatter-add of zero is a no-op). The
-  stream pads to a multiple of ``CHUNK`` entries so the device-side
-  scatter program compiles ONCE for every dispatch.
+- Exceptions ship as ONE u8 stream over the whole dispatch in scan
+  order, one byte per entry: high nibble = position advance, low
+  nibble = residual >> 4 (mod-256 residuals are always multiples of 16
+  because the nibble plane already carries delta mod 16). A zero low
+  nibble marks a *dummy* whose advance counts 15x (up to 225 px), so
+  sparse exception streams stay cheap; a full zero byte is padding
+  (advance 0, add 0 — a no-op). The stream pads to a multiple of
+  ``CHUNK`` entries so the device-side scatter program compiles ONCE
+  for every dispatch.
 - Decode = unpack nibbles -> scatter-add residuals -> cumsum mod 256
   along the predictor axis (:mod:`sykepic_tpu.ops.wiredecode`). Exact:
   all arithmetic is mod 256, so ``decode(encode(w)) == w`` bit-for-bit
@@ -49,7 +53,7 @@ import numpy as np
 # how many exceptions a dispatch carries. The chunk scales with the
 # tensor (power of two, ~npx/32, clamped below) so small dispatches — the
 # slot path, stream tails — don't drown in padding: the worst-case
-# padding is one chunk, ~6% of the tensor's raw bytes.
+# padding is one chunk, ~3% of the tensor's raw bytes.
 CHUNK = 65536  # ceiling: full shelf dispatches (6.3 MB) use this
 MIN_CHUNK = 4096
 
@@ -78,17 +82,15 @@ class WirePayload:
     """Encoded stand-in for a ``ShelfBatch.windows`` tensor."""
 
     plane: np.ndarray  # (Nc, H, W//2) uint8 -- packed 4-bit deltas
-    pd: np.ndarray  # (E,) uint8 -- position deltas (E % chunk == 0)
-    val: np.ndarray  # (E,) uint8 -- mod-256 residuals
+    exc: np.ndarray  # (E,) uint8 -- advance<<4 | residual>>4 (E % chunk == 0)
     flags: np.ndarray  # (Nc,) uint8 -- 0 = vertical, 1 = horizontal
     shape: tuple[int, int, int]  # original windows shape
-    n_exc: int  # real exception entries (before chunk padding)
+    n_exc: int  # real exception entries (before dummies/chunk padding)
     chunk: int = CHUNK  # scatter-chunk length this payload was padded to
 
     @property
     def nbytes(self) -> int:
-        return (self.plane.nbytes + self.pd.nbytes + self.val.nbytes
-                + self.flags.nbytes)
+        return self.plane.nbytes + self.exc.nbytes + self.flags.nbytes
 
 
 def _signed4(d: np.ndarray) -> np.ndarray:
@@ -112,25 +114,26 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
 
         # payoff bound doubles as an early abort: a stream that noisy can
         # never pay, so the native encoder stops as soon as it is certain
-        cap = windows.size if force else windows.size // 4
+        # break-even: plane (0.5 B/px) + 1 B/entry reaches raw bytes at
+        # ~0.5 entries/px; a stream past that can never pay, so the native
+        # encoder aborts there rather than finishing a losing encode
+        cap = windows.size if force else windows.size // 2
         res = native.wire_encode(windows, cap)
         if res == "overflow":
             return None
         if res is not None:
-            plane, flags, pd_raw, val_raw, total = res
+            plane, flags, exc_raw, total = res
             chunk = chunk_for(windows.size)
             padded = -(-total // chunk) * chunk
-            enc_bytes = plane.nbytes + padded * 2 + nc
+            enc_bytes = plane.nbytes + padded + nc
             if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
                 return None
-            pd = np.zeros(padded, np.uint8)
-            val = np.zeros(padded, np.uint8)
-            pd[:total] = pd_raw
-            val[:total] = val_raw
+            exc = np.zeros(padded, np.uint8)
+            exc[:total] = exc_raw
             return WirePayload(
-                plane=plane, pd=pd, val=val, flags=flags,
+                plane=plane, exc=exc, flags=flags,
                 shape=(nc, h, w),
-                n_exc=int(np.count_nonzero(val_raw)),
+                n_exc=int(np.count_nonzero(exc_raw & 15)),
                 chunk=chunk,
             )
         # library unavailable: fall through to the NumPy twin
@@ -148,32 +151,38 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
     d = np.where(pick, dh, dv)
     r = np.where(pick, rh, rv).astype(np.uint8)
 
-    # exception stream: scan-order positions + mod-256 residuals
+    # exception stream: one byte per entry, advance<<4 | residual>>4.
+    # A real entry advances 1..15 px; dummy entries (low nibble 0)
+    # advance 15x their nibble (15..225 px) so long gaps stay cheap.
     flat = r.reshape(-1)
     pos = np.flatnonzero(flat)
     n_exc = len(pos)
-    # advance-255 dummy entries keep position deltas in uint8
-    gaps = np.diff(pos, prepend=-1)  # decoded pos = cumsum(pd) - 1
-    dummies = (gaps - 1) // 255
+    gaps = np.diff(pos, prepend=-1)  # decoded pos = cumsum(step) - 1
+    units = (gaps - 1) // 15  # 15-px units beyond the final advance
+    rem = gaps - 15 * units  # final advance, in [1, 15]
+    dummies = (units + 14) // 15  # each dummy carries <= 15 units
     counts = dummies + 1
     total = int(counts.sum())
     chunk = chunk_for(windows.size)
     padded = -(-total // chunk) * chunk  # 0 chunks when no exceptions
 
-    enc_bytes = nc * h * (w // 2) + padded * 2 + nc
+    enc_bytes = nc * h * (w // 2) + padded + nc
     if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
         return None
 
-    pd = np.full(padded, 255, np.uint8)
-    val = np.zeros(padded, np.uint8)
+    exc = np.full(padded, 0xF0, np.uint8)  # default: full 225-px dummy
     last = np.cumsum(counts) - 1
-    pd[last] = (gaps - 255 * dummies).astype(np.uint8)
-    val[last] = flat[pos]
-    pd[total:] = 0  # chunk padding: advance 0, add 0 (no-op)
+    exc[last] = (rem.astype(np.uint8) << 4) | (flat[pos] >> 4)
+    # each group's first dummy carries the leftover units (1..15); it sits
+    # right before the real entry, any earlier dummies stay full
+    has_dummy = dummies > 0
+    partial = units - 15 * (dummies - 1)
+    exc[(last - 1)[has_dummy]] = partial[has_dummy].astype(np.uint8) << 4
+    exc[total:] = 0  # chunk padding: advance 0, add 0 (no-op)
 
     nib = (d & 15).astype(np.uint8)
     plane = nib[:, :, 0::2] | (nib[:, :, 1::2] << 4)
-    return WirePayload(plane=plane, pd=pd, val=val, flags=flags,
+    return WirePayload(plane=plane, exc=exc, flags=flags,
                        shape=(nc, h, w), n_exc=n_exc, chunk=chunk)
 
 
@@ -185,9 +194,12 @@ def decode_reference(payload: WirePayload) -> np.ndarray:
     hi = (payload.plane >> 4).astype(np.int32)
     d = np.stack([lo, hi], axis=-1).reshape(nc, h, w)
     d -= 16 * (d > 7)
-    pos = np.cumsum(payload.pd.astype(np.int64)) - 1
+    adv = (payload.exc >> 4).astype(np.int64)
+    v = (payload.exc & 15).astype(np.int32)
+    step = np.where(v > 0, adv, adv * 15)  # dummies advance 15x
+    pos = np.cumsum(step) - 1
     keep = (pos >= 0) & (pos < nc * h * w)
-    np.add.at(d.reshape(-1), pos[keep], payload.val[keep].astype(np.int32))
+    np.add.at(d.reshape(-1), pos[keep], (v << 4)[keep])
     pv = np.cumsum(d, axis=1)
     ph = np.cumsum(d, axis=2)
     out = np.where(payload.flags.astype(bool)[:, None, None], ph, pv)

@@ -42,19 +42,23 @@ def unpack_plane(plane):
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def scatter_chunk(d, pd, val, carry):
+def scatter_chunk(d, exc, carry):
     """Apply one exception chunk to the flat delta view.
 
-    ``pd``/``val`` are (CHUNK,) uint8; ``carry`` is the last decoded
+    ``exc`` is (CHUNK,) uint8 — advance<<4 | residual>>4 per entry, where
+    a zero low nibble marks a dummy whose advance counts 15x (format:
+    :mod:`sykepic_tpu.ingest.wirecodec`). ``carry`` is the last decoded
     position of the previous chunk (int32, -1 before the first). Dummy
     and padding entries carry residual 0 — adding 0 anywhere is a no-op —
     and ``mode="drop"`` discards the pos=-1 writes of an all-padding
     stream. Returns the updated deltas and the new carry.
     """
-    pos = carry + jnp.cumsum(pd.astype(jnp.int32))
+    adv = (exc >> 4).astype(jnp.int32)
+    v = (exc & 15).astype(jnp.int32)
+    pos = carry + jnp.cumsum(jnp.where(v > 0, adv, adv * 15))
     shape = d.shape
     flat = d.reshape(-1)
-    flat = flat.at[pos].add(val.astype(jnp.int32), mode="drop")
+    flat = flat.at[pos].add(v << 4, mode="drop")
     return flat.reshape(shape), pos[-1]
 
 
@@ -78,10 +82,9 @@ def decode(payload: wirecodec.WirePayload, put=None):
         put = jax.device_put
     d = unpack_plane(put(payload.plane))
     carry = put(jnp.int32(-1))
-    n = len(payload.pd)
+    n = len(payload.exc)
     chunk = payload.chunk
     for start in range(0, n, chunk):
-        end = start + chunk
-        d, carry = scatter_chunk(d, put(payload.pd[start:end]),
-                                 put(payload.val[start:end]), carry)
+        d, carry = scatter_chunk(
+            d, put(payload.exc[start:start + chunk]), carry)
     return finalize(d, put(payload.flags))

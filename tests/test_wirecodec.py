@@ -98,7 +98,7 @@ def test_roundtrip_no_exceptions():
     base = (np.add.outer(np.arange(h), np.arange(w)) % 8).astype(np.uint8)
     payload = _roundtrip(base[None])
     assert payload.n_exc == 0
-    assert len(payload.pd) == 0  # zero chunks ship for a clean stream
+    assert len(payload.exc) == 0  # zero chunks ship for a clean stream
 
 
 def test_noise_falls_back_to_raw():
@@ -125,8 +125,7 @@ def test_roundtrip_random_smooth_content():
 def test_chunk_padding_is_exact_multiple():
     payload = wirecodec.encode(_fixture_windows())
     assert payload.chunk == wirecodec.chunk_for(3 * shelf.WIN_H * shelf.WIN_W)
-    assert len(payload.pd) % payload.chunk == 0
-    assert len(payload.pd) == len(payload.val)
+    assert len(payload.exc) % payload.chunk == 0
 
 
 def test_chunk_scales_with_dispatch_size():
@@ -235,8 +234,7 @@ def test_native_encoder_matches_numpy_bytes(monkeypatch):
         monkeypatch.setattr(wirecodec, "USE_NATIVE", True)
         np.testing.assert_array_equal(nat.plane, ref.plane)
         np.testing.assert_array_equal(nat.flags, ref.flags)
-        np.testing.assert_array_equal(nat.pd, ref.pd)
-        np.testing.assert_array_equal(nat.val, ref.val)
+        np.testing.assert_array_equal(nat.exc, ref.exc)
         assert nat.n_exc == ref.n_exc
         assert nat.shape == ref.shape
 
