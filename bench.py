@@ -204,6 +204,7 @@ def inference_benchmark(root: Path) -> None:
     )
     link_before = measure_link_mbps()
     rates = []
+    link_mid = None
     budget_start = time.perf_counter()
     for trial in range(8):
         out_dir = root / f"out{trial}"
@@ -215,6 +216,8 @@ def inference_benchmark(root: Path) -> None:
         assert len(csvs) == len(pass_samples)
         check_output_sanity(out_dir, len(clf.classes), per_sample=500)
         rates.append(n_rois / elapsed)
+        if trial == 2:  # bracket the middle pass too: the link swings
+            link_mid = measure_link_mbps()
         shutil.rmtree(out_dir, ignore_errors=True)
         spent = time.perf_counter() - budget_start
         # consistent RECENT passes can stop early; a >1.5x spread in the
@@ -233,7 +236,9 @@ def inference_benchmark(root: Path) -> None:
 
     rps = float(np.median(rates))
     link_after = measure_link_mbps()
-    link_mean = max((link_before + link_after) / 2.0, 1e-9)
+    link_probes = [p for p in (link_before, link_mid, link_after)
+                   if p is not None]
+    link_mean = max(sum(link_probes) / len(link_probes), 1e-9)
 
     # On-chip ceiling: the same workload's compiled programs, dispatched
     # with device-resident arguments (wire excluded). This is what a
@@ -268,7 +273,10 @@ def inference_benchmark(root: Path) -> None:
                 # with a bandwidth probe so a low median reads as link
                 # weather, not a code regression. bytes_per_roi makes the
                 # number self-interpreting: value ~= link * 1e6 / bytes
-                "link_MBps": [link_before, link_after],
+                "link_MBps": link_probes,
+                # per-pass rates: the median can hide a mid-run stall or
+                # ramp; the shape of this list tells which
+                "pass_rates": [round(r, 1) for r in rates],
                 "bytes_per_roi": round(bytes_per_roi, 1),
                 # "shelf" = 2-D shelf packing (ingest/shelf.py): ~16% fewer
                 # wire bytes than per-ROI slots on the realistic mix

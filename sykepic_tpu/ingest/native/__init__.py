@@ -156,7 +156,16 @@ def u8_mode(img):
     ))
 
 
-def u8_modes(imgs, heights, widths):
+def img_ptrs(imgs):
+    """ctypes void* array over a list of C-contiguous uint8 images.
+
+    ``img.ctypes.data`` costs ~5 us per ROI in interface-object churn, so
+    callers issuing several native calls over the SAME image list (the
+    shelf packer: modes + blit) build this once and pass it to both."""
+    return (ctypes.c_void_p * len(imgs))(*(img.ctypes.data for img in imgs))
+
+
+def u8_modes(imgs, heights, widths, ptrs=None):
     """Mode pixel of each C-contiguous uint8 ROI in one call (first max
     wins), or None if native is unavailable."""
     handle = lib()
@@ -165,7 +174,8 @@ def u8_modes(imgs, heights, widths):
     n = len(imgs)
     if n == 0:
         return np.zeros(0, np.uint8)
-    ptrs = (ctypes.c_void_p * n)(*(img.ctypes.data for img in imgs))
+    if ptrs is None:
+        ptrs = img_ptrs(imgs)
     heights = np.ascontiguousarray(heights, np.int32)
     widths = np.ascontiguousarray(widths, np.int32)
     out = np.empty(n, np.uint8)
@@ -176,15 +186,14 @@ def u8_modes(imgs, heights, widths):
     return out if got >= 0 else None
 
 
-def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows):
+def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows, ptrs=None):
     """memcpy each uint8 ROI into its window at the packed origin; returns
     True on success, None if native is unavailable (caller falls back)."""
     handle = lib()
     if handle is None or len(imgs) == 0:
         return None if handle is None else True
-    ptrs = (ctypes.c_void_p * len(imgs))(
-        *(img.ctypes.data for img in imgs)
-    )
+    if ptrs is None:
+        ptrs = img_ptrs(imgs)
     heights = np.ascontiguousarray(heights, np.int32)
     widths = np.ascontiguousarray(widths, np.int32)
     win_idx = np.ascontiguousarray(win_idx, np.int32)

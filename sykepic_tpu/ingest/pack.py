@@ -97,14 +97,15 @@ def mode_pixel(img: np.ndarray) -> int:
     return int(np.bincount(arr.ravel(), minlength=256).argmax())
 
 
-def batch_modes(imgs, heights, widths) -> np.ndarray:
+def batch_modes(imgs, heights, widths, ptrs=None) -> np.ndarray:
     """Mode pixel per (contiguous uint8) ROI, one native call for the
     whole batch — per-ROI ctypes round trips dominate the histograms
     themselves. The NumPy fallback keeps the single border definition
-    (:func:`mode_pixel`). Shared by both packers' emit paths."""
+    (:func:`mode_pixel`). Shared by both packers' emit paths; ``ptrs``
+    optionally reuses a prebuilt ``native.img_ptrs(imgs)`` array."""
     from . import native
 
-    got = native.u8_modes(imgs, heights, widths)
+    got = native.u8_modes(imgs, heights, widths, ptrs=ptrs)
     if got is None:
         got = np.fromiter((mode_pixel(im) for im in imgs),
                           np.uint8, len(imgs))

@@ -244,7 +244,19 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     k = len(item)
     nc = pad_nc(n_windows)
     r = pad_slots(k, batch_multiple)
-    windows = np.zeros((nc, WIN_H, WIN_W), np.uint8)
+    sel = [items[i] for i in item.tolist()]
+    imgs = [it[2] if it[2].flags.c_contiguous
+            else np.ascontiguousarray(it[2]) for it in sel]
+    # Padding is semantically dead (the resize einsums read only each
+    # ROI's origin-shifted region), but the wire codec encodes the WHOLE
+    # window, so fill with the batch's median corner pixel instead of
+    # zero: IFCB backgrounds are near-uniform gray, and a near-background
+    # fill keeps padding deltas and most ROI-edge crossings inside the
+    # 4-bit plane (measured 13 B/ROI fewer codec exceptions on the bench
+    # mix — small because intra-shelf ROI-to-ROI boundaries dominate).
+    fill = (int(np.median(np.fromiter((im[0, 0] for im in imgs),
+                                      np.uint8, k))) if k else 0)
+    windows = np.full((nc, WIN_H, WIN_W), fill, np.uint8)
     win_idx = np.zeros(r, np.int32)
     y0 = np.zeros(r, np.int32)
     x0 = np.zeros(r, np.int32)
@@ -254,9 +266,6 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     sample_idx = np.zeros(r, np.int32)
     modes = np.zeros(r, np.uint8) if compute_modes else None
 
-    sel = [items[i] for i in item.tolist()]
-    imgs = [it[2] if it[2].flags.c_contiguous
-            else np.ascontiguousarray(it[2]) for it in sel]
     win_idx[:k] = win
     y0[:k] = y
     x0[:k] = x
@@ -264,14 +273,17 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     widths[:k] = np.fromiter((im.shape[1] for im in imgs), np.int32, k)
     roi_ids[:k] = np.fromiter((it[1] for it in sel), np.int64, k)
     sample_idx[:k] = np.fromiter((it[0] for it in sel), np.int32, k)
-    if modes is not None and k:
-        modes[:k] = pack.batch_modes(imgs, heights[:k], widths[:k])
 
     from . import native as _native
 
+    # one pointer-array build serves both native calls (modes + blit)
+    ptrs = _native.img_ptrs(imgs) if k and _native.lib() else None
+    if modes is not None and k:
+        modes[:k] = pack.batch_modes(imgs, heights[:k], widths[:k],
+                                     ptrs=ptrs)
     if k == 0 or _native.shelf_blit(imgs, heights[:k], widths[:k],
                                     win_idx[:k], y0[:k], x0[:k],
-                                    windows) is None:
+                                    windows, ptrs=ptrs) is None:
         for s, im in enumerate(imgs):
             h, wd = im.shape
             windows[win_idx[s], y0[s]:y0[s] + h, x0[s]:x0[s] + wd] = im
