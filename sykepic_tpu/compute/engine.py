@@ -672,10 +672,13 @@ class Classifier:
 
         return self._produce_on_thread(gen, meta_fn, "sykepic-pack")
 
-    def classify_rois(self, tagged_rois):
-        """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``.
+    def classify_blocks(self, tagged_rois):
+        """Classify an iterable of ``(sample_idx, roi_id, uint8 image)``,
+        yielding per-batch blocks ``(sample_idx (n,), roi_ids (n,),
+        probs (n, C))`` of numpy arrays — the high-throughput consumer
+        surface (per-ROI Python tuples cost ~5 us each; a 2048-slot batch
+        drains in three array slices instead).
 
-        Yields ``(sample_idx, roi_id, probs_row)`` for every real ROI.
         ROIs from different samples may share device batches; ordering is
         not guaranteed (sort per sample before writing CSVs).
 
@@ -710,22 +713,29 @@ class Classifier:
                 pass
             in_flight.append((batch, device_probs))
             if len(in_flight) >= PIPELINE_DEPTH:
-                yield from self._drain(*in_flight.popleft())
+                yield self._drain_block(*in_flight.popleft())
         while in_flight:
-            yield from self._drain(*in_flight.popleft())
+            yield self._drain_block(*in_flight.popleft())
         self.timer.report()
 
-    def _drain(self, batch, device_probs):
+    def classify_rois(self, tagged_rois):
+        """Per-ROI adapter over :meth:`classify_blocks`: yields
+        ``(sample_idx, roi_id, probs_row)`` for every real ROI."""
+        for sidx, rids, probs in self.classify_blocks(tagged_rois):
+            for i in range(len(rids)):
+                yield int(sidx[i]), int(rids[i]), probs[i]
+
+    def _drain_block(self, batch, device_probs):
         # batch is a pack.PackedBatch or a shelf.ShelfBatch — both carry
         # sample_idx / roi_ids / n_valid
         with self.timer.stage("device.drain"):
             probs = np.asarray(device_probs)
-        for i in range(batch.n_valid):
-            yield (
-                int(batch.sample_idx[i]),
-                int(batch.roi_ids[i]),
-                probs[i],
-            )
+        n = batch.n_valid
+        return (
+            np.asarray(batch.sample_idx[:n]),
+            np.asarray(batch.roi_ids[:n]),
+            probs[:n],
+        )
 
     def classify_and_feature_rois(self, tagged_rois):
         """Fully on-chip fused pass: each packed batch runs classification
