@@ -5,17 +5,20 @@ persistent cache a fresh process reloads it in seconds. Enabled by the CLI
 and bench entry points; opt out with ``SYKEPIC_COMPILE_CACHE=0`` or pick a
 directory via ``SYKEPIC_COMPILE_CACHE=/path``.
 
-The cache is partitioned per platform, and the CPU partition is keyed by a
-CPU-feature fingerprint: XLA:CPU entries embed the compile machine's
-feature set and REFUSE to load on a host whose features differ (VM
-migration), while jax never overwrites an existing cache key — so one
-migration turned every CPU entry into a permanent load-fail/recompile loop
-(measured: the hermetic test suite went 271 s -> 1060 s). A migrated host
-starts a fresh ``cpu-<fingerprint>`` partition, and ``enable`` deletes
-fingerprint partitions whose hash differs from the current host's (their
-entries are provably unloadable here). jax's LRU size cap governs only the
-ACTIVE partition, so the bound on total disk is 24 GB per live platform
-partition (cpu + accelerator on a bench machine), not 24 GB overall.
+The cache is partitioned ``<platform>-<host fingerprint>``: XLA:CPU
+entries embed LLVM features of the COMPILE machine (cpu flags AND
+model-derived tuning like +prefer-no-gather) and misbehave on a host
+whose features differ after a VM migration — best case a permanent
+load-fail/recompile loop (measured: the hermetic test suite went
+271 s -> 1060 s), worst case the AOT loader accepts the entry with a
+feature-mismatch warning and the process SIGILL-aborts mid-run (observed
+killing the suite). Every partition carries the fingerprint — even
+accelerator platforms compile XLA:CPU programs (model init pins to the
+host CPU) — and ``enable`` deletes the active platform's partitions
+whose fingerprint differs from the current host's. jax's LRU size cap
+governs only the ACTIVE partition, so the bound on total disk is 24 GB
+per live platform partition (cpu + accelerator on a bench machine), not
+24 GB overall.
 """
 
 from __future__ import annotations
@@ -26,10 +29,56 @@ from pathlib import Path
 DEFAULT_DIR = Path.home() / ".cache" / "sykepic-tpu" / "xla"
 
 
+def _host_fingerprint() -> str:
+    """12-hex digest of the host CPU's identity + feature flags.
+
+    Fingerprint = flags + MODEL IDENTITY. Flags alone are not enough:
+    XLA:CPU bakes LLVM tuning features derived from the cpu MODEL
+    (e.g. +prefer-no-gather) into its AOT executables, so a migration
+    between hosts with identical cpuinfo flags but different models
+    produced entries that LOADED here with a feature-mismatch warning
+    and then SIGILL-aborted the process mid-run (observed killing the
+    test suite). Model name/family/stepping pins those derived
+    features."""
+    import hashlib
+
+    parts: list[str] = []
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model",
+                           "model name", "stepping") and \
+                        len(parts) < 5 and line.count(":"):
+                    parts.append(line.split(":", 1)[1].strip())
+                elif key in ("flags", "Features") and not feats:
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                if feats and len(parts) >= 5:
+                    break
+    except OSError:  # pragma: no cover - non-Linux fallback
+        import platform
+
+        feats = platform.processor()
+    return hashlib.sha256(
+        ("|".join(parts) + "#" + feats).encode()
+    ).hexdigest()[:12]
+
+
 def _platform_tag() -> str:
-    """Partition name for the cache: ``cpu-<feature hash>`` for the host
-    CPU backend, the platform name otherwise. Resolution never initializes
-    the jax backend (enable() must run before the first compile)."""
+    """Partition name for the cache: ``<platform>-<host fingerprint>``.
+
+    EVERY partition carries the host fingerprint — not just the CPU
+    backend's — because any process compiles XLA:CPU programs regardless
+    of its main platform (``registry.init_variables`` pins model init to
+    the host CPU), so an accelerator partition accumulates CPU AOT
+    entries that poison post-migration processes exactly like a pure-CPU
+    partition does (observed: SIGILL-warning loads from the ``axon``
+    partition after the fix had already repartitioned ``cpu``).
+    Accelerator executables themselves are host-independent; the split
+    costs one re-warm per migration, which the tunnel amortizes in a run.
+    Resolution never initializes the jax backend (enable() must run
+    before the first compile)."""
     try:
         import jax
 
@@ -37,44 +86,8 @@ def _platform_tag() -> str:
     except Exception:  # pragma: no cover - config introspection best-effort
         plats = ""
     plats = plats or os.environ.get("JAX_PLATFORMS", "")
-    first = plats.split(",")[0].strip().lower()
-    if first in ("", "cpu"):
-        import hashlib
-
-        # Fingerprint = flags + MODEL IDENTITY. Flags alone are not enough:
-        # XLA:CPU bakes LLVM tuning features derived from the cpu MODEL
-        # (e.g. +prefer-no-gather) into its AOT executables, so a migration
-        # between hosts with identical cpuinfo flags but different models
-        # produced entries that LOADED here with a feature-mismatch warning
-        # and then SIGILL-aborted the process mid-run (observed killing the
-        # test suite). Model name/family/stepping pins those derived
-        # features.
-        parts: list[str] = []
-        feats = ""
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    key = line.split(":", 1)[0].strip()
-                    if key in ("vendor_id", "cpu family", "model",
-                               "model name", "stepping") and \
-                            len(parts) < 5 and line.count(":"):
-                        parts.append(line.split(":", 1)[1].strip())
-                    elif key in ("flags", "Features") and not feats:
-                        feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    if feats and len(parts) >= 5:
-                        break
-        except OSError:  # pragma: no cover - non-Linux fallback
-            import platform
-
-            feats = platform.processor()
-        tag = hashlib.sha256(
-            ("|".join(parts) + "#" + feats).encode()
-        ).hexdigest()[:12]
-        # "" (backend default) usually resolves to an accelerator when one
-        # exists, but partitioning an accelerator's entries by host-CPU
-        # fingerprint only over-splits the cache — never poisons it.
-        return f"cpu-{tag}" if first == "cpu" else f"default-{tag}"
-    return first
+    first = plats.split(",")[0].strip().lower() or "default"
+    return f"{first}-{_host_fingerprint()}"
 
 
 def enable(cache_dir=None) -> Path | None:
@@ -129,23 +142,25 @@ def _repair_atimes(cache_dir: Path) -> int:
 
 
 def _sweep_dead_fingerprint_partitions(base: Path, active: str) -> int:
-    """Delete sibling fingerprint partitions whose hash differs from the
-    current host's. Their XLA:CPU entries cannot load on this machine
+    """Delete this platform's sibling partitions whose host fingerprint
+    differs from the current host's, plus its legacy fingerprint-less
+    directory. Their XLA:CPU entries can SIGILL-abort on this machine
     (feature-set mismatch), jax never overwrites existing keys, and the
     LRU cap only governs the active directory — left alone, each VM
-    migration would squat another 24 GB of dead executables forever.
-    Platform-name partitions (``axon``/``tpu``/...) are never touched:
-    they stay loadable across host-CPU changes."""
+    migration would squat another 24 GB of (partially) dead executables
+    forever. Other platforms' partitions are never touched."""
     import shutil
 
     removed = 0
-    for prefix in ("cpu-", "default-"):
-        if not active.startswith(prefix):
-            continue
-        for sibling in base.glob(f"{prefix}*"):
-            if sibling.is_dir() and sibling.name != active:
-                shutil.rmtree(sibling, ignore_errors=True)
-                removed += 1
+    prefix = active[: active.rfind("-") + 1]  # "<platform>-"
+    for sibling in base.glob(f"{prefix}*"):
+        if sibling.is_dir() and sibling.name != active:
+            shutil.rmtree(sibling, ignore_errors=True)
+            removed += 1
+    legacy = base / prefix.rstrip("-")  # pre-fingerprint layout
+    if legacy.is_dir():
+        shutil.rmtree(legacy, ignore_errors=True)
+        removed += 1
     return removed
 
 

@@ -182,6 +182,27 @@ def test_jaxcache_env_spellings(tmp_path, monkeypatch):
     assert not (tmp_path / "explicit" / "jit_x-00-cache").exists()
 
 
+def test_jaxcache_sweeps_dead_partitions(tmp_path, monkeypatch):
+    """Same-platform partitions from OTHER hosts (different fingerprint)
+    and the legacy fingerprint-less directory are deleted — their XLA:CPU
+    entries can SIGILL this host; other platforms' partitions survive."""
+    from sykepic_tpu.utils import jaxcache
+
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", str(tmp_path))
+    active_name = jaxcache._platform_tag()
+    platform = active_name.rsplit("-", 1)[0]
+    dead = tmp_path / f"{platform}-0123456789ab"
+    legacy = tmp_path / platform
+    other = tmp_path / "otherplat-0123456789ab"
+    for d in (dead, legacy, other):
+        d.mkdir(parents=True)
+        (d / "jit_y-00-cache").write_bytes(b"z")
+    active = jaxcache.enable()
+    assert active == tmp_path / active_name
+    assert not dead.exists() and not legacy.exists()
+    assert other.is_dir()  # never touch other platforms
+
+
 def test_batchloader_size_pooling_tightens_canvases(tmp_path):
     import cv2
 
