@@ -94,8 +94,16 @@ class SampleRois:
         return self.roi_data[start : start + h * w].reshape(h, w)
 
     def images(self):
-        for i in range(len(self)):
-            yield int(self.roi_ids[i]), self.image(i)
+        # plain-int loop: numpy scalar indexing costs ~4 interface objects
+        # per ROI; .tolist() once per sample keeps the per-ROI cost to one
+        # slice + reshape (this generator feeds the classify hot path)
+        data = self.roi_data
+        ids = self.roi_ids.tolist()
+        npx = (self.heights * self.widths).tolist()
+        hs = self.heights.tolist()
+        ss = self.starts.tolist()
+        for rid, h, n, s in zip(ids, hs, npx, ss):
+            yield rid, data[s : s + n].reshape(h, n // h)
 
 
 def read_sample(sample_path, validate: bool = True) -> SampleRois:

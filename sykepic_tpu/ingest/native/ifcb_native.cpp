@@ -9,6 +9,7 @@
 // Build: `make` in this directory -> libifcb_native.so
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -91,22 +92,63 @@ long long adc_parse(const char* buf, long long len, long long* widths,
     return row;
 }
 
+// One probability as "%.5f" into out (>= 16 bytes free), returning bytes
+// written. Fast path: fixed-point digits from llround-style arithmetic --
+// snprintf("%.5f") costs ~200 ns/value and dominated the CSV stage of the
+// classify stream (measured 9.9 us/ROI at 50 classes). Bit-exactness with
+// printf's correctly-rounded decimal output is preserved by construction:
+// scaled = p*1e5 differs from the exact real product by < 1e-11 (1e5 is
+// a power-of-two multiple of 5^5, so the product rounds once), so when
+// the fractional part is more than 1e-9 away from the round-half-even
+// boundary at .5 both roundings agree; inside that window -- and for
+// negatives, NaN/inf, or p >= 9.99999 -- defer to snprintf itself.
+static inline long long fmt_prob5(double p, char* out) {
+    if (std::signbit(p) || !(p < 9.99999))
+        return snprintf(out, 16, "%.5f", p);
+    double scaled = p * 100000.0;
+    long long q = (long long)scaled;  // truncate toward zero (p >= 0)
+    double frac = scaled - (double)q;
+    long long r;
+    if (frac > 0.5 + 1e-9) r = q + 1;
+    else if (frac < 0.5 - 1e-9) r = q;
+    else return snprintf(out, 16, "%.5f", p);  // ambiguous half-way zone
+    char* s = out;
+    *s++ = (char)('0' + r / 100000);  // p < 10: one integer digit
+    r %= 100000;
+    *s++ = '.';
+    s[4] = (char)('0' + r % 10); r /= 10;
+    s[3] = (char)('0' + r % 10); r /= 10;
+    s[2] = (char)('0' + r % 10); r /= 10;
+    s[1] = (char)('0' + r % 10); r /= 10;
+    s[0] = (char)('0' + r);
+    return 7;
+}
+
 // Format probability CSV rows: "<roi>,<p0>,...,<pC-1>\n" with 5-decimal
 // probabilities (matches Python f"{p:.5f}": glibc printf is correctly
-// rounded). Returns bytes written, or -1 if out_cap would overflow.
+// rounded, and fmt_prob5 defers to it wherever fixed-point rounding
+// could disagree). Returns bytes written, or -1 if out_cap would
+// overflow.
 long long format_probs(const long long* roi_ids, const double* probs,
                        long long n, long long c, char* out,
                        long long out_cap) {
     long long pos = 0;
     for (long long i = 0; i < n; ++i) {
         if (pos + 24 + c * 8 > out_cap) return -1;
-        pos += snprintf(out + pos, (size_t)(out_cap - pos), "%lld",
-                        roi_ids[i]);
+        long long roi = roi_ids[i];
+        if (roi >= 0) {  // fast unsigned itoa (roi ids are 1-based)
+            char tmp[20];
+            int k = 0;
+            do { tmp[k++] = (char)('0' + roi % 10); roi /= 10; } while (roi);
+            while (k) out[pos++] = tmp[--k];
+        } else {
+            pos += snprintf(out + pos, (size_t)(out_cap - pos), "%lld",
+                            roi);
+        }
         const double* row = probs + i * c;
         for (long long j = 0; j < c; ++j) {
             out[pos++] = ',';
-            pos += snprintf(out + pos, (size_t)(out_cap - pos), "%.5f",
-                            row[j]);
+            pos += fmt_prob5(row[j], out + pos);
         }
         out[pos++] = '\n';
     }
