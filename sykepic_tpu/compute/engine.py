@@ -746,11 +746,20 @@ class Classifier:
         with self.timer.stage("device.drain"):
             probs = np.asarray(device_probs)
         n = batch.n_valid
-        return (
+        out = (
             np.asarray(batch.sample_idx[:n]),
             np.asarray(batch.roi_ids[:n]),
             probs[:n],
         )
+        if hasattr(batch, "win_idx"):
+            # the device result for this dispatch has arrived, so its
+            # window upload (raw or encoded) is long done: the 6.3 MB
+            # tensor can go back to the producer's pool instead of
+            # paying fresh-page faults every dispatch (shelf.py)
+            from ..ingest import shelf as _shelf
+
+            _shelf.recycle_windows(batch)
+        return out
 
     def classify_and_feature_rois(self, tagged_rois):
         """Fully on-chip fused pass: each packed batch runs classification

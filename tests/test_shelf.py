@@ -471,3 +471,50 @@ def test_dispatch_shelf_computes_missing_modes(model_dir):
     a = np.asarray(clf.dispatch_shelf(with_modes[0]))
     b = np.asarray(clf.dispatch_shelf(without[0]))
     np.testing.assert_array_equal(a, b)
+
+
+def test_window_pool_recycling_is_lossless():
+    """Recycled window buffers must behave exactly like fresh ones: a
+    second stream that reuses the first stream's (dirty) tensors must
+    produce byte-identical windows to a pool-free run, including the
+    padding fill (the wire codec encodes the whole window)."""
+    rng = np.random.default_rng(77)
+    rois = _rand_rois(300, rng, h_range=(4, 120), w_range=(4, 180))
+
+    shelf._WINDOW_POOL.clear()
+    clean = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                    compute_modes=True))
+    # drain-side contract: recycle every batch, then stream again --
+    # the second run must pop dirty buffers from the pool
+    dirty_ids = set()
+    for b in clean:
+        dirty_ids.add(id(b.windows))
+        # keep copies for comparison before the tensor is reused
+        b._snapshot = b.windows.copy()
+        shelf.recycle_windows(b)
+        assert b.windows is None
+    again = list(shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+                                    compute_modes=True))
+    reused = sum(1 for b in again if id(b.windows) in dirty_ids)
+    assert reused > 0, "pool was never used"
+    assert len(again) == len(clean)
+    for a, b in zip(clean, again):
+        np.testing.assert_array_equal(a._snapshot, b.windows)
+        np.testing.assert_array_equal(a.win_idx, b.win_idx)
+        np.testing.assert_array_equal(a.roi_ids, b.roi_ids)
+    shelf._WINDOW_POOL.clear()
+
+
+def test_recycle_windows_ignores_foreign_shapes():
+    """Hand-built batches with non-standard window tensors must not
+    poison the pool."""
+    shelf._WINDOW_POOL.clear()
+    b = shelf.ShelfBatch(
+        windows=np.zeros((2, 64, 64), np.uint8),  # wrong (H, W)
+        win_idx=np.zeros(1, np.int32), y0=np.zeros(1, np.int32),
+        x0=np.zeros(1, np.int32), heights=np.ones(1, np.int32),
+        widths=np.ones(1, np.int32), roi_ids=np.zeros(1, np.int64),
+        sample_idx=np.zeros(1, np.int32), n_valid=1,
+    )
+    shelf.recycle_windows(b)
+    assert not any(shelf._WINDOW_POOL.values())
