@@ -751,11 +751,16 @@ class Classifier:
             np.asarray(batch.roi_ids[:n]),
             probs[:n],
         )
+        # the device result for this dispatch has arrived, so its upload
+        # (raw windows or encoded payload) is long done: multi-MB host
+        # buffers go back to their pools instead of paying fresh-page
+        # faults every dispatch (shelf.py / wirecodec.py)
+        if batch.wire is not None:
+            from ..ingest import wirecodec as _wc
+
+            _wc.recycle_payload(batch.wire)
+            batch.wire = None
         if hasattr(batch, "win_idx"):
-            # the device result for this dispatch has arrived, so its
-            # window upload (raw or encoded) is long done: the 6.3 MB
-            # tensor can go back to the producer's pool instead of
-            # paying fresh-page faults every dispatch (shelf.py)
             from ..ingest import shelf as _shelf
 
             _shelf.recycle_windows(batch)
@@ -778,6 +783,11 @@ class Classifier:
             with self.timer.stage("device.drain"):
                 probs = np.asarray(device_probs)
                 feats = np.asarray(device_feats)  # (B, 4): area/biovol/axes
+            if batch.wire is not None:  # upload done: pool the payload
+                from ..ingest import wirecodec as _wc
+
+                _wc.recycle_payload(batch.wire)
+                batch.wire = None
             for i in range(batch.n_valid):
                 yield (
                     int(batch.sample_idx[i]),

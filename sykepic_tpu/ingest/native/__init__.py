@@ -228,21 +228,27 @@ def format_probs(roi_ids, probs):
     return out.raw[:written]
 
 
-def wire_encode(windows, cap):
+def wire_encode(windows, cap, plane_out=None, exc_scratch=None):
     """Wire-codec encode of a (nc, h, w) uint8 windows tensor: returns
     ``(plane, flags, exc, n_entries)`` with ``exc`` sized ``n_entries``
     (one byte per entry — advance<<4 | residual>>4, dummies advancing 15x,
     global scan order), or the string ``"overflow"`` when the entry count
     exceeds ``cap`` (caller ships raw — content that noisy never pays), or
-    None if the native library is unavailable."""
+    None if the native library is unavailable. ``plane_out`` /
+    ``exc_scratch`` let the caller supply (pooled) output buffers; the
+    returned ``exc`` slice aliases ``exc_scratch`` when given."""
     handle = lib()
     if handle is None:
         return None
     nc, h, w = windows.shape
     windows = np.ascontiguousarray(windows)
-    plane = np.empty((nc, h, w // 2), np.uint8)
+    plane = (plane_out if plane_out is not None
+             and plane_out.shape == (nc, h, w // 2)
+             else np.empty((nc, h, w // 2), np.uint8))
     flags = np.empty(nc, np.uint8)
-    exc = np.empty(cap, np.uint8)
+    exc = (exc_scratch if exc_scratch is not None
+           and exc_scratch.size >= cap and exc_scratch.flags.c_contiguous
+           else np.empty(cap, np.uint8))
 
     def u8(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))

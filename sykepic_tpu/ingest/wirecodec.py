@@ -43,6 +43,8 @@ scheme near ~1.8x.
 
 from __future__ import annotations
 
+import threading
+from collections import defaultdict, deque
 from dataclasses import dataclass
 
 import numpy as np
@@ -93,6 +95,41 @@ class WirePayload:
         return self.plane.nbytes + self.exc.nbytes + self.flags.nbytes
 
 
+# Payload-buffer pool, keyed by (shape or size): like the shelf window
+# pool (ingest/shelf.py), fresh multi-MB allocations per dispatch pay
+# mmap page faults under a real streaming pass because jax staging
+# allocations defeat glibc arena reuse. The engine recycles a payload
+# once its dispatch has drained (upload provably complete). deque ops
+# are GIL-atomic; maxlen bounds idle memory.
+_POOL: dict[object, deque] = defaultdict(lambda: deque(maxlen=12))
+_SCRATCH = threading.local()  # native encoder's exception scratch
+
+
+def _pooled(key, alloc):
+    try:
+        return _POOL[key].pop()
+    except IndexError:
+        return alloc()
+
+
+def recycle_payload(payload: "WirePayload | None") -> None:
+    """Return a drained payload's plane/exc buffers to the pool. Callers
+    must guarantee the device copy completed (the engine's drain stage)."""
+    if payload is None:
+        return
+    if payload.plane.dtype == np.uint8:
+        _POOL[("plane",) + payload.plane.shape].append(payload.plane)
+    if payload.exc.dtype == np.uint8 and payload.exc.size:
+        _POOL[("exc", payload.exc.size)].append(payload.exc)
+
+
+def _exc_scratch(cap: int) -> np.ndarray:
+    buf = getattr(_SCRATCH, "buf", None)
+    if buf is None or buf.size < cap:
+        _SCRATCH.buf = buf = np.empty(cap, np.uint8)
+    return buf[:cap]
+
+
 def _signed4(d: np.ndarray) -> np.ndarray:
     """The value the decoder reconstructs from ``d & 15`` (two's
     complement nibble in [-8, 7])."""
@@ -118,8 +155,13 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
         # ~0.5 entries/px; a stream past that can never pay, so the native
         # encoder aborts there rather than finishing a losing encode
         cap = windows.size if force else windows.size // 2
-        res = native.wire_encode(windows, cap)
+        plane_key = ("plane", nc, h, w // 2)
+        plane_buf = _pooled(plane_key,
+                            lambda: np.empty((nc, h, w // 2), np.uint8))
+        res = native.wire_encode(windows, cap, plane_out=plane_buf,
+                                 exc_scratch=_exc_scratch(cap))
         if res == "overflow":
+            _POOL[plane_key].append(plane_buf)  # raw ships: buffer unused
             return None
         if res is not None:
             plane, flags, exc_raw, total = res
@@ -127,9 +169,12 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
             padded = -(-total // chunk) * chunk
             enc_bytes = plane.nbytes + padded + nc
             if not force and enc_bytes >= windows.nbytes * (1.0 - MIN_SAVING):
+                _POOL[plane_key].append(plane_buf)
                 return None
-            exc = np.zeros(padded, np.uint8)
+            exc = _pooled(("exc", padded),
+                          lambda: np.empty(padded, np.uint8))
             exc[:total] = exc_raw
+            exc[total:] = 0  # chunk padding: advance 0, add 0 (no-op)
             return WirePayload(
                 plane=plane, exc=exc, flags=flags,
                 shape=(nc, h, w),

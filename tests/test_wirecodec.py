@@ -285,3 +285,28 @@ def test_engine_codec_fused_path_identical(model_dir, monkeypatch):
     for k in on:
         np.testing.assert_array_equal(on[k][0], off[k][0])
         assert on[k][1] == off[k][1]  # feature 4-tuples exactly equal
+
+
+def test_payload_pool_recycling_is_lossless():
+    """encode -> recycle -> encode different content must reuse buffers
+    without any cross-contamination (decode stays bit-exact)."""
+    from sykepic_tpu.ingest import wirecodec as wc
+
+    wc._POOL.clear()
+    rng = np.random.default_rng(5)
+    smooth = (rng.integers(0, 3, (4, 192, 512), np.int16).cumsum(axis=2)
+              % 256).astype(np.uint8)
+    p1 = wc.encode(smooth, force=True)
+    assert p1 is not None
+    ref1 = wc.decode_reference(p1)
+    np.testing.assert_array_equal(ref1, smooth)
+    buf_ids = {id(p1.plane), id(p1.exc)}
+    wc.recycle_payload(p1)
+    other = (rng.integers(0, 3, (4, 192, 512), np.int16).cumsum(axis=1)
+             % 256).astype(np.uint8)
+    p2 = wc.encode(other, force=True)
+    assert p2 is not None
+    reused = {id(p2.plane), id(p2.exc)} & buf_ids
+    assert reused, "pool was never used"
+    np.testing.assert_array_equal(wc.decode_reference(p2), other)
+    wc._POOL.clear()
