@@ -103,6 +103,8 @@ class Classifier:
             from ..parallel import data_axis_size
 
             self._data_sharding = NamedSharding(mesh, P("data"))
+            # the packed (10, R) slot-metadata array shards along R
+            self._meta_sharding = NamedSharding(mesh, P(None, "data"))
             self._replicated = NamedSharding(mesh, P())
             n_data = data_axis_size(mesh)
             if batch_size % n_data != 0:
@@ -113,6 +115,7 @@ class Classifier:
             self._batch_multiple = n_data
         else:
             self._data_sharding = None
+            self._meta_sharding = None
             self._replicated = None
             self._batch_multiple = 1
         # Device-resident weights: the checkpoint loads as host numpy; put it
@@ -231,9 +234,13 @@ class Classifier:
         variables = self.variables
 
         @partial(jax.jit, static_argnames=("target_h", "target_w"))
-        def infer_shelf(windows, win_idx, y0, x0, heights, widths, new_h,
-                        new_w, pad_top, pad_left, border, *,
-                        target_h, target_w):
+        def infer_shelf(windows, meta, *, target_h, target_w):
+            # meta is the (10, R) int32 slot-metadata pack (one host
+            # upload instead of ten: each per-dispatch device_put held
+            # the dispatch thread ~0.4 ms, measured in a profiled pass)
+            (win_idx, y0, x0, heights, widths,
+             new_h, new_w, pad_top, pad_left) = (meta[i] for i in range(9))
+            border = meta[9].astype(jnp.uint8)
             # Per-slot window copy: a CONTIGUOUS row gather (whole 98 KB
             # windows), which this TPU handles at HBM speed — unlike
             # elementwise warps.
@@ -256,7 +263,10 @@ class Classifier:
         return infer_shelf
 
     def _shelf_meta(self, batch):
-        """Resize geometry + border fill for one shelf batch (host numpy).
+        """Slot metadata for one shelf batch, packed as ONE (10, R) int32
+        array (win_idx, y0, x0, heights, widths, new_h, new_w, pad_top,
+        pad_left, border): a single host->device transfer per dispatch
+        instead of ten. Built on the producer thread (host numpy).
         Padding slots are 1x1 zero ROIs and flow through harmlessly."""
         new_h, new_w, pad_top, pad_left = preprocess.compute_geometry(
             batch.heights, batch.widths, self.spec.target_h,
@@ -284,13 +294,20 @@ class Classifier:
             # same loud rejection as the slot path's border_values — a
             # typo'd config must not silently classify with black fill
             raise ValueError(f"Unknown border mode: {self.spec.border}")
-        return new_h, new_w, pad_top, pad_left, border
+        return np.stack([
+            np.asarray(batch.win_idx, np.int32),
+            np.asarray(batch.y0, np.int32),
+            np.asarray(batch.x0, np.int32),
+            np.asarray(batch.heights, np.int32),
+            np.asarray(batch.widths, np.int32),
+            new_h, new_w, pad_top, pad_left,
+            np.asarray(border, np.int32),
+        ])
 
     def dispatch_shelf(self, batch, meta=None):
         """Start inference for one shelf batch without blocking."""
         if meta is None:
             meta = self._shelf_meta(batch)
-        new_h, new_w, pad_top, pad_left, border = meta
         with self.timer.stage("device.dispatch"):
             if batch.wire is not None:
                 windows = self._decode_wire(batch.wire)
@@ -298,14 +315,8 @@ class Classifier:
                 windows = jax.device_put(batch.windows, self._replicated)
             else:
                 windows = batch.windows
-            slot_args = tuple(
-                self._put(a)
-                for a in (batch.win_idx, batch.y0, batch.x0,
-                          batch.heights, batch.widths,
-                          new_h, new_w, pad_top, pad_left, border)
-            )
             return self._infer_shelf(
-                windows, *slot_args,
+                windows, self._put_meta(meta),
                 target_h=self.spec.target_h,
                 target_w=self.spec.target_w,
             )
@@ -429,6 +440,13 @@ class Classifier:
             return jax.device_put(a, self._data_sharding)
         return a
 
+    def _put_meta(self, m):
+        """Commit the packed (10, R) slot-metadata array (R shards over
+        the data axis when a mesh exists)."""
+        if self._meta_sharding is not None:
+            return jax.device_put(m, self._meta_sharding)
+        return m
+
     def _encode_wire(self, batch):
         """Producer-thread half of the wire codec: encode the pixel tensor
         (windows or canvas) when it pays; records the per-stream stats."""
@@ -528,16 +546,14 @@ class Classifier:
             for batch, meta in itertools.islice(
                 self._prepared_shelf_batches(tagged_rois), max_batches
             ):
-                new_h, new_w, pad_top, pad_left, border = meta
                 windows = (
                     jax.device_put(batch.windows, self._replicated)
                     if self._replicated is not None
                     else jax.device_put(batch.windows)
                 )
-                args_list.append((windows,) + tuple(put(a) for a in (
-                    batch.win_idx, batch.y0, batch.x0,
-                    batch.heights, batch.widths,
-                    new_h, new_w, pad_top, pad_left, border)))
+                m = (self._put_meta(meta) if self._meta_sharding is not None
+                     else jax.device_put(meta))
+                args_list.append((windows, m))
                 n_rois += batch.n_valid
         else:
             fn = self._infer
