@@ -36,9 +36,10 @@ not: elementwise gathers and dynamic shapes):
 When the content does not compress (noise-like windows, tiny tail
 dispatches), :func:`encode` returns ``None`` and the caller ships the raw
 windows — the codec can therefore never cost wire bytes, only save them.
-Measured on the realistic bench mix: 3.70 -> ~2.5 KB/ROI (ratio ~1.5);
+Measured on the realistic bench mix: 3.70 -> 2.21 KB/ROI (ratio ~1.7);
 the 4.4 bit/px delta entropy of real IFCB pixels bounds any lossless
-scheme near ~1.8x.
+scheme near ~1.8x — the residual gap to the floor is exception-stream
+overhead, recoverable only with entropy coding the device cannot decode.
 """
 
 from __future__ import annotations
