@@ -668,7 +668,8 @@ class Classifier:
         yielding ``(batch, meta)`` ready to dispatch (overlap rationale in
         :meth:`_produce_on_thread`)."""
         gen = pack.pack_rois(
-            tagged_rois, batch_size=self.batch_size,
+            # the slot packer works per ROI; columnar RoiBlocks unwrap here
+            pack.roi_items(tagged_rois), batch_size=self.batch_size,
             buckets=self.buckets,
             batch_multiple=self._batch_multiple,
             pre_shrink_to=pre_shrink_to,

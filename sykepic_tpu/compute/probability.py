@@ -150,8 +150,10 @@ def precompile_for_samples(sample_paths, clf: Classifier,
                 rois = ifcb.read_sample(p)
             except Exception:
                 continue
-            for rid, img in rois.images():
-                yield idx, rid, img
+            yield pack.RoiBlock(
+                sample_idx=idx, roi_ids=rois.roi_ids, heights=rois.heights,
+                widths=rois.widths, offsets=rois.starts, base=rois.roi_data,
+            )
 
     volume: dict[tuple, int] = {}
     total_bytes = 0
@@ -180,7 +182,8 @@ def precompile_for_samples(sample_paths, clf: Classifier,
             total_rois += sbatch.n_valid
     else:
         for batch in pack.pack_rois(
-            stream(), batch_size=clf.batch_size, buckets=clf.buckets,
+            pack.roi_items(stream()), batch_size=clf.batch_size,
+            buckets=clf.buckets,
             batch_multiple=clf._batch_multiple,
             # the fused path keeps original pixel units (no pre-shrink) and
             # stable per-ROI FFT windows (no tail consolidation)
@@ -262,7 +265,12 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
     def roi_stream():
         # Lazy per-sample decode: memory stays bounded by the in-flight
         # device batches, not the archive size; decode errors are isolated
-        # per sample (reference probability.py:106-115).
+        # per sample (reference probability.py:106-115). Each sample ships
+        # as ONE columnar RoiBlock (decode payload + geometry arrays) —
+        # per-ROI Python tuples measured ~25 us/ROI of host CPU, the
+        # single biggest cost on the 1-core bench host.
+        from ..ingest import pack
+
         iterator = tqdm(todo, desc="Processing samples") if progress_bar else todo
         for idx in iterator:
             try:
@@ -275,8 +283,10 @@ def process_samples_batched(sample_paths, clf: Classifier, out_dir,
                 continue
             results.setdefault(idx, [])
             expected[idx] = len(rois)
-            for rid, img in rois.images():
-                yield idx, rid, img
+            yield pack.RoiBlock(
+                sample_idx=idx, roi_ids=rois.roi_ids, heights=rois.heights,
+                widths=rois.widths, offsets=rois.starts, base=rois.roi_data,
+            )
 
     # CSV writes overlap classification: a sample flushes on a writer
     # thread the moment its last ROI drains from the device.

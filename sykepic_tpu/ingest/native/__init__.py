@@ -83,6 +83,13 @@ def lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
     ]
     _u8p = ctypes.POINTER(ctypes.c_uint8)
+    handle.shelf_blit_blocks.restype = ctypes.c_longlong
+    handle.shelf_blit_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), _i32p,
+        ctypes.POINTER(ctypes.c_longlong), _i32p, _i32p, _i32p, _i32p,
+        _i32p, ctypes.c_longlong, ctypes.c_longlong, _u8p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p,
+    ]
     handle.wire_encode.restype = ctypes.c_longlong
     handle.wire_encode.argtypes = [
         _u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -206,6 +213,41 @@ def shelf_blit(imgs, heights, widths, win_idx, y0, x0, windows, ptrs=None):
         windows.shape[0], windows.shape[1], windows.shape[2],
     )
     return True if got >= 0 else None
+
+
+def shelf_blit_blocks(bases, buf_idx, offsets, heights, widths,
+                      win_idx, y0, x0, windows, want_modes: bool):
+    """Columnar blit: ROI ``i`` reads from ``bases[buf_idx[i]] +
+    offsets[i]`` — no per-ROI Python objects (the per-image pointer
+    marshalling of :func:`img_ptrs` measured ~7 us/ROI on a 1-core host).
+    Returns the (R,) uint8 modes array (``want_modes``), True, or None if
+    native is unavailable."""
+    handle = lib()
+    if handle is None:
+        return None
+    n = len(buf_idx)
+    base_ptrs = (ctypes.c_void_p * len(bases))(
+        *(b.ctypes.data for b in bases))
+    buf_idx = np.ascontiguousarray(buf_idx, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    heights = np.ascontiguousarray(heights, np.int32)
+    widths = np.ascontiguousarray(widths, np.int32)
+    win_idx = np.ascontiguousarray(win_idx, np.int32)
+    y0 = np.ascontiguousarray(y0, np.int32)
+    x0 = np.ascontiguousarray(x0, np.int32)
+    _u8 = ctypes.POINTER(ctypes.c_uint8)
+    modes = np.empty(n, np.uint8) if want_modes else None
+    got = handle.shelf_blit_blocks(
+        base_ptrs, _i32_ptr(buf_idx), _ll_ptr(offsets),
+        _i32_ptr(heights), _i32_ptr(widths), _i32_ptr(win_idx),
+        _i32_ptr(y0), _i32_ptr(x0), n, len(bases),
+        windows.ctypes.data_as(_u8),
+        windows.shape[0], windows.shape[1], windows.shape[2],
+        modes.ctypes.data_as(_u8) if want_modes else None,
+    )
+    if got < 0:
+        return None
+    return modes if want_modes else True
 
 
 def format_probs(roi_ids, probs):

@@ -245,13 +245,28 @@ long long shelf_pack(const int* heights, const int* widths, long long n,
 }
 
 // Mode pixel of a uint8 buffer (256-bin histogram argmax, FIRST max wins
-// — the reference border-fill semantics, cv2.calcHist + argmax).
+// — the reference border-fill semantics, cv2.calcHist + argmax). Four
+// interleaved sub-histograms break the increment dependency chain (the
+// single-table loop stalled on store-to-load forwarding: measured ~2x
+// slower on the bench mix's ~2.6 KB ROIs).
 int u8_mode(const unsigned char* img, long long npix) {
-    long long hist[256] = {0};
-    for (long long i = 0; i < npix; ++i) ++hist[img[i]];
+    long long h0[256] = {0}, h1[256] = {0}, h2[256] = {0}, h3[256] = {0};
+    long long i = 0;
+    for (; i + 4 <= npix; i += 4) {
+        ++h0[img[i]];
+        ++h1[img[i + 1]];
+        ++h2[img[i + 2]];
+        ++h3[img[i + 3]];
+    }
+    for (; i < npix; ++i) ++h0[img[i]];
     int best = 0;
-    for (int v = 1; v < 256; ++v) {
-        if (hist[v] > hist[best]) best = v;
+    long long best_count = -1;
+    for (int v = 0; v < 256; ++v) {
+        long long c = h0[v] + h1[v] + h2[v] + h3[v];
+        if (c > best_count) {
+            best_count = c;
+            best = v;
+        }
     }
     return best;
 }
@@ -289,6 +304,39 @@ long long shelf_blit(const unsigned char* const* imgs, const int* heights,
             std::memcpy(dst + (long long)r * win_w, src + (long long)r * w,
                         (size_t)w);
         }
+    }
+    return n;
+}
+
+// Columnar twin of shelf_blit + u8_modes: ROI i's pixels live
+// C-contiguously at bases[buf_idx[i]] + offsets[i] (the decoded .roi
+// payload is one flat buffer per sample — sykepic_tpu/ingest/ifcb.py), so
+// the blit and the mode histogram read straight out of the decode buffer
+// with no per-ROI Python objects or pointer marshalling at all. When
+// `modes` is non-null each ROI's mode pixel is computed in the same pass,
+// while its bytes are cache-hot from the copy.
+long long shelf_blit_blocks(const unsigned char* const* bases,
+                            const int* buf_idx, const long long* offsets,
+                            const int* heights, const int* widths,
+                            const int* win_idx, const int* y0, const int* x0,
+                            long long n, long long n_bases,
+                            unsigned char* windows, int n_windows,
+                            int win_h, int win_w, unsigned char* modes) {
+    for (long long i = 0; i < n; ++i) {
+        int h = heights[i], w = widths[i];
+        if (buf_idx[i] < 0 || buf_idx[i] >= n_bases || offsets[i] < 0 ||
+            win_idx[i] < 0 || win_idx[i] >= n_windows || y0[i] < 0 ||
+            x0[i] < 0 || y0[i] + h > win_h || x0[i] + w > win_w) {
+            return -1;
+        }
+        const unsigned char* src = bases[buf_idx[i]] + offsets[i];
+        unsigned char* dst = windows +
+            ((long long)win_idx[i] * win_h + y0[i]) * win_w + x0[i];
+        for (int r = 0; r < h; ++r) {
+            std::memcpy(dst + (long long)r * win_w, src + (long long)r * w,
+                        (size_t)w);
+        }
+        if (modes) modes[i] = (unsigned char)u8_mode(src, (long long)h * w);
     }
     return n;
 }

@@ -60,6 +60,50 @@ class PackedBatch:
     wire: object | None = None
 
 
+@dataclass
+class RoiBlock:
+    """A whole sample's ROIs in columnar form: per-ROI geometry arrays plus
+    ONE flat pixel buffer (the decoded ``.roi`` payload rides through
+    untouched — ``ingest/ifcb.py:SampleRois``). The classify stream hands
+    these to the shelf packer instead of per-ROI ``(sample, id, img)``
+    tuples: per-ROI Python objects (generator frames, array views, ctypes
+    pointers) measured ~25 us/ROI of the 1-core bench host's budget, all
+    of which columnar streaming removes."""
+
+    sample_idx: int
+    roi_ids: np.ndarray  # (N,) int64, 1-based
+    heights: np.ndarray  # (N,) integer
+    widths: np.ndarray  # (N,) integer
+    offsets: np.ndarray  # (N,) int64 byte offsets into ``base``
+    base: np.ndarray  # flat uint8 pixel buffer
+
+    def __len__(self) -> int:
+        return len(self.roi_ids)
+
+    def items(self):
+        """Per-ROI ``(sample_idx, roi_id, img view)`` adapter for consumers
+        that want tuples (the slot packer, the fused feature path)."""
+        data = self.base
+        smp = self.sample_idx
+        ids = np.asarray(self.roi_ids).tolist()
+        hs = np.asarray(self.heights).tolist()
+        npx = (np.asarray(self.heights, np.int64)
+               * np.asarray(self.widths, np.int64)).tolist()
+        ss = np.asarray(self.offsets).tolist()
+        for rid, h, n, s in zip(ids, hs, npx, ss):
+            yield smp, rid, data[s : s + n].reshape(h, n // h)
+
+
+def roi_items(stream):
+    """Normalize a mixed stream of :class:`RoiBlock` s and per-ROI tuples
+    into per-ROI tuples (pass-through for tuples)."""
+    for item in stream:
+        if isinstance(item, RoiBlock):
+            yield from item.items()
+        else:
+            yield item
+
+
 # The dynamic grid's largest canvas side; anything bigger is host-shrunk.
 GRID_MAX = 1024
 

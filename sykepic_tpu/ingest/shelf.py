@@ -130,13 +130,11 @@ class _Shelver:
     fallback and the behavioral contract.
     """
 
-    def __init__(self, items):
-        # items: list of (sample_idx, roi_id, img, mode_or_None)
-        self.items = items
-        n = len(items)
-        self.h = np.fromiter((it[2].shape[0] for it in items), np.int32, n)
-        self.w = np.fromiter((it[2].shape[1] for it in items), np.int32, n)
-        self.alive = np.ones(n, bool)
+    def __init__(self, heights: np.ndarray, widths: np.ndarray):
+        # columnar pending set: parallel (height, width) arrays
+        self.h = np.ascontiguousarray(heights, np.int32)
+        self.w = np.ascontiguousarray(widths, np.int32)
+        self.alive = np.ones(len(self.h), bool)
         self._python_ready = False
         from . import native as _native
 
@@ -147,13 +145,13 @@ class _Shelver:
     def pending(self) -> bool:
         return bool(self.alive.any())
 
-    def pending_order(self) -> list:
+    def pending_order(self) -> np.ndarray:
         """Pending item indices in pack preference order (height desc,
         width desc, insertion order) — the order ``flush`` re-buffers
         leftovers in so carried sets keep packing identically."""
         idx = np.flatnonzero(self.alive)
         order = np.lexsort((-self.w[idx], -self.h[idx]))
-        return idx[order].tolist()
+        return idx[order].astype(np.int64)
 
     def pack(self, max_windows: int, max_slots: int):
         """Place ROIs into up to ``max_windows`` windows.
@@ -273,14 +271,43 @@ def recycle_windows(batch: "ShelfBatch") -> None:
     batch.windows = None
 
 
-def _emit(items, placements, n_windows, batch_multiple, compute_modes):
+class _Cols:
+    """Columnar pending-ROI buffer segment: parallel per-ROI arrays. Pixel
+    bytes stay in the caller-owned ``bases`` list; each ROI points at its
+    C-contiguous run via ``(buf_idx, offset)``. No per-ROI Python objects
+    exist anywhere in this representation — the point of the design."""
+
+    __slots__ = ("sample", "roi_ids", "h", "w", "bi", "off", "fp")
+
+    def __init__(self, sample, roi_ids, h, w, bi, off, fp):
+        self.sample = sample  # (N,) int32
+        self.roi_ids = roi_ids  # (N,) int64
+        self.h = h  # (N,) int32
+        self.w = w  # (N,) int32
+        self.bi = bi  # (N,) int32 index into bases
+        self.off = off  # (N,) int64 byte offset into bases[bi]
+        self.fp = fp  # (N,) uint8 first (corner) pixel — fill heuristic
+
+    def __len__(self) -> int:
+        return len(self.h)
+
+    @staticmethod
+    def concat(segs: list["_Cols"]) -> "_Cols":
+        if len(segs) == 1:
+            return segs[0]
+        return _Cols(*(np.concatenate([getattr(s, f) for s in segs])
+                       for f in _Cols.__slots__))
+
+    def take(self, idx) -> "_Cols":
+        return _Cols(*(getattr(self, f)[idx] for f in _Cols.__slots__))
+
+
+def _emit(cols: _Cols, bases: list, placements, n_windows,
+          batch_multiple, compute_modes):
     item, win, y, x = placements
     k = len(item)
     nc = pad_nc(n_windows)
     r = pad_slots(k, batch_multiple)
-    sel = [items[i] for i in item.tolist()]
-    imgs = [it[2] if it[2].flags.c_contiguous
-            else np.ascontiguousarray(it[2]) for it in sel]
     # Padding is semantically dead (the resize einsums read only each
     # ROI's origin-shifted region), but the wire codec encodes the WHOLE
     # window, so fill with the batch's median corner pixel instead of
@@ -288,8 +315,7 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     # fill keeps padding deltas and most ROI-edge crossings inside the
     # 4-bit plane (measured 13 B/ROI fewer codec exceptions on the bench
     # mix — small because intra-shelf ROI-to-ROI boundaries dominate).
-    fill = (int(np.median(np.fromiter((im[0, 0] for im in imgs),
-                                      np.uint8, k))) if k else 0)
+    fill = int(np.median(cols.fp[item])) if k else 0
     windows = _window_buffer(nc, fill)
     win_idx = np.zeros(r, np.int32)
     y0 = np.zeros(r, np.int32)
@@ -303,24 +329,33 @@ def _emit(items, placements, n_windows, batch_multiple, compute_modes):
     win_idx[:k] = win
     y0[:k] = y
     x0[:k] = x
-    heights[:k] = np.fromiter((im.shape[0] for im in imgs), np.int32, k)
-    widths[:k] = np.fromiter((im.shape[1] for im in imgs), np.int32, k)
-    roi_ids[:k] = np.fromiter((it[1] for it in sel), np.int64, k)
-    sample_idx[:k] = np.fromiter((it[0] for it in sel), np.int32, k)
+    heights[:k] = cols.h[item]
+    widths[:k] = cols.w[item]
+    roi_ids[:k] = cols.roi_ids[item]
+    sample_idx[:k] = cols.sample[item]
+    bsel = cols.bi[item]
+    osel = cols.off[item]
 
     from . import native as _native
 
-    # one pointer-array build serves both native calls (modes + blit)
-    ptrs = _native.img_ptrs(imgs) if k and _native.lib() else None
-    if modes is not None and k:
-        modes[:k] = pack.batch_modes(imgs, heights[:k], widths[:k],
-                                     ptrs=ptrs)
-    if k == 0 or _native.shelf_blit(imgs, heights[:k], widths[:k],
-                                    win_idx[:k], y0[:k], x0[:k],
-                                    windows, ptrs=ptrs) is None:
-        for s, im in enumerate(imgs):
-            h, wd = im.shape
+    # one native pass blits every ROI out of its decode buffer AND (when
+    # asked) computes its mode pixel while the bytes are cache-hot
+    res = (_native.shelf_blit_blocks(
+        bases, bsel, osel, heights[:k], widths[:k],
+        win_idx[:k], y0[:k], x0[:k], windows, want_modes=compute_modes,
+    ) if k else True)
+    if res is None:  # pure-NumPy fallback (no native library)
+        views = []
+        for s in range(k):
+            h, wd = int(heights[s]), int(widths[s])
+            o = int(osel[s])
+            im = bases[int(bsel[s])][o : o + h * wd].reshape(h, wd)
+            views.append(im)
             windows[win_idx[s], y0[s]:y0[s] + h, x0[s]:x0[s] + wd] = im
+        if modes is not None and k:
+            modes[:k] = pack.batch_modes(views, heights[:k], widths[:k])
+    elif compute_modes and k:
+        modes[:k] = res
     return ShelfBatch(
         windows=windows, win_idx=win_idx, y0=y0, x0=x0,
         heights=heights, widths=widths, roi_ids=roi_ids,
@@ -336,8 +371,12 @@ def pack_shelves(
     nc_full: int = NC_FULL,
     slot_cap: int = SLOT_CAP,
 ):
-    """Stream ``(sample_idx, roi_id, uint8 image)`` into :class:`ShelfBatch`
-    dispatches.
+    """Stream ROIs into :class:`ShelfBatch` dispatches.
+
+    ``rois`` yields :class:`sykepic_tpu.ingest.pack.RoiBlock` s (columnar —
+    the zero-per-ROI-Python hot path the classify stream uses) and/or
+    per-ROI ``(sample_idx, roi_id, uint8 image)`` tuples (the compatibility
+    surface; converted to small columnar segments internally).
 
     ROIs buffer until roughly one full dispatch of pixels is pending, are
     shelf-packed as a set (sorting needs the set), and anything the packer
@@ -371,14 +410,103 @@ def pack_shelves(
     flush_bytes = int(nc_full * WIN_H * WIN_W * 0.98)
     win_bytes = WIN_H * WIN_W
     next_flush = flush_bytes
-    buffered: list = []
+    segs: list[_Cols] = []  # columnar buffer segments, arrival order
+    bases: list[np.ndarray] = []  # pixel buffers the segments point into
+    pending_items: list = []  # per-ROI tuples awaiting columnarization
     buffered_bytes = 0
+    buffered_n = 0
+
+    def _shrink_overflow(cols_h, cols_w, off, bi, fp, base):
+        """Host-shrink every ROI above the network target (or the window)
+        in one exception pass; their bytes move to a fresh base buffer.
+        Mutates the column arrays in place, returns added pixel bytes."""
+        big = np.flatnonzero((cols_h > target_h) | (cols_w > target_w))
+        if not len(big):
+            return 0
+        imgs = []
+        for j in big.tolist():
+            o = int(off[j])
+            hh, ww = int(cols_h[j]), int(cols_w[j])
+            im = pack.pre_shrink(base[o : o + hh * ww].reshape(hh, ww),
+                                 target_h, target_w)
+            if im.shape[0] > WIN_H or im.shape[1] > WIN_W:
+                im = pack.shrink_to_fit(im, WIN_H, WIN_W)
+            imgs.append(np.ascontiguousarray(im))
+        extra = np.concatenate([im.reshape(-1) for im in imgs])
+        sizes = np.fromiter((im.size for im in imgs), np.int64, len(imgs))
+        eoff = np.zeros(len(imgs), np.int64)
+        np.cumsum(sizes[:-1], out=eoff[1:])
+        ebid = len(bases)
+        bases.append(extra)
+        cols_h[big] = [im.shape[0] for im in imgs]
+        cols_w[big] = [im.shape[1] for im in imgs]
+        off[big] = eoff
+        bi[big] = ebid
+        fp[big] = extra[eoff]
+        return int(extra.size)
+
+    def append_block(blk: pack.RoiBlock):
+        nonlocal buffered_bytes, buffered_n
+        n = len(blk)
+        if n == 0:
+            return
+        base = blk.base
+        if base.ndim != 1 or not base.flags.c_contiguous:
+            base = np.ascontiguousarray(base).reshape(-1)
+        h = np.asarray(blk.heights).astype(np.int32)
+        w = np.asarray(blk.widths).astype(np.int32)
+        off = np.asarray(blk.offsets).astype(np.int64)
+        npx = h.astype(np.int64) * w
+        if int((off + npx).max()) > base.size or int(off.min()) < 0:
+            raise ValueError(
+                "RoiBlock geometry points outside its pixel buffer"
+            )
+        bid = len(bases)
+        bases.append(base)
+        bi = np.full(n, bid, np.int32)
+        fp = base[off]
+        extra_bytes = _shrink_overflow(h, w, off, bi, fp, base)
+        segs.append(_Cols(
+            sample=np.full(n, blk.sample_idx, np.int32),
+            roi_ids=np.asarray(blk.roi_ids, np.int64),
+            h=h, w=w, bi=bi, off=off, fp=fp,
+        ))
+        buffered_bytes += int(h.astype(np.int64) @ w)
+        buffered_n += n
+
+    def convert_pending():
+        """Columnarize buffered per-ROI tuples (already pre-shrunk at
+        append time) into one segment; each image is its own base."""
+        nonlocal pending_items
+        if not pending_items:
+            return
+        n = len(pending_items)
+        h = np.fromiter((im.shape[0] for _, _, im in pending_items),
+                        np.int32, n)
+        w = np.fromiter((im.shape[1] for _, _, im in pending_items),
+                        np.int32, n)
+        bi = np.arange(len(bases), len(bases) + n, dtype=np.int32)
+        fp = np.fromiter((im[0, 0] for _, _, im in pending_items),
+                         np.uint8, n)
+        for _, _, im in pending_items:
+            bases.append(im.reshape(-1) if im.flags.c_contiguous
+                         else np.ascontiguousarray(im).reshape(-1))
+        segs.append(_Cols(
+            sample=np.fromiter((s for s, _, _ in pending_items),
+                               np.int32, n),
+            roi_ids=np.fromiter((r for _, r, _ in pending_items),
+                                np.int64, n),
+            h=h, w=w, bi=bi, off=np.zeros(n, np.int64), fp=fp,
+        ))
+        pending_items = []
 
     def flush(final: bool):
-        nonlocal buffered, buffered_bytes, next_flush
-        shelver = _Shelver(buffered)
+        nonlocal segs, bases, buffered_bytes, buffered_n, next_flush
+        convert_pending()
+        cols = _Cols.concat(segs)
+        shelver = _Shelver(cols.h, cols.w)
         out = []
-        carried = []  # packed but not emitted: back to the buffer
+        carried = np.zeros(0, np.int64)  # packed but not emitted
         short = 0  # windows short of a full dispatch when carrying
         while True:
             placements, n_windows = shelver.pack(nc_full, slot_cap)
@@ -387,15 +515,29 @@ def pack_shelves(
             full = (n_windows >= nc_full
                     or len(placements[0]) >= slot_cap)
             if final or full:
-                out.append(_emit(buffered, placements, n_windows,
+                out.append(_emit(cols, bases, placements, n_windows,
                                  batch_multiple, compute_modes))
             else:
-                carried.extend(placements[0].tolist())
+                carried = placements[0].astype(np.int64)
                 short = nc_full - n_windows
                 break  # keep the partial dispatch buffered for more ROIs
-        left = carried + shelver.pending_order()
-        buffered = [buffered[i] for i in left]
-        buffered_bytes = sum(it[2].nbytes for it in buffered)
+        left = np.concatenate([carried, shelver.pending_order()])
+        if len(left):
+            cols = cols.take(left)
+            # drop bases no leftover references (they were emitted) and
+            # remap buf_idx — the buffer must not pin whole decode
+            # payloads beyond their last pending ROI
+            used, inv = np.unique(cols.bi, return_inverse=True)
+            bases = [bases[int(u)] for u in used]
+            cols.bi = inv.astype(np.int32)
+            segs = [cols]
+            buffered_bytes = int(cols.h.astype(np.int64) @ cols.w)
+            buffered_n = len(left)
+        else:
+            segs = []
+            bases = []
+            buffered_bytes = 0
+            buffered_n = 0
         # A carry-all pack means occupancy beat the 0.98 flush factor (the
         # whole buffer fit in < nc_full windows). Re-shelving the same
         # multi-thousand-item buffer per appended ROI is quadratic, so arm
@@ -405,17 +547,20 @@ def pack_shelves(
                       else buffered_bytes + max(short, 1) * win_bytes)
         return out
 
-    for smp, rid, img in rois:
-        img = pack.pre_shrink(img, target_h, target_w)
-        if img.shape[0] > WIN_H or img.shape[1] > WIN_W:
-            img = pack.shrink_to_fit(img, WIN_H, WIN_W)
-        # modes are computed batched at _emit time (one native call per
-        # dispatch); the 4th slot stays for item-tuple layout stability
-        buffered.append((smp, rid, img, None))
-        buffered_bytes += img.nbytes
-        if buffered_bytes >= next_flush or len(buffered) >= slot_cap:
+    for item in rois:
+        if isinstance(item, pack.RoiBlock):
+            append_block(item)
+        else:
+            smp, rid, img = item
+            img = pack.pre_shrink(img, target_h, target_w)
+            if img.shape[0] > WIN_H or img.shape[1] > WIN_W:
+                img = pack.shrink_to_fit(img, WIN_H, WIN_W)
+            pending_items.append((smp, rid, img))
+            buffered_bytes += img.nbytes
+            buffered_n += 1
+        if buffered_bytes >= next_flush or buffered_n >= slot_cap:
             yield from flush(final=False)
-    while buffered:
+    while buffered_n:
         yield from flush(final=True)
 
 

@@ -219,10 +219,10 @@ def test_carry_does_not_rethrash_the_buffer():
     n_packs = 0
     orig = shelf_mod._Shelver.__init__
 
-    def counting(self, items):
+    def counting(self, heights, widths):
         nonlocal n_packs
         n_packs += 1
-        orig(self, items)
+        orig(self, heights, widths)
 
     shelf_mod._Shelver.__init__ = counting
     try:
@@ -310,14 +310,12 @@ def test_native_pack_matches_python_fallback():
             if n > 100:
                 h[::3] = 24
                 w[::5] = 40
-        items = [(0, i + 1, np.zeros((int(h[i]), int(w[i])), np.uint8),
-                  None) for i in range(n)]
         max_windows = int(rng.choice([1, 3, 8, 64]))
         max_slots = int(rng.choice([32, 500, 4096]))
 
-        nat = shelf._Shelver(items)
+        nat = shelf._Shelver(h, w)
         assert nat._native is not None
-        py = shelf._Shelver(items)
+        py = shelf._Shelver(h, w)
         py._native = None
         while True:
             p_nat, w_nat = nat.pack(max_windows, max_slots)
@@ -325,7 +323,8 @@ def test_native_pack_matches_python_fallback():
             assert w_nat == w_py, trial
             for a, b in zip(p_nat, p_py):
                 np.testing.assert_array_equal(a, b, err_msg=str(trial))
-            assert nat.pending_order() == py.pending_order(), trial
+            np.testing.assert_array_equal(
+                nat.pending_order(), py.pending_order(), err_msg=str(trial))
             if len(p_nat[0]) == 0:
                 break
 
@@ -353,11 +352,11 @@ def test_native_pack_overtall_item_matches_python():
 
     if native.lib() is None:
         pytest.skip("native library unavailable")
-    items = [(0, 1, np.zeros((shelf.WIN_H + 8, 50), np.uint8), None),
-             (0, 2, np.zeros((40, 60), np.uint8), None)]
-    nat = shelf._Shelver(items)
+    h = np.array([shelf.WIN_H + 8, 40])
+    w = np.array([50, 60])
+    nat = shelf._Shelver(h, w)
     assert nat._native is not None
-    py = shelf._Shelver(items)
+    py = shelf._Shelver(h, w)
     py._native = None
     p_nat, w_nat = nat.pack(8, 4096)
     p_py, w_py = py.pack(8, 4096)
@@ -518,3 +517,130 @@ def test_recycle_windows_ignores_foreign_shapes():
     )
     shelf.recycle_windows(b)
     assert not any(shelf._WINDOW_POOL.values())
+
+
+def _rois_to_block(rois, sample_idx=0):
+    """Pack per-ROI tuples into one columnar RoiBlock (single flat base)."""
+    from sykepic_tpu.ingest import pack
+
+    ids = np.array([rid for _, rid, _ in rois], np.int64)
+    hs = np.array([im.shape[0] for _, _, im in rois], np.int64)
+    ws = np.array([im.shape[1] for _, _, im in rois], np.int64)
+    base = np.concatenate([im.reshape(-1) for _, _, im in rois])
+    sizes = hs * ws
+    offs = np.zeros(len(rois), np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    return pack.RoiBlock(sample_idx=sample_idx, roi_ids=ids, heights=hs,
+                         widths=ws, offsets=offs, base=base)
+
+
+def test_block_stream_matches_tuple_stream():
+    """Columnar RoiBlock streaming must emit bit-identical dispatches to
+    the per-ROI tuple stream: same windows bytes, placements, metadata,
+    and modes — the block path is a pure host-CPU optimization. (Small
+    stream: one final flush, so flush boundaries — which legitimately
+    differ between per-ROI and per-block arrival — cannot diverge.)"""
+    rng = np.random.default_rng(11)
+    # oversized ROIs exercise the vectorized pre-shrink exception path
+    rois = _rand_rois(80, rng, h_range=(4, 320), w_range=(4, 700))
+    per_sample = {}
+    for smp, rid, img in rois:
+        per_sample.setdefault(smp, []).append((smp, rid, img))
+    blocks = [_rois_to_block(v, smp) for smp, v in per_sample.items()]
+    # tuple stream in the SAME arrival order as the blocks
+    tuples = [t for smp in per_sample for t in per_sample[smp]]
+
+    a = list(shelf.pack_shelves(iter(blocks), pre_shrink_to=(180, 180),
+                                compute_modes=True))
+    b = list(shelf.pack_shelves(iter(tuples), pre_shrink_to=(180, 180),
+                                compute_modes=True))
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        assert ba.n_valid == bb.n_valid
+        np.testing.assert_array_equal(ba.windows, bb.windows)
+        for f in ("win_idx", "y0", "x0", "heights", "widths", "roi_ids",
+                  "sample_idx", "modes"):
+            np.testing.assert_array_equal(getattr(ba, f), getattr(bb, f), f)
+
+
+def test_block_stream_content_lossless_across_flushes():
+    """On a long mixed stream (many flushes, carries, oversized ROIs) the
+    block path must still place every ROI exactly once with the same
+    post-shrink pixels the tuple path would produce."""
+    from sykepic_tpu.ingest import pack
+
+    rng = np.random.default_rng(12)
+    rois = _rand_rois(3000, rng, h_range=(4, 260), w_range=(4, 400))
+    per_sample = {}
+    for smp, rid, img in rois:
+        per_sample.setdefault(smp, []).append((smp, rid, img))
+    blocks = [_rois_to_block(v, smp) for smp, v in per_sample.items()]
+    seen = {}
+    for b in shelf.pack_shelves(iter(blocks), pre_shrink_to=(180, 180)):
+        for s in range(b.n_valid):
+            key = (int(b.sample_idx[s]), int(b.roi_ids[s]))
+            assert key not in seen
+            h, w = int(b.heights[s]), int(b.widths[s])
+            y, x = int(b.y0[s]), int(b.x0[s])
+            seen[key] = b.windows[int(b.win_idx[s]),
+                                  y : y + h, x : x + w].copy()
+    assert len(seen) == len(rois)
+    for smp, rid, img in rois:
+        expect = pack.pre_shrink(img, 180, 180)
+        np.testing.assert_array_equal(seen[(smp, rid)], expect,
+                                      err_msg=str((smp, rid)))
+
+
+def test_block_stream_native_matches_python_fallback(monkeypatch):
+    """The native columnar blit+modes pass and the NumPy fallback must
+    produce identical windows and modes."""
+    from sykepic_tpu.ingest import native
+
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    rois = _rand_rois(500, rng)
+    blocks = [_rois_to_block(rois)]
+    fast = list(shelf.pack_shelves(iter(blocks), pre_shrink_to=(180, 180),
+                                   compute_modes=True))
+    monkeypatch.setattr(native, "shelf_blit_blocks",
+                        lambda *a, **k: None)
+    slow = list(shelf.pack_shelves(iter([_rois_to_block(rois)]),
+                                   pre_shrink_to=(180, 180),
+                                   compute_modes=True))
+    assert len(fast) == len(slow)
+    for ba, bb in zip(fast, slow):
+        np.testing.assert_array_equal(ba.windows, bb.windows)
+        np.testing.assert_array_equal(ba.modes, bb.modes)
+
+
+def test_block_with_bad_geometry_raises():
+    """A RoiBlock whose offsets point past its pixel buffer must fail
+    loudly at append time, not segfault inside the native blit."""
+    from sykepic_tpu.ingest import pack
+
+    blk = pack.RoiBlock(
+        sample_idx=0,
+        roi_ids=np.array([1], np.int64),
+        heights=np.array([64], np.int64),
+        widths=np.array([64], np.int64),
+        offsets=np.array([100], np.int64),
+        base=np.zeros(64 * 64, np.uint8),  # 100 + 64*64 > size
+    )
+    with pytest.raises(ValueError, match="outside its pixel buffer"):
+        list(shelf.pack_shelves(iter([blk]), pre_shrink_to=(180, 180)))
+
+
+def test_roi_block_items_roundtrip():
+    """RoiBlock.items() must reproduce the exact per-ROI views."""
+    from sykepic_tpu.ingest import pack
+
+    rng = np.random.default_rng(17)
+    rois = _rand_rois(50, rng)
+    blk = _rois_to_block(rois, sample_idx=3)
+    out = list(pack.roi_items(iter([blk, (9, 99, rois[0][2])])))
+    assert len(out) == 51
+    for (smp, rid, img), (_, orig_rid, orig_img) in zip(out[:50], rois):
+        assert smp == 3 and rid == orig_rid
+        np.testing.assert_array_equal(img, orig_img)
+    assert out[50][0] == 9 and out[50][1] == 99
