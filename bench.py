@@ -382,10 +382,29 @@ def host_pack_benchmark() -> None:
             cache[(h, w)] = img
         rois.append((0, i + 1, img))
     raw_bytes = sum(r[2].nbytes for r in rois)
+    # stream as per-sample columnar RoiBlocks (500 ROIs each) — the shape
+    # the production classify stream ships since the block refactor
+    # (compute/probability.py::roi_stream)
+    from sykepic_tpu.ingest import pack
+
+    blocks = []
+    for s in range(0, n, 500):
+        grp = rois[s : s + 500]
+        sizes = np.array([im.size for _, _, im in grp], np.int64)
+        offs = np.zeros(len(grp), np.int64)
+        np.cumsum(sizes[:-1], out=offs[1:])
+        blocks.append(pack.RoiBlock(
+            sample_idx=s // 500,
+            roi_ids=np.array([rid for _, rid, _ in grp], np.int64),
+            heights=np.array([im.shape[0] for _, _, im in grp], np.int64),
+            widths=np.array([im.shape[1] for _, _, im in grp], np.int64),
+            offsets=offs,
+            base=np.concatenate([im.reshape(-1) for _, _, im in grp]),
+        ))
     t0 = time.perf_counter()
     wire_bytes = 0
     placed = 0
-    for b in shelf.pack_shelves(iter(rois), pre_shrink_to=(180, 180),
+    for b in shelf.pack_shelves(iter(blocks), pre_shrink_to=(180, 180),
                                 compute_modes=True):
         payload = wirecodec.encode(b.windows)  # the classify stream's path
         wire_bytes += payload.nbytes if payload is not None else b.windows.nbytes
