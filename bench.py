@@ -651,6 +651,7 @@ def main() -> None:
                 "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
                 "value": None, "unit": "ROIs/s", "vs_baseline": None,
                 "error": str(e)[:200],
+                "last_recorded_run": _last_recorded(),
             }))  # no re-raise: a traceback after this line would push the
             # parseable JSON out of the captured tail
     finally:
