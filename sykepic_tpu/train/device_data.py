@@ -367,6 +367,24 @@ class DeviceDataset:
         Yields ``(bucket_keys, idx_tuple, weights)`` with ``weights`` the
         concatenation over buckets in ``bucket_keys`` order.
         """
+        slots, n_batches = self._mixed_slots(shuffle=shuffle)
+        if not slots:
+            return
+        for j in range(n_batches):
+            keys = tuple(key for key, _, _, _ in slots)
+            idxs = tuple(p[j * c : (j + 1) * c] for _, c, p, _ in slots)
+            weights = np.concatenate(
+                [w[j * c : (j + 1) * c] for _, c, _, w in slots]
+            )
+            yield keys, idxs, weights
+
+    def _mixed_slots(self, shuffle: bool = True):
+        """Per-bucket slot plan for one stratified epoch: a list of
+        ``(bucket_key, c, padded_rows, weights)`` with ``padded_rows`` /
+        ``weights`` flat ``(n_batches * c,)`` arrays (batch ``j`` owns
+        slice ``[j*c:(j+1)*c]``), plus ``n_batches``. The single source of
+        truth behind both the streaming :meth:`epoch_mixed` and the
+        whole-epoch :meth:`epoch_mixed_stacked`."""
         occ_buckets = self._bucket_of_row[self.occ_rows]
         per_bucket = []
         for bi, key in enumerate(self._bucket_keys):
@@ -376,7 +394,7 @@ class DeviceDataset:
                 per_bucket.append((key, rows))
         total = sum(len(rows) for _, rows in per_bucket)
         if total == 0:
-            return
+            return [], 0
         n_batches = max(-(-total // self.batch_size), 1)
         slots = []
         for key, rows in per_bucket:
@@ -390,13 +408,27 @@ class DeviceDataset:
             while len(padded) < need:  # wrap with weight-0 duplicates
                 padded = np.concatenate([padded, rows[: need - len(padded)]])
             slots.append((key, c, padded.astype(np.int32), weights))
-        for j in range(n_batches):
-            keys = tuple(key for key, _, _, _ in slots)
-            idxs = tuple(p[j * c : (j + 1) * c] for _, c, p, _ in slots)
-            weights = np.concatenate(
-                [w[j * c : (j + 1) * c] for _, c, _, w in slots]
-            )
-            yield keys, idxs, weights
+        return slots, n_batches
+
+    def epoch_mixed_stacked(self, shuffle: bool = True):
+        """The whole stratified epoch as stacked arrays, for the one-
+        dispatch scanned epoch (``Trainer.train_epoch_mixed_scanned``):
+        ``(stores, idxs_stacked, weights_stacked)`` with ``stores`` the
+        per-bucket store tuple, ``idxs_stacked`` a parallel tuple of
+        ``(n_batches, c_i)`` int32 matrices and ``weights_stacked`` the
+        ``(n_batches, sum c_i)`` float32 weight matrix. Row ``j`` of every
+        array is EXACTLY batch ``j`` of :meth:`epoch_mixed` (same slot
+        plan), so the scanned epoch covers each occurrence once with the
+        identical composition. Returns ``None`` when the set is empty."""
+        slots, n_batches = self._mixed_slots(shuffle=shuffle)
+        if not slots:
+            return None
+        stores = tuple(self.stores[key] for key, _, _, _ in slots)
+        idxs = tuple(p.reshape(n_batches, c) for _, c, p, _ in slots)
+        weights = np.concatenate(
+            [w.reshape(n_batches, c) for _, c, _, w in slots], axis=1
+        )
+        return stores, idxs, weights
 
     def _mixed_len(self) -> int:
         """Batches per epoch in mixed mode."""

@@ -330,13 +330,28 @@ def train_net(
 
             # Training phase. Metrics stay device scalars until the epoch
             # ends so per-step host syncs never stall the async pipeline.
-            loss_sum = acc_sum = n_sum = 0.0
-            batches = tqdm(train_loader) if progress_bar else train_loader
-            for batch in batches:
-                ls, cs, n = trainer.train_batch(batch, schedule.stage, schedule.lrs)
-                loss_sum += ls
-                acc_sum += cs
-                n_sum += n
+            # A device-resident stratified set runs the WHOLE epoch as one
+            # compiled scan dispatch (same batch plan and RNG chain as the
+            # per-step loop — tests/test_trainer_scan.py): wall clock is
+            # device compute + one round trip instead of per-step pacing
+            # over the host link.
+            stacked = None
+            if getattr(train_loader, "_use_mixed", False):
+                stacked = train_loader.epoch_mixed_stacked(shuffle=True)
+            if stacked is not None:
+                loss_sum, acc_sum, n_sum = trainer.train_epoch_mixed_scanned(
+                    *stacked, schedule.stage, schedule.lrs
+                )
+            else:
+                loss_sum = acc_sum = n_sum = 0.0
+                batches = (tqdm(train_loader) if progress_bar
+                           else train_loader)
+                for batch in batches:
+                    ls, cs, n = trainer.train_batch(batch, schedule.stage,
+                                                    schedule.lrs)
+                    loss_sum += ls
+                    acc_sum += cs
+                    n_sum += n
             train_acc = float(acc_sum) / float(n_sum)
             train_loss = float(loss_sum) / float(n_sum)
             train_accuracies.append(train_acc)

@@ -130,10 +130,17 @@ class Trainer:
         self.spec = preprocess_spec
         self.augment_kwargs = augment_kwargs or {}
         self.mesh = mesh if mesh is not None else data_mesh()
-        self.key = jax.random.PRNGKey(seed)
         self._steps: dict[Any, Any] = {}
         self._data_sharding = NamedSharding(self.mesh, P("data"))
         self._replicated = NamedSharding(self.mesh, P())
+        # COMMITTED key: step programs return the advanced key (the
+        # scanned epoch) or feed it to jax.random.split whose output is
+        # committed — an uncommitted PRNGKey on call 1 vs a committed one
+        # on call 2 changes the jit signature and forced a silent FULL
+        # recompile of the epoch program (measured 35-45 s per epoch over
+        # the tunnel until this line pinned the placement).
+        self.key = jax.device_put(jax.random.PRNGKey(seed),
+                                  self._replicated)
         # Place state across the mesh once: replicated, except that a mesh
         # with a model axis tensor-shards the wide late-stage kernels (the
         # optimizer state mirrors the parameter placement via init-on-placed)
@@ -287,16 +294,19 @@ class Trainer:
 
         return jax.jit(gstep, donate_argnums=(0, 1, 2))
 
-    def _build_train_step_mixed(self, stage: int, k: int):
-        """Stratified mixed-composition gathered step: one sub-gather per
-        canvas bucket, each preprocessed to the target shape, concatenated
-        into ONE batch for the model. Canvas-pure batches are near-CLASS-
-        pure when ROI size correlates with class (it does, in plankton
-        data), and per-batch BatchNorm statistics then normalize the class
-        signal away — measured as a total training collapse on a
-        size-correlated synthetic set (tests/test_device_data.py). Mixing
-        inside the compiled step keeps the one-upload store design AND the
-        host loader's mixed-batch statistics."""
+    def _mixed_step_fn(self, stage: int, k: int):
+        """Raw (un-jitted) stratified mixed-composition gathered step: one
+        sub-gather per canvas bucket, each preprocessed to the target
+        shape, concatenated into ONE batch for the model. Canvas-pure
+        batches are near-CLASS-pure when ROI size correlates with class
+        (it does, in plankton data), and per-batch BatchNorm statistics
+        then normalize the class signal away — measured as a total
+        training collapse on a size-correlated synthetic set
+        (tests/test_device_data.py). Mixing inside the compiled step keeps
+        the one-upload store design AND the host loader's mixed-batch
+        statistics. Shared by the per-step jit
+        (:meth:`_build_train_step_mixed`) and the whole-epoch scan
+        (:meth:`_build_train_epoch_mixed`)."""
         core = self._core_update(stage)
         fields = self._STORE_FIELDS
 
@@ -324,7 +334,52 @@ class Trainer:
             return core(params, batch_stats, opt_state, x, y, wts, lrs,
                         drop_key)
 
-        return jax.jit(mstep, donate_argnums=(0, 1, 2))
+        return mstep
+
+    def _build_train_step_mixed(self, stage: int, k: int):
+        return jax.jit(self._mixed_step_fn(stage, k),
+                       donate_argnums=(0, 1, 2))
+
+    def _build_train_epoch_mixed(self, stage: int, k: int):
+        """One WHOLE stratified epoch as a single compiled program:
+        ``lax.scan`` over the per-batch index/weight rows, stores resident.
+
+        Why: the per-step path dispatches one program per batch, so an
+        epoch pays per-step upload/launch pacing over the host link —
+        measured as a 0.74 s epoch stretching to ~0.95 s under tunnel
+        jitter for the SAME device compute. The scan uploads every batch's
+        indices once and runs the epoch as one dispatch: wall clock =
+        device compute + one round trip, weather-independent. The scan
+        body is byte-identical work to :meth:`_build_train_step_mixed`
+        (same ``_mixed_step_fn``), the key chain splits exactly like the
+        per-step loop, and XLA compiles the body once, so compile time
+        matches a single step's.
+        """
+        mstep = self._mixed_step_fn(stage, k)
+
+        def escan(params, batch_stats, opt_state, stores, idxs_stk,
+                  wts_stk, lrs, key):
+            def body(carry, xs):
+                params, batch_stats, opt_state, key, ls_a, c_a, n_a = carry
+                idxs, wts = xs
+                key, sub = jax.random.split(key)
+                (params, batch_stats, opt_state,
+                 loss_sum, correct, n) = mstep(
+                    params, batch_stats, opt_state, stores, idxs, wts,
+                    lrs, sub,
+                )
+                return (params, batch_stats, opt_state, key,
+                        ls_a + loss_sum, c_a + correct, n_a + n), None
+
+            zero = jnp.zeros((), jnp.float32)
+            carry0 = (params, batch_stats, opt_state, key, zero, zero, zero)
+            (params, batch_stats, opt_state, key,
+             loss_sum, correct, n), _ = jax.lax.scan(
+                body, carry0, (idxs_stk, wts_stk)
+            )
+            return params, batch_stats, opt_state, key, loss_sum, correct, n
+
+        return jax.jit(escan, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self, gather: bool = False):
         model = self.model
@@ -478,6 +533,41 @@ class Trainer:
          loss_sum, correct, n) = step(
             self.params, self.batch_stats, self.opt_state,
             tuple(stores), idxs, wts, lrs, sub,
+        )
+        return loss_sum, correct, n
+
+    def train_epoch_mixed_scanned(self, stores, idxs_stacked,
+                                  weights_stacked, stage: int, lrs):
+        """Run one WHOLE stratified epoch as one compiled dispatch.
+
+        ``stores`` is the per-bucket store tuple; ``idxs_stacked`` a
+        parallel tuple of ``(n_batches, c_i)`` int32 row matrices;
+        ``weights_stacked`` the ``(n_batches, sum c_i)`` float32 weight
+        matrix (``DeviceDataset.epoch_mixed_stacked`` builds all three).
+        Returns ``(loss_sum, correct, n)`` device scalars summed over the
+        epoch — the same totals the per-step loop accumulates, with the
+        identical per-batch RNG chain (the key splits once per batch, in
+        batch order, exactly like repeated :meth:`train_batch_mixed`
+        calls)."""
+        k = len(stores)
+        cache_key = ("train_epoch_mixed", stage, k)
+        if cache_key not in self._steps:
+            self._steps[cache_key] = self._build_train_epoch_mixed(stage, k)
+        step = self._steps[cache_key]
+        idxs = tuple(
+            jax.device_put(np.ascontiguousarray(i, np.int32),
+                           self._replicated)
+            for i in idxs_stacked
+        )
+        wts = jax.device_put(
+            np.ascontiguousarray(weights_stacked, np.float32),
+            self._replicated,
+        )
+        lrs = jnp.asarray(lrs, jnp.float32)
+        (self.params, self.batch_stats, self.opt_state, self.key,
+         loss_sum, correct, n) = step(
+            self.params, self.batch_stats, self.opt_state,
+            tuple(stores), idxs, wts, lrs, self.key,
         )
         return loss_sum, correct, n
 
