@@ -343,8 +343,9 @@ long long shelf_blit_blocks(const unsigned char* const* bases,
 
 // Lossless wire codec encoder (the C++ twin of wirecodec.encode's NumPy
 // path; byte-for-byte identical output, asserted in tests/test_wirecodec.py).
-// Per window: pick the predictor (vertical/horizontal) with fewer 4-bit
-// exceptions, pack deltas mod 16 into a nibble plane, and emit mod-256
+// Per window: pick the predictor with fewest 4-bit exceptions — vertical
+// (0), horizontal (1), or gradient left+up-upleft (2; decoded by chained
+// cumsums) — pack deltas mod 16 into a nibble plane, and emit mod-256
 // residual exceptions as single bytes (advance<<4 | residual>>4; zero low
 // nibble = dummy advancing 15x) in global scan order. Returns the entry
 // count, or -2 when it exceeds `cap` (the caller's payoff bound: content
@@ -368,38 +369,60 @@ long long wire_encode(const unsigned char* windows, int nc, int h, int w,
     for (int k = 0; k < nc; ++k) {
         const unsigned char* win = windows + (long long)k * win_px;
         // pass 1: exception counts under each predictor (vectorizable:
-        // d in [-255,263] after +8; unsigned compare catches both tails)
-        long long nv = 0, nh = 0;
+        // d in [-510,518] after +8; unsigned compare catches both tails)
+        long long nv = 0, nh = 0, ng = 0;
         for (int r = 0; r < h; ++r) {
             const unsigned char* row = win + (long long)r * w;
             const unsigned char* up = r ? row - w : zrow.data();
             int cv = (unsigned)(row[0] - up[0] + 8) > 15u;
             int ch = (unsigned)(row[0] + 8) > 15u;
+            int cg = (unsigned)(row[0] - up[0] + 8) > 15u;
             for (int c = 1; c < w; ++c)
                 cv += (unsigned)(row[c] - up[c] + 8) > 15u;
             for (int c = 1; c < w; ++c)
                 ch += (unsigned)(row[c] - row[c - 1] + 8) > 15u;
+            for (int c = 1; c < w; ++c)
+                cg += (unsigned)(row[c] - row[c - 1] - up[c] + up[c - 1]
+                                 + 8) > 15u;
             nv += cv;
             nh += ch;
+            ng += cg;
         }
-        const int horiz = nh < nv;
-        flags[k] = (unsigned char)horiz;
+        // tie-break = first min in (v, h, g) order, matching the NumPy
+        // twin's np.argmin over the stacked counts
+        int mode = 0;
+        long long best = nv;
+        if (nh < best) { best = nh; mode = 1; }
+        if (ng < best) { best = ng; mode = 2; }
+        flags[k] = (unsigned char)mode;
         // exceptions alone already exceed the cap: no dummy-entry count
         // can shrink it, so the noisy-content abort fires without pass 2
-        if (n_entries + (horiz ? nh : nv) > cap) return -2;
+        if (n_entries + best > cap) return -2;
         // pass 2: nibble plane + residual scratch, branch-free
         unsigned char* pl = plane + (long long)k * h * (w / 2);
         for (int r = 0; r < h; ++r) {
             const unsigned char* row = win + (long long)r * w;
             unsigned char* rr = res.data() + (long long)r * w;
             unsigned char* nb = nibs.data();
-            if (horiz) {
+            if (mode == 1) {
                 int d0 = row[0];
                 nb[0] = (unsigned char)(d0 & 15);
                 rr[0] = (unsigned char)((d0 - ((d0 & 15) -
                          (((d0 & 15) > 7) << 4))) & 255);
                 for (int c = 1; c < w; ++c) {
                     int d = row[c] - row[c - 1];
+                    int n = d & 15;
+                    nb[c] = (unsigned char)n;
+                    rr[c] = (unsigned char)((d - (n - ((n > 7) << 4))) & 255);
+                }
+            } else if (mode == 2) {
+                const unsigned char* up = r ? row - w : zrow.data();
+                int d0 = row[0] - up[0];
+                nb[0] = (unsigned char)(d0 & 15);
+                rr[0] = (unsigned char)((d0 - ((d0 & 15) -
+                         (((d0 & 15) > 7) << 4))) & 255);
+                for (int c = 1; c < w; ++c) {
+                    int d = row[c] - row[c - 1] - up[c] + up[c - 1];
                     int n = d & 15;
                     nb[c] = (unsigned char)n;
                     rr[c] = (unsigned char)((d - (n - ((n > 7) << 4))) & 255);

@@ -12,10 +12,13 @@ Scheme (designed around what this TPU does fast — dense elementwise ops,
 cumsum, and scatter-add at ~22 M updates/s measured — and what it does
 not: elementwise gathers and dynamic shapes):
 
-- Per window, pixels are predicted by their top neighbour (vertical) or
-  left neighbour (horizontal); the encoder picks the cheaper predictor
-  per window (1 flag byte). Row/col 0 predicts from 0, i.e. stores the
-  absolute value — no special case.
+- Per window, pixels are predicted by their top neighbour (vertical,
+  flag 0), left neighbour (horizontal, flag 1), or the planar gradient
+  ``left + up - upleft`` (flag 2 — the only 2-D predictor a TPU can
+  undo with prefix sums: its deltas are second differences, so decode
+  is cumsum along rows THEN columns); the encoder picks the cheapest
+  per window (1 flag byte). Out-of-range neighbours predict 0, i.e.
+  row/col 0 stores absolute values — no special case.
 - Prediction deltas are stored mod 16 in a dense 4-bit plane (half the
   raw bytes). Deltas outside [-8, 7] leave a nonzero mod-256 residual;
   those are *exceptions*.
@@ -29,17 +32,17 @@ not: elementwise gathers and dynamic shapes):
   ``CHUNK`` entries so the device-side scatter program compiles ONCE
   for every dispatch.
 - Decode = unpack nibbles -> scatter-add residuals -> cumsum mod 256
-  along the predictor axis (:mod:`sykepic_tpu.ops.wiredecode`). Exact:
-  all arithmetic is mod 256, so ``decode(encode(w)) == w`` bit-for-bit
-  for ANY uint8 content.
+  along the predictor axis (axes, chained, for the gradient)
+  (:mod:`sykepic_tpu.ops.wiredecode`). Exact: all arithmetic is mod 256,
+  so ``decode(encode(w)) == w`` bit-for-bit for ANY uint8 content.
 
 When the content does not compress (noise-like windows, tiny tail
 dispatches), :func:`encode` returns ``None`` and the caller ships the raw
 windows — the codec can therefore never cost wire bytes, only save them.
-Measured on the realistic bench mix: 3.70 -> 2.21 KB/ROI (ratio ~1.7);
-the 4.4 bit/px delta entropy of real IFCB pixels bounds any lossless
-scheme near ~1.8x — the residual gap to the floor is exception-stream
-overhead, recoverable only with entropy coding the device cannot decode.
+Measured on the realistic bench mix: 3.70 -> ~1.96 KB/ROI; the gradient
+predictor dominates there (second differences of smooth content are
+near-zero, delta entropy 3.3 bits/px vs 3.9 for the 1-D predictors) and
+wins ~3% even on raw-pixel tiles where camera noise punishes it most.
 """
 
 from __future__ import annotations
@@ -187,15 +190,18 @@ def encode(windows: np.ndarray, force: bool = False) -> WirePayload | None:
     a = windows.astype(np.int16)
     dv = np.diff(a, axis=1, prepend=np.zeros((nc, 1, w), np.int16))
     dh = np.diff(a, axis=2, prepend=np.zeros((nc, h, 1), np.int16))
+    dg = np.diff(dv, axis=2, prepend=np.zeros((nc, h, 1), np.int16))
     rv = (dv - _signed4(dv)).astype(np.int16) & 255
     rh = (dh - _signed4(dh)).astype(np.int16) & 255
-    # per-window predictor: fewer exceptions wins (plane cost is equal)
-    nv = np.count_nonzero(rv, axis=(1, 2))
-    nh = np.count_nonzero(rh, axis=(1, 2))
-    flags = (nh < nv).astype(np.uint8)
-    pick = flags.astype(bool)[:, None, None]
-    d = np.where(pick, dh, dv)
-    r = np.where(pick, rh, rv).astype(np.uint8)
+    rg = (dg - _signed4(dg)).astype(np.int16) & 255
+    # per-window predictor: fewer exceptions wins (plane cost is equal);
+    # argmin tie-break (first min: v < h < g) matches the C++ encoder
+    counts = np.stack([np.count_nonzero(x, axis=(1, 2))
+                       for x in (rv, rh, rg)])
+    flags = np.argmin(counts, axis=0).astype(np.uint8)
+    f = flags[:, None, None]
+    d = np.where(f == 1, dh, np.where(f == 2, dg, dv))
+    r = np.where(f == 1, rh, np.where(f == 2, rg, rv)).astype(np.uint8)
 
     # exception stream: one byte per entry, advance<<4 | residual>>4.
     # A real entry advances 1..15 px; dummy entries (low nibble 0)
@@ -246,7 +252,12 @@ def decode_reference(payload: WirePayload) -> np.ndarray:
     pos = np.cumsum(step) - 1
     keep = (pos >= 0) & (pos < nc * h * w)
     np.add.at(d.reshape(-1), pos[keep], (v << 4)[keep])
+    # int32 bound: |d| <= 255 per px after the scatter, so even the
+    # gradient's chained cumsums stay <= npx * 255 < 2^31 for any canvas
+    # the packer emits (<= 1024x1024)
     pv = np.cumsum(d, axis=1)
     ph = np.cumsum(d, axis=2)
-    out = np.where(payload.flags.astype(bool)[:, None, None], ph, pv)
+    pg = np.cumsum(pv, axis=2)
+    f = payload.flags[:, None, None]
+    out = np.where(f == 1, ph, np.where(f == 2, pg, pv))
     return (out & 255).astype(np.uint8)

@@ -64,10 +64,18 @@ def scatter_chunk(d, exc, carry):
 
 @jax.jit
 def finalize(d, flags):
-    """Cumsum mod 256 along each window's predictor axis -> uint8."""
+    """Cumsum mod 256 along each window's predictor axis -> uint8.
+
+    Flag 0 = vertical (cumsum rows), 1 = horizontal (cumsum cols),
+    2 = gradient (cumsum rows THEN cols — undoes the second difference).
+    int32 is safe un-wrapped: |d| <= 255 per px post-scatter, so the
+    chained cumsums stay <= npx * 255 < 2^31 for any packer canvas.
+    """
     pv = jnp.cumsum(d, axis=1)
     ph = jnp.cumsum(d, axis=2)
-    out = jnp.where(flags.astype(bool)[:, None, None], ph, pv)
+    pg = jnp.cumsum(pv, axis=2)
+    f = flags[:, None, None]
+    out = jnp.where(f == 1, ph, jnp.where(f == 2, pg, pv))
     return (out & 255).astype(jnp.uint8)
 
 
