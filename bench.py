@@ -30,6 +30,12 @@ import time
 # compile); round 2's driver-captured tail was mostly this spam. Silence
 # non-fatal XLA logging so the JSON metric lines stay in the tail.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _venvfix
+
+_venvfix.ensure()
 from datetime import datetime, timedelta
 from pathlib import Path
 
@@ -664,8 +670,10 @@ def _backend_responds(timeout_s: float = 180.0) -> bool:
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
+             "import _venvfix; _venvfix.ensure(); "
              "import jax; jax.devices(); print('ok')"],
             timeout=timeout_s, capture_output=True, text=True,
+            cwd=str(REPO),
         )
         return "ok" in proc.stdout
     except (subprocess.TimeoutExpired, OSError):

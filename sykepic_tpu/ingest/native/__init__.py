@@ -16,8 +16,31 @@ import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _SO = _HERE / "libifcb_native.so"
+_FP = _HERE / ".buildhost"  # CPU fingerprint the .so was compiled for
 _lib = None
 _tried = False
+
+
+def _host_fingerprint() -> str:
+    """Identity of the CPU the -march=native build targets. The bench VM
+    migrates between hosts with different ISA extensions (the XLA compile
+    cache hit the same problem, utils/jaxcache.py); running a stale .so
+    built for a wider ISA would SIGILL, so a fingerprint mismatch forces
+    a rebuild instead of a load."""
+    import hashlib
+
+    model = flags = ""
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("model name") and not model:
+                model = line.split(":", 1)[1].strip()
+            elif line.startswith("flags") and not flags:
+                flags = line.split(":", 1)[1].strip()
+            if model and flags:
+                break
+    except OSError:
+        pass
+    return hashlib.sha256(f"{model}|{flags}".encode()).hexdigest()[:16]
 
 
 def lib():
@@ -26,6 +49,14 @@ def lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    fp = _host_fingerprint()
+    if _SO.is_file():
+        try:
+            recorded = _FP.read_text().strip()
+        except OSError:
+            recorded = ""
+        if recorded != fp:
+            _SO.unlink(missing_ok=True)  # built on a different host
     if not _SO.is_file():
         try:
             subprocess.run(
@@ -41,6 +72,10 @@ def lib():
                 )
             except Exception:
                 return None
+        try:
+            _FP.write_text(fp + "\n")
+        except OSError:
+            pass
     try:
         handle = ctypes.CDLL(str(_SO))
     except OSError:

@@ -9,6 +9,11 @@ import os
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import _venvfix  # noqa: E402
+
+_venvfix.ensure()
+
 # NOTE: this environment's sitecustomize force-registers a TPU backend and
 # overrides the JAX_PLATFORMS env var, so we must also pin the platform via
 # jax.config below.

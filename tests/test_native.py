@@ -91,3 +91,36 @@ def test_probabilities_to_csv_native_path(tmp_path):
     finally:
         native_mod.format_probs = orig
     assert (tmp_path / "native.csv").read_bytes() == (tmp_path / "py.csv").read_bytes()
+
+
+def test_stale_so_rebuilt_on_host_change(tmp_path, monkeypatch):
+    """A .so built on a different CPU (recorded in .buildhost) must be
+    discarded, not loaded: -march=native code from a wider-ISA host
+    SIGILLs, which no except clause can catch."""
+    import sykepic_tpu.ingest.native as native_mod
+
+    fake_so = tmp_path / "libifcb_native.so"
+    fake_so.write_bytes(b"not a real library")
+    (tmp_path / ".buildhost").write_text("deadbeefdeadbeef\n")
+    monkeypatch.setattr(native_mod, "_SO", fake_so)
+    monkeypatch.setattr(native_mod, "_FP", tmp_path / ".buildhost")
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    native_mod.lib()  # result irrelevant (no Makefile in tmp_path)
+    assert not fake_so.exists(), "stale cross-host .so was not discarded"
+
+    # matching fingerprint: the (unloadable) .so is trusted and kept
+    fake_so.write_bytes(b"not a real library")
+    (tmp_path / ".buildhost").write_text(native_mod._host_fingerprint() + "\n")
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    assert native_mod.lib() is None  # CDLL fails on garbage, no crash
+    assert fake_so.exists()
+
+
+def test_host_fingerprint_stable():
+    import sykepic_tpu.ingest.native as native_mod
+
+    a = native_mod._host_fingerprint()
+    assert a == native_mod._host_fingerprint()
+    assert len(a) == 16
