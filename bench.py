@@ -212,7 +212,13 @@ def inference_benchmark(root: Path) -> None:
     rates = []
     link_mid = None
     budget_start = time.perf_counter()
-    for trial in range(8):
+    # 16-pass cap: the real bound is the 420 s time budget below. An
+    # 8-pass cap once froze a congested-start run at median 1.7k while
+    # the last two passes measured 11k on the recovered link — the
+    # disagreement rule below only prevents early STOPS, so the cap must
+    # leave room for it to keep sampling until conditions are stationary
+    # (symmetric: a mid-run collapse also gets more low passes recorded).
+    for trial in range(16):
         out_dir = root / f"out{trial}"
         t0 = time.perf_counter()
         written = probability.process_samples_batched(pass_samples, clf, out_dir)
@@ -237,6 +243,15 @@ def inference_benchmark(root: Path) -> None:
         consistent = max(tail) / max(min(tail), 1e-9) < 1.5
         if spent > 420.0 or (len(rates) >= 5 and consistent and spent > 200.0):
             break
+        # A pass sized during a link slump finishes in ~2 s once the link
+        # recovers and fixed per-pass overheads dominate its rate; re-size
+        # toward the ~18 s target so later passes measure the stream, not
+        # the overhead. Same-shape dispatches only (every synthetic sample
+        # draws the same bucket mix), so no new compiles are introduced.
+        if rates[-1] * 18.0 > 2.5 * n_rois and len(pass_samples) < len(samples):
+            want = int(np.clip(rates[-1] * 18.0, 10_000, N_ROIS))
+            pass_samples = samples[: max(want // 500, 8)]
+            n_rois = 500 * len(pass_samples)
 
     import jax
 
@@ -705,11 +720,14 @@ def main() -> None:
         except Exception as e:
             print(json.dumps({"metric": "host_pack_rois_per_sec",
                               "error": str(e)[:200]}))
-        try:
-            train_benchmark(root)
-        except Exception as e:
-            print(json.dumps({"metric": "train_epoch_wall_clock",
-                              "error": str(e)[:200]}))
+        if os.environ.get("SYKEPIC_BENCH_SKIP_TRAIN") == "1":
+            pass  # fast iteration on the inference loop only
+        else:
+            try:
+                train_benchmark(root)
+            except Exception as e:
+                print(json.dumps({"metric": "train_epoch_wall_clock",
+                                  "error": str(e)[:200]}))
         try:
             inference_benchmark(root)
         except Exception as e:  # a parseable last line even on failure
