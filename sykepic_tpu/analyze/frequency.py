@@ -11,7 +11,7 @@ are pinned in ``tests/test_oracle_postprocess.py::test_frequency_matches``.
 
 from __future__ import annotations
 
-import datetime
+import datetime as _dt
 from pathlib import Path
 
 import pandas as pd
@@ -30,72 +30,82 @@ def frequency_df(
 ):
     """Frequency of each predicted class per sample timestamp
     (reference ``frequency.py:10-65``): rows are sample datetimes, columns
-    class names, cells classification counts (NaN when absent)."""
-    csv_date_list = filter_csv_by_date(pred_dir, start, end, hour_window, date_format)
-    if not csv_date_list:
+    class names, cells classification counts (NaN when absent). Only rows
+    whose prediction met its threshold (``classified``) are counted."""
+    matched = filter_csv_by_date(pred_dir, start, end, hour_window, date_format)
+    if not matched:
         print("[INFO] No sample predictions match this time restraint.")
         return None
-    print(f"[INFO] Using predictions from {len(csv_date_list)} samples")
-    df = csv_to_df(csv_date_list, thresholds)
-    df = df[df["classified"]].drop("classified", axis=1)
-    return group_predictions(df)
+    print(f"[INFO] Using predictions from {len(matched)} samples")
+    stamped = csv_to_df(matched, thresholds)
+    accepted = stamped[stamped["classified"]].drop(columns="classified")
+    return group_predictions(accepted)
 
 
 def filter_df(freq_df, prediction=None, top=None):
     """Column filter: explicit classes and/or the ``top`` most frequent
     (reference ``frequency.py:68-89``)."""
-    if prediction:
-        freq_df = freq_df.loc[:, prediction]
+    out = freq_df.loc[:, prediction] if prediction else freq_df
     if top:
-        freq_df = freq_df[freq_df.sum().nlargest(top).index]
-    return freq_df
+        out = out[out.sum().nlargest(top).index]
+    return out
+
+
+def _hour_bounds(hour_window: str):
+    """``"HH:MM-HH:MM"`` -> (time, time) inclusive bounds."""
+    lo, hi = (part.strip() for part in hour_window.split("-"))
+    fmt = "%H:%M"
+    return (_dt.datetime.strptime(lo, fmt).time(),
+            _dt.datetime.strptime(hi, fmt).time())
 
 
 def filter_csv_by_date(
     pred_dir, start=None, end=None, hour_window=None, date_format="%Y-%m-%d %H:%M"
 ):
     """(csv, datetime) pairs within the date range / hour-of-day window
-    (reference ``frequency.py:93-115``)."""
-    pred_dir = Path(pred_dir)
-    if not pred_dir.is_dir():
-        raise FileNotFoundError(f"'{pred_dir}' is not a directory")
-    start = datetime.datetime.strptime(start, date_format) if start else None
-    end = datetime.datetime.strptime(end, date_format) if end else None
-    if hour_window:
-        time_format = "%H:%M"
-        hour_start, hour_end = hour_window.split("-")
-        hour_start = datetime.datetime.strptime(hour_start.strip(), time_format)
-        hour_end = datetime.datetime.strptime(hour_end.strip(), time_format)
-    csv_date_list = []
-    for csv in sorted(pred_dir.glob("**/*.csv")):
-        date = sample_to_datetime(csv.with_suffix("").name)
+    (reference ``frequency.py:93-115``), sorted by path."""
+    root = Path(pred_dir)
+    if not root.is_dir():
+        raise FileNotFoundError(f"'{root}' is not a directory")
+    after = _dt.datetime.strptime(start, date_format) if start else None
+    before = _dt.datetime.strptime(end, date_format) if end else None
+    window = _hour_bounds(hour_window) if hour_window else None
+    matched = []
+    for path in sorted(root.glob("**/*.csv")):
+        stamp = sample_to_datetime(path.with_suffix("").name)
         # reference compares naive datetimes; ours are UTC-aware
-        naive = date.replace(tzinfo=None)
-        if (start and naive < start) or (end and naive > end):
+        local = stamp.replace(tzinfo=None)
+        if after and local < after:
             continue
-        if hour_window and not (hour_start.time() <= naive.time() <= hour_end.time()):
+        if before and local > before:
             continue
-        csv_date_list.append((csv, date))
-    return csv_date_list
+        if window and not (window[0] <= local.time() <= window[1]):
+            continue
+        matched.append((path, stamp))
+    return matched
 
 
 def csv_to_df(csv_date_list, thresholds):
-    """Concat per-sample prediction frames with a timestamp column
-    (reference ``frequency.py:118-136``)."""
-    df_list = []
-    for csv, date in csv_date_list:
-        sample_df = prediction_dataframe(csv, thresholds)
-        sample_df = sample_df.drop(sample_df.columns[2:], axis=1)
-        sample_df.insert(0, "timestamp", date)
-        df_list.append(sample_df)
-    df = pd.concat(df_list)
-    df["prediction"] = df["prediction"].astype("category")
-    return df
+    """One long frame of (timestamp, prediction, classified) rows over all
+    samples (reference ``frequency.py:118-136``; the per-class probability
+    columns are discarded — only the thresholded verdict is needed)."""
+    pieces = []
+    for path, stamp in csv_date_list:
+        verdicts = prediction_dataframe(path, thresholds)[
+            ["prediction", "classified"]
+        ].copy()
+        verdicts.insert(0, "timestamp", stamp)
+        pieces.append(verdicts)
+    merged = pd.concat(pieces)
+    merged["prediction"] = merged["prediction"].astype("category")
+    return merged
 
 
 def group_predictions(df):
     """timestamp x prediction counts (reference ``frequency.py:138-142``)."""
-    df = df.groupby("timestamp", observed=False).prediction.value_counts().unstack()
-    df.columns.name = ""
-    df.index.name = ""
-    return df
+    counts = (
+        df.groupby("timestamp", observed=False).prediction.value_counts().unstack()
+    )
+    counts.columns.name = ""
+    counts.index.name = ""
+    return counts

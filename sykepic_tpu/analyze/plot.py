@@ -2,7 +2,9 @@
 
 Matplotlib is imported lazily with the Agg backend so headless training
 nodes never need a display. ``view_batch`` takes an NHWC image array (our
-native layout) instead of a torch DataLoader batch.
+native layout) instead of a torch DataLoader batch. The visual style
+(dark background, turquoise/tomato series) follows the reference's look;
+appearance is not a parity contract.
 """
 
 from __future__ import annotations
@@ -11,6 +13,10 @@ import datetime
 from pathlib import Path
 
 import numpy as np
+
+# series styling shared by the training-curve and distribution plots
+_TRAIN_STYLE = dict(label="Training", c="turquoise", lw=2)
+_VAL_STYLE = dict(label="Validation", c="tomato", lw=2)
 
 
 def _plt():
@@ -34,7 +40,7 @@ def _style(plt, name):
 def class_plot(class_csv, columns_to_plot, ylabel="Biomass (μg/L)",
                out_file=None):
     """Per-class time series from a classification CSV
-    (reference ``plot.py:14-37``, Helsinki timezone)."""
+    (reference ``plot.py:14-37``; timestamps shown in Helsinki time)."""
     import pandas as pd
 
     plt = _plt()
@@ -43,56 +49,53 @@ def class_plot(class_csv, columns_to_plot, ylabel="Biomass (μg/L)",
 
     munits.registry[datetime.datetime] = ConciseDateConverter()
     _style(plt, "seaborn-whitegrid")
-    if not out_file:
-        out_file = Path(class_csv).with_suffix(".png")
-    df = pd.read_csv(class_csv)
-    df["Time"] = pd.to_datetime(df.Time).dt.tz_convert("Europe/Helsinki")
-    fig, axs = plt.subplots(
+    table = pd.read_csv(class_csv)
+    table["Time"] = pd.to_datetime(table.Time).dt.tz_convert("Europe/Helsinki")
+    if isinstance(columns_to_plot[0], int):
+        columns_to_plot = [table.columns[i] for i in columns_to_plot]
+    fig, axes = plt.subplots(
         len(columns_to_plot), 1, figsize=(15, 10), sharex=True,
         constrained_layout=True,
     )
-    if len(columns_to_plot) < 2:
-        axs = [axs]
     fig.text(-0.02, 0.5, ylabel, va="center", rotation="vertical", size=14)
-    if isinstance(columns_to_plot[0], int):
-        columns_to_plot = [df.columns[i] for i in columns_to_plot]
-    for name, ax in zip(columns_to_plot, axs):
-        ax.title.set_text(name.replace("_", " "))
-        ax.title.set_size(14)
-        ax.plot(df.Time, df[name])
-    plt.savefig(out_file, format="png", bbox_inches="tight")
+    for ax, column in zip(np.atleast_1d(axes), columns_to_plot):
+        ax.set_title(column.replace("_", " "), fontsize=14)
+        ax.plot(table.Time, table[column])
+    target = Path(out_file) if out_file else Path(class_csv).with_suffix(".png")
+    plt.savefig(target, format="png", bbox_inches="tight")
     plt.close()
-    return Path(out_file)
+    return target
 
 
 def view_batch(images, h=None, w=None, save=None):
     """Save an ``h x w`` collage of a batch (reference ``plot.py:40-72``).
 
-    ``images``: (B, H, W, C) or (B, H, W) float array in [0, 1].
+    ``images``: (B, H, W, C) or (B, H, W) float array in [0, 1]. When only
+    one of ``h``/``w`` is given the other is derived from the batch size;
+    with neither, the collage is square.
     """
     import cv2
 
     images = np.asarray(images)
     if images.ndim == 3:
         images = images[..., None]
-    bs = images.shape[0]
+    count = images.shape[0]
     if w:
-        h = int(bs / w)
+        h = count // w
     elif h:
-        w = int(bs / h)
+        w = count // h
     else:
-        h = int(np.sqrt(bs))
-        w = h
-    rows = [
-        np.concatenate(list(images[y : y + w]), axis=1)
-        for y in range(0, h * w, w)
+        h = w = int(np.sqrt(count))
+    strips = [
+        np.concatenate(list(images[row : row + w]), axis=1)
+        for row in range(0, h * w, w)
     ]
-    matrix = np.concatenate(rows, axis=0)
-    matrix = np.clip(matrix * 255.0, 0, 255).astype(np.uint8)
+    collage = np.clip(np.concatenate(strips, axis=0) * 255.0, 0, 255)
+    collage = collage.astype(np.uint8)
     if save:
-        cv2.imwrite(str(save), matrix)
+        cv2.imwrite(str(save), collage)
         return Path(save)
-    return matrix
+    return collage
 
 
 def plot_stats(
@@ -105,27 +108,26 @@ def plot_stats(
     first_epoch=1,
     epoch_step=1,
 ):
-    """Per-epoch accuracy/loss curves (reference ``plot.py:75-124``)."""
+    """Per-epoch accuracy/loss curves (reference ``plot.py:75-124``):
+    two stacked panels sharing the epoch axis."""
     plt = _plt()
     _style(plt, "dark_background")
-    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, dpi=100, figsize=(12, 8.4))
-    epochs = np.arange(first_epoch, first_epoch + len(train_accs), epoch_step)
-    xticks = np.arange(0, len(train_accs), epoch_step)
-    plt.xticks(xticks, epochs)
+    fig, axes = plt.subplots(2, 1, sharex=True, dpi=100, figsize=(12, 8.4))
+    n_epochs = len(train_accs)
+    plt.xticks(np.arange(0, n_epochs, epoch_step),
+               np.arange(first_epoch, first_epoch + n_epochs, epoch_step))
     plt.xlabel("Epoch")
     if title:
         plt.title(title)
-
-    ax1.plot(train_accs, label="Training", c="turquoise", lw=2)
-    ax1.plot(val_accs, label="Validation", c="tomato", lw=2)
-    ax1.legend(loc="upper left")
-    ax1.set_ylabel("Accuracy")
-
-    ax2.plot(train_losses, label="Training", c="turquoise", lw=2)
-    ax2.plot(val_losses, label="Validation", c="tomato", lw=2)
-    ax2.legend(loc="upper left")
-    ax2.set_ylabel("Loss")
-
+    panels = (
+        (axes[0], "Accuracy", train_accs, val_accs),
+        (axes[1], "Loss", train_losses, val_losses),
+    )
+    for ax, axis_label, train_series, val_series in panels:
+        ax.plot(train_series, **_TRAIN_STYLE)
+        ax.plot(val_series, **_VAL_STYLE)
+        ax.legend(loc="upper left")
+        ax.set_ylabel(axis_label)
     plt.tight_layout()
     if outfile:
         plt.savefig(outfile)
@@ -149,30 +151,28 @@ def plot_img(img, title="", save=None):
 
 
 def dataset_distribution(data, save=None, size=(8.4, 12)):
-    """Horizontal bar chart of class sizes (reference ``plot.py:127-155``).
+    """Horizontal bar chart of class sizes (reference ``plot.py:127-155``),
+    smallest class at the bottom, alphabetical among equals.
 
     ``data`` is a :class:`sykepic_tpu.train.data.ModelData` (uses its
     ``distribution`` mapping).
     """
     plt = _plt()
-    values = []
-    labels = []
-    classes = sorted(data.distribution.items())
-    classes = sorted(classes, key=lambda x: x[1][0])
-    for class_ in classes:
-        values.append(class_[1][0])
-        labels.append(class_[0])
+    ordered = sorted(sorted(data.distribution.items()),
+                     key=lambda kv: kv[1][0])
+    labels = [name for name, _counts in ordered]
+    totals = [counts[0] for _name, counts in ordered]
 
     _style(plt, "dark_background")
     plt.figure(figsize=size)
-    plt.barh(labels, values, color="turquoise")
-    for i, v in enumerate(values):
-        plt.text(v, i, " " + str(v), va="center", color="tomato")
+    plt.barh(labels, totals, color=_TRAIN_STYLE["c"])
+    for pos, total in enumerate(totals):
+        plt.text(total, pos, f" {total}", va="center", color=_VAL_STYLE["c"])
     plt.grid(False)
-    a = plt.gca().axes
-    a.get_xaxis().set_visible(False)
-    for side in ("top", "right", "bottom", "left"):
-        a.spines[side].set_visible(False)
+    ax = plt.gca()
+    ax.get_xaxis().set_visible(False)
+    for spine in ax.spines.values():
+        spine.set_visible(False)
     if save:
         plt.tight_layout()
         plt.savefig(save, dpi=100)

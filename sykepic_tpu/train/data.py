@@ -1,16 +1,31 @@
 """Labeled-dataset handling for training (reference ``sykepic/train/data.py``).
 
 Split/oversample semantics are kept *bit-identical* to the reference so a
-given dataset + seed yields the same train/val/test membership:
+given dataset + seed yields the same train/val/test membership. That goal
+constrains the ALGORITHM — specifically the exact sequence of calls into
+Python's global ``random`` module, because ``random.seed(s)`` +
+``random.shuffle(seq)`` is a pure function of (seed, len(seq)) and the
+reference re-seeds before every shuffle. The sequence-constrained calls are:
 
-- per-class deterministic shuffle + split with ``random.seed(seed)`` before
-  every shuffle (reference ``data.py:45-95``),
-- ``int(round(len * split))`` boundaries (banker's rounding via Python
-  ``round``),
-- oversampling by round-robin reuse until ``until`` or the exponential-decay
-  target ``int((1 + decay**len) * len)`` (reference ``data.py:297-317``),
-- label encoding = sorted unique train-class names (sklearn ``LabelEncoder``
-  semantics, reference ``data.py:97-108``) without the sklearn dependency.
+1. per class directory (in ``Path.iterdir()`` order): one seeded shuffle of
+   the sorted file list (reference ``data.py:58-59``), and — only in the
+   3-way-split case — one seeded shuffle of the accumulated test list
+   *inside* the class loop (``data.py:88-89``);
+2. after the loop: one seeded shuffle of the train list, then one of the
+   val list (``data.py:92-95``);
+3. ``list_files``: one seeded shuffle of a directory's filename list before
+   truncating to ``max_N`` (``data.py:259-261``);
+4. split boundaries must be ``int(round(n * fraction))`` (banker's
+   rounding via Python ``round``, ``data.py:60-61``);
+5. oversampling reuses items round-robin from index 0 (``data.py:309-316``)
+   and the per-class groups are visited in ascending encoded-label order
+   (``data.py:135-138``);
+6. ``combined_shuffle`` is one seeded shuffle of an n-element sequence
+   (``data.py:320-326``) — the permutation depends only on (seed, n), so
+   shuffling an index vector reproduces it exactly.
+
+Everything else here — decomposition, names, the artifact writer — is this
+module's own.
 
 What changed (TPU-native): there is no torch ``DataLoader``. Batching is the
 job of :mod:`sykepic_tpu.train.input`, which packs decoded images into device
@@ -22,7 +37,6 @@ from __future__ import annotations
 
 import os
 import random
-from itertools import groupby
 from pathlib import Path
 
 import numpy as np
@@ -50,6 +64,14 @@ class LabelEncoder:
         return self.classes_[np.asarray(indices)]
 
 
+def _reseeded_shuffle(items: list, seed) -> None:
+    """In-place ``random.seed(seed)`` + ``random.shuffle(items)`` — the
+    reference's idiom for every deterministic shuffle (see module
+    docstring, constraint set)."""
+    random.seed(seed)
+    random.shuffle(items)
+
+
 class ModelData:
     """Dataset splitting, labeling and oversampling
     (reference ``data.py:17-192``)."""
@@ -62,126 +84,127 @@ class ModelData:
         self.exclude = list(exclude)
         self.random_seed = random_seed
         self.oversampled = False
-        self._init_paths()
-        self._init_labels()
+        self._build_splits()
+        self._encode_labels()
 
-    def _init_paths(self):
-        """Split dataset into per-split path lists (reference ``:31-95``)."""
-        if len(self.split) == 3:
-            train_split, val_split, test_split = self.split
-            self.test_x = []
-        else:
-            train_split, val_split = self.split
-            test_split = None
-            self.test_x = None
+    # -- splitting -------------------------------------------------------
+
+    def _class_files(self, class_dir: Path) -> list[Path]:
+        """Sorted candidate files of one class, pre-shuffled with the
+        model seed (sequence constraint #1)."""
+        found = sorted(
+            list_files(class_dir, ".png", self.min_N, self.max_N,
+                       self.exclude, self.random_seed)
+        )
+        _reseeded_shuffle(found, self.random_seed)
+        return found
+
+    def _build_splits(self):
+        """Partition every class directory into train/val(/test) path
+        lists (reference ``:31-95``; boundaries per constraint #4)."""
+        fractions = tuple(self.split)
+        with_test = len(fractions) == 3
         self.train_x = []
         self.val_x = []
+        self.test_x = [] if with_test else None
         self.distribution = {}
 
         for class_dir in self.dataset.iterdir():
-            paths = sorted(
-                list_files(
-                    class_dir,
-                    ".png",
-                    self.min_N,
-                    self.max_N,
-                    self.exclude,
-                    self.random_seed,
-                )
-            )
-            if not paths:
+            files = self._class_files(class_dir)
+            if not files:
                 continue
-            random.seed(self.random_seed)
-            random.shuffle(paths)
-            train_stop = int(round(len(paths) * train_split))
-            val_stop = train_stop + int(round(len(paths) * val_split))
-            train = paths[:train_stop]
-            if test_split is None:
-                val = paths[train_stop:]
-                assert train and val, (
-                    f"'{class_dir.name}' doesn't have enough samples ({len(paths)})."
-                    " Consider using another min_N or split value."
+            n = len(files)
+            cut_a = int(round(n * fractions[0]))
+            cut_b = cut_a + int(round(n * fractions[1]))
+            pieces = (
+                (files[:cut_a], files[cut_a:cut_b], files[cut_b:])
+                if with_test else (files[:cut_a], files[cut_a:])
+            )
+            if not all(pieces):
+                raise AssertionError(
+                    f"class '{class_dir.name}' is too small to fill every "
+                    f"split ({n} files) — raise min_N or change the split "
+                    f"fractions"
                 )
-                self.distribution[class_dir.name] = [len(paths), len(train), len(val)]
-            else:
-                val = paths[train_stop:val_stop]
-                test = paths[val_stop:]
-                assert train and val and test, (
-                    f"'{class_dir.name}' doesn't have enough samples ({len(paths)})."
-                    " Consider using another min_N or split value."
-                )
-                self.distribution[class_dir.name] = [
-                    len(paths),
-                    len(train),
-                    len(val),
-                    len(test),
-                ]
-                self.test_x.extend(test)
-                random.seed(self.random_seed)
-                random.shuffle(self.test_x)
-            self.train_x.extend(train)
-            self.val_x.extend(val)
-        random.seed(self.random_seed)
-        random.shuffle(self.train_x)
-        random.seed(self.random_seed)
-        random.shuffle(self.val_x)
+            self.distribution[class_dir.name] = [n] + [len(p) for p in pieces]
+            self.train_x += pieces[0]
+            self.val_x += pieces[1]
+            if with_test:
+                self.test_x += pieces[2]
+                # the reference re-shuffles the ACCUMULATED test list once
+                # per class, inside the loop (constraint #1)
+                _reseeded_shuffle(self.test_x, self.random_seed)
+        _reseeded_shuffle(self.train_x, self.random_seed)
+        _reseeded_shuffle(self.val_x, self.random_seed)
 
-    def _init_labels(self):
-        """Integer labels from parent directory names (reference ``:97-108``)."""
-        train_labels = [path.parent.name for path in self.train_x]
-        val_labels = [path.parent.name for path in self.val_x]
+    # -- labels ----------------------------------------------------------
+
+    def _encode_labels(self):
+        """Integer labels from parent directory names (reference
+        ``:97-108``): the encoder is fit on the train split only."""
         self.le = LabelEncoder()
-        self.le.fit_transform(train_labels)
-        self.train_y = list(self.le.transform(train_labels))
-        self.val_y = list(self.le.transform(val_labels))
+        self.train_y = list(
+            self.le.fit_transform([p.parent.name for p in self.train_x])
+        )
+        self.val_y = list(self.le.transform([p.parent.name for p in self.val_x]))
         if self.test_x:
-            test_labels = [path.parent.name for path in self.test_x]
-            self.test_y = list(self.le.transform(test_labels))
+            self.test_y = list(
+                self.le.transform([p.parent.name for p in self.test_x])
+            )
+
+    # -- artifacts -------------------------------------------------------
 
     def save(self, out_dir) -> None:
         """Write ``class_distribution.csv`` + ``class_names.txt``
-        (reference ``:110-130``)."""
+        (reference ``:110-130``; byte-compatible artifact)."""
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        with open(out_dir / "class_distribution.csv", "w") as fh:
-            header = "class,total,train,validation"
-            if self.test_x:
-                header += ",test"
-            fh.write(header)
-            if self.oversampled:
-                fh.write(",oversampled")
-            classes = sorted(self.distribution.items())
-            classes = sorted(classes, key=lambda x: x[1][0], reverse=True)
-            for class_ in classes:
-                fh.write(f"\n{class_[0]},")
-                fh.write(",".join(str(i) for i in class_[1]))
-        with open(out_dir / "class_names.txt", "w") as fh:
-            fh.write("\n".join(self.le.classes_))
+        columns = ["class", "total", "train", "validation"]
+        if self.test_x:
+            columns.append("test")
+        if self.oversampled:
+            columns.append("oversampled")
+        # rows ordered by class size descending, alphabetical among ties
+        # (two stable sorts, mirroring the artifact's reference layout)
+        rows = sorted(sorted(self.distribution.items()),
+                      key=lambda kv: kv[1][0], reverse=True)
+        lines = [",".join(columns)]
+        for name, counts in rows:
+            lines.append(",".join([name] + [str(c) for c in counts]))
+        (out_dir / "class_distribution.csv").write_text("\n".join(lines))
+        (out_dir / "class_names.txt").write_text("\n".join(self.le.classes_))
+
+    # -- oversampling ----------------------------------------------------
 
     def oversample(self, until, decay) -> None:
-        """Reuse training samples per class (reference ``:132-148``)."""
-        train_zip = sorted(zip(self.train_x, self.train_y), key=lambda x: x[1])
+        """Grow small training classes by round-robin reuse (reference
+        ``:132-148``; group order per constraint #5)."""
+        per_label: dict[int, list[Path]] = {}
+        for path, label in zip(self.train_x, self.train_y):
+            per_label.setdefault(label, []).append(path)
         self.over_x = []
         self.over_y = []
-        for key, group in groupby(train_zip, lambda x: x[1]):
-            x, y = zip(*list(group))
-            over_x, over_y = oversample(list(x), list(y), until, decay)
-            name = self.le.inverse_transform([key])[0]
-            self.distribution[name].append(len(over_x))
-            self.distribution[name][1] += len(over_x)
-            self.over_x.extend(over_x)
-            self.over_y.extend(over_y)
+        for label in sorted(per_label):  # ascending encoded label
+            extra, extra_y = oversample(
+                per_label[label], [label] * len(per_label[label]), until, decay
+            )
+            class_name = self.le.inverse_transform([label])[0]
+            counts = self.distribution[class_name]
+            counts.append(len(extra))
+            counts[1] += len(extra)
+            self.over_x += extra
+            self.over_y += extra_y
         self.oversampled = True
 
     def train_set(self):
         """(paths, labels) for training, oversampling folded in and shuffled
         (reference ``set_data_loaders``, ``:157-165``)."""
-        if self.oversampled:
-            train_x = self.train_x + self.over_x
-            train_y = self.train_y + self.over_y
-            train_x, train_y = combined_shuffle(train_x, train_y, self.random_seed)
-            return list(train_x), list(train_y)
-        return list(self.train_x), list(self.train_y)
+        if not self.oversampled:
+            return list(self.train_x), list(self.train_y)
+        return combined_shuffle(
+            self.train_x + self.over_x, self.train_y + self.over_y,
+            self.random_seed,
+        )
 
     @property
     def num_classes(self) -> int:
@@ -190,39 +213,36 @@ class ModelData:
 
 def list_files(root_dir, extension, min_N=None, max_N=None, exclude=(), random_seed=24):
     """Yield files below ``root_dir`` with allowed extensions
-    (reference ``data.py:234-275``; identical min/max/exclude + shuffle)."""
-    if not isinstance(extension, list):
-        extension = [extension]
-    for dirpath, _, filenames in os.walk(root_dir):
-        dirpath = Path(dirpath)
-        if dirpath.name in exclude:
+    (reference ``data.py:234-275``: directories named in ``exclude`` and
+    directories under ``min_N`` files are skipped whole; over-full
+    directories are truncated to ``max_N`` AFTER a seeded shuffle of the
+    walk's filename list — sequence constraint #3)."""
+    wanted = set(extension) if isinstance(extension, list) else {extension}
+    for dirpath, _subdirs, names in os.walk(root_dir):
+        folder = Path(dirpath)
+        if folder.name in exclude:
             continue
-        if min_N and len(filenames) < min_N:
+        if min_N and len(names) < min_N:
             continue
-        if max_N and len(filenames) > max_N:
-            random.seed(random_seed)
-            random.shuffle(filenames)
-            filenames = filenames[:max_N]
-        for filename in filenames:
-            filepath = dirpath / filename
-            if filepath.suffix in extension:
-                yield filepath.resolve()
+        if max_N and len(names) > max_N:
+            _reseeded_shuffle(names, random_seed)
+            del names[max_N:]
+        for name in names:
+            candidate = folder / name
+            if candidate.suffix in wanted:
+                yield candidate.resolve()
 
 
 def auto_id(name, directory) -> int:
     """Next free ``<name>_<N>`` version number (reference ``data.py:278-294``)."""
-    max_id = 0
+    used = [0]
     directory = Path(directory)
     if directory.is_dir():
         for path in directory.glob(f"{name}_*"):
-            if path.is_dir():
-                try:
-                    path_id = int(path.name.split("_")[-1])
-                except ValueError:
-                    continue
-                if path_id > max_id:
-                    max_id = path_id
-    return max_id + 1
+            tail = path.name.rsplit("_", 1)[-1]
+            if path.is_dir() and tail.isdigit():
+                used.append(int(tail))
+    return max(used) + 1
 
 
 def oversample(x, y, until=None, decay=None):
@@ -233,37 +253,29 @@ def oversample(x, y, until=None, decay=None):
     path cannot run); this implements the documented intent: ``until`` wins,
     else the decay target ``int((1 + decay**len(x)) * len(x))``.
     """
-    if not until and decay:
-        until = int((1 + 1 * decay ** len(x)) * len(x))
-    elif not until:
-        raise ValueError("Must provide either 'until' or 'decay'")
-    over_x = []
-    over_y = []
-    i = 0
-    while len(x) + len(over_x) < until:
-        over_x.append(x[i])
-        over_y.append(y[i])
-        i += 1
-        if i >= len(x):
-            i = 0
-    return over_x, over_y
+    if not until:
+        if not decay:
+            raise ValueError("Must provide either 'until' or 'decay'")
+        until = int((1 + decay ** len(x)) * len(x))
+    shortfall = max(until - len(x), 0)
+    picks = [i % len(x) for i in range(shortfall)]  # constraint #5
+    return [x[i] for i in picks], [y[i] for i in picks]
 
 
 def combined_shuffle(list1, list2, random_seed=24):
-    """Shuffle two lists in lockstep (reference ``data.py:320-326``)."""
-    random.seed(random_seed)
-    combined = list(zip(list1, list2))
-    random.shuffle(combined)
-    return zip(*combined)
+    """Shuffle two equal-length lists in lockstep (reference
+    ``data.py:320-326``). One seeded shuffle of an index vector yields the
+    identical permutation (constraint #6)."""
+    order = list(range(len(list1)))
+    _reseeded_shuffle(order, random_seed)
+    return [list1[i] for i in order], [list2[i] for i in order]
 
 
 def external_eval_set(data_dir, model_data, exclude=("Unclassified",),
                       random_seed=24):
     """(paths, labels) for an external test set
     (reference ``extra_eval_dataloader``, ``data.py:329-344``)."""
-    x = sorted(list_files(data_dir, ".png", exclude=list(exclude)))
-    random.seed(random_seed)
-    random.shuffle(x)
-    y = [path.parent.name for path in x]
-    y = list(model_data.le.transform(y))
-    return x, y
+    files = sorted(list_files(data_dir, ".png", exclude=list(exclude)))
+    _reseeded_shuffle(files, random_seed)
+    labels = list(model_data.le.transform([p.parent.name for p in files]))
+    return files, labels
