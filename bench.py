@@ -32,7 +32,8 @@ import time
 # plugin .so at interpreter startup (before this file's first line) and
 # TSL caches its min-log-level on first use — so re-exec once with the
 # variable present from birth (round 3's tail still carried the spam).
-if os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3" and \
+if __name__ == "__main__" and \
+        os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3" and \
         os.environ.get("_SYKEPIC_BENCH_REEXEC") != "1":
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["_SYKEPIC_BENCH_REEXEC"] = "1"

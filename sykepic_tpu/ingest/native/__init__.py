@@ -34,12 +34,21 @@ def _host_fingerprint() -> str:
         for line in Path("/proc/cpuinfo").read_text().splitlines():
             if line.startswith("model name") and not model:
                 model = line.split(":", 1)[1].strip()
-            elif line.startswith("flags") and not flags:
+            # aarch64 kernels spell the ISA list "Features"
+            elif line.startswith(("flags", "Features")) and not flags:
                 flags = line.split(":", 1)[1].strip()
             if model and flags:
                 break
     except OSError:
         pass
+    if not (model or flags):
+        # /proc unreadable or an exotic layout: fall back to the platform
+        # identity so the guard still distinguishes ISAs instead of
+        # collapsing to a constant (which would silently disable it)
+        import platform
+
+        model = platform.machine()
+        flags = platform.processor()
     return hashlib.sha256(f"{model}|{flags}".encode()).hexdigest()[:16]
 
 
@@ -56,7 +65,13 @@ def lib():
         except OSError:
             recorded = ""
         if recorded != fp:
-            _SO.unlink(missing_ok=True)  # built on a different host
+            try:
+                _SO.unlink(missing_ok=True)  # built on a different host
+            except OSError:
+                # read-only tree / permission issue: running the stale
+                # cross-host .so risks an uncatchable SIGILL, so honor the
+                # documented "None on failure" contract instead
+                return None
     if not _SO.is_file():
         try:
             subprocess.run(

@@ -106,7 +106,16 @@ def test_stale_so_rebuilt_on_host_change(tmp_path, monkeypatch):
     monkeypatch.setattr(native_mod, "_FP", tmp_path / ".buildhost")
     monkeypatch.setattr(native_mod, "_lib", None)
     monkeypatch.setattr(native_mod, "_tried", False)
-    native_mod.lib()  # result irrelevant (no Makefile in tmp_path)
+    # lib() runs make with cwd=the REAL native dir; stub it out so the
+    # test can't trigger a real build side effect (which would leave a
+    # fresh .so without its matching real .buildhost)
+    import subprocess as _sp
+
+    def _no_make(*a, **k):
+        raise _sp.CalledProcessError(1, a[0])
+
+    monkeypatch.setattr(native_mod.subprocess, "run", _no_make)
+    native_mod.lib()  # returns None: the stubbed make "fails"
     assert not fake_so.exists(), "stale cross-host .so was not discarded"
 
     # matching fingerprint: the (unloadable) .so is trusted and kept
