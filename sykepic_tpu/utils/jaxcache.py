@@ -5,20 +5,28 @@ persistent cache a fresh process reloads it in seconds. Enabled by the CLI
 and bench entry points; opt out with ``SYKEPIC_COMPILE_CACHE=0`` or pick a
 directory via ``SYKEPIC_COMPILE_CACHE=/path``.
 
-The cache is partitioned ``<platform>-<host fingerprint>``: XLA:CPU
-entries embed LLVM features of the COMPILE machine (cpu flags AND
-model-derived tuning like +prefer-no-gather) and misbehave on a host
-whose features differ after a VM migration — best case a permanent
-load-fail/recompile loop (measured: the hermetic test suite went
-271 s -> 1060 s), worst case the AOT loader accepts the entry with a
-feature-mismatch warning and the process SIGILL-aborts mid-run (observed
-killing the suite). Every partition carries the fingerprint — even
-accelerator platforms compile XLA:CPU programs (model init pins to the
-host CPU) — and ``enable`` deletes the active platform's partitions
-whose fingerprint differs from the current host's. jax's LRU size cap
-governs only the ACTIVE partition, so the bound on total disk is 24 GB
-per live platform partition (cpu + accelerator on a bench machine), not
-24 GB overall.
+Partitioning, by ENTRY backend (not just process platform):
+
+- ``cpu-<host fingerprint>``: XLA:CPU executables embed LLVM features of
+  the COMPILE machine (cpu flags AND model-derived tuning like
+  +prefer-no-gather) and misbehave on a host whose features differ after
+  a VM migration — best case a permanent load-fail/recompile loop
+  (measured: the hermetic test suite went 271 s -> 1060 s), worst case
+  the AOT loader accepts the entry with a feature-mismatch warning and
+  the process SIGILL-aborts mid-run (observed killing the suite).
+  ``enable`` deletes cpu partitions whose fingerprint differs from the
+  current host's.
+- ``<platform>`` (e.g. ``axon``), UNfingerprinted: accelerator
+  executables are host-independent, so they must SURVIVE a VM migration
+  — fingerprinting this partition (the round-3 layout) threw away every
+  cached TPU program on migration and stretched the first train epoch
+  from ~25 s to ~147 s of re-compiles over the tunnel.
+
+An accelerator-platform process still compiles XLA:CPU programs (model
+init pins to the host CPU), so ``enable`` routes cache reads/writes by
+the entry's OWN backend: cpu-backend entries go to the fingerprinted cpu
+partition, everything else to the platform partition. jax's LRU size cap
+governs each partition independently (24 GB per live partition).
 """
 
 from __future__ import annotations
@@ -65,19 +73,9 @@ def _host_fingerprint() -> str:
     ).hexdigest()[:12]
 
 
-def _platform_tag() -> str:
-    """Partition name for the cache: ``<platform>-<host fingerprint>``.
-
-    EVERY partition carries the host fingerprint — not just the CPU
-    backend's — because any process compiles XLA:CPU programs regardless
-    of its main platform (``registry.init_variables`` pins model init to
-    the host CPU), so an accelerator partition accumulates CPU AOT
-    entries that poison post-migration processes exactly like a pure-CPU
-    partition does (observed: SIGILL-warning loads from the ``axon``
-    partition after the fix had already repartitioned ``cpu``).
-    Accelerator executables themselves are host-independent; the split
-    costs one re-warm per migration, which the tunnel amortizes in a run.
-    Resolution never initializes the jax backend (enable() must run
+def _main_platform() -> str:
+    """First configured jax platform name, lowercased (``axon``, ``cpu``,
+    ...). Resolution never initializes the jax backend (enable() must run
     before the first compile)."""
     try:
         import jax
@@ -86,8 +84,16 @@ def _platform_tag() -> str:
     except Exception:  # pragma: no cover - config introspection best-effort
         plats = ""
     plats = plats or os.environ.get("JAX_PLATFORMS", "")
-    first = plats.split(",")[0].strip().lower() or "default"
-    return f"{first}-{_host_fingerprint()}"
+    return plats.split(",")[0].strip().lower() or "default"
+
+
+def _platform_tag() -> str:
+    """Active partition name. ``cpu-<host fingerprint>`` for the CPU
+    platform (host-feature-sensitive entries, see module docstring);
+    the bare platform name for accelerators (host-independent entries
+    that must survive VM migrations)."""
+    plat = _main_platform()
+    return f"cpu-{_host_fingerprint()}" if plat == "cpu" else plat
 
 
 def enable(cache_dir=None) -> Path | None:
@@ -115,10 +121,66 @@ def enable(cache_dir=None) -> Path | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         _repair_atimes(cache_dir)
         _sweep_legacy_flat_entries(base)
-        _sweep_dead_fingerprint_partitions(base, cache_dir.name)
+        _sweep_dead_partitions(base, _main_platform(), cache_dir.name)
+        _install_backend_routing(base)
     except Exception:  # pragma: no cover - cache is best-effort
         return None
     return cache_dir
+
+
+# ---- per-entry-backend routing (see module docstring) -----------------
+
+_route_base: Path | None = None
+_route_caches: dict = {}
+_routing_installed = False
+
+
+def _entry_partition(backend_platform: str) -> str:
+    """Partition an ENTRY belongs to, by the backend that compiled it."""
+    if backend_platform == "cpu":
+        return f"cpu-{_host_fingerprint()}"
+    return backend_platform if _main_platform() == "cpu" \
+        else _platform_tag()
+
+
+def _install_backend_routing(base: Path) -> None:
+    """Patch ``jax._src.compilation_cache._get_cache`` so each entry is
+    stored in the partition of its OWN backend: an accelerator-platform
+    process routes its XLA:CPU entries (model init) into the
+    fingerprinted cpu partition instead of poisoning the shared
+    accelerator partition. Idempotent; re-enabling with a new base
+    re-points the routes."""
+    global _route_base, _routing_installed
+    _route_base = base
+    _route_caches.clear()
+    if _routing_installed:
+        return
+    import jax._src.compilation_cache as cc
+
+    fallback = cc._get_cache
+
+    def routed(backend):
+        try:
+            plat = str(backend.platform)
+        except Exception:  # pragma: no cover - exotic backend object
+            return fallback(backend)
+        cache = _route_caches.get(plat)
+        if cache is None:
+            try:
+                sub = _route_base / _entry_partition(plat)
+                sub.mkdir(parents=True, exist_ok=True)
+                _repair_atimes(sub)
+                got = cc.get_file_cache(str(sub))
+                if got is None:  # pragma: no cover - jax declined
+                    return fallback(backend)
+                cache = got[0]
+            except Exception:  # pragma: no cover - cache is best-effort
+                return fallback(backend)
+            _route_caches[plat] = cache
+        return cache
+
+    cc._get_cache = routed
+    _routing_installed = True
 
 
 def _repair_atimes(cache_dir: Path) -> int:
@@ -141,26 +203,51 @@ def _repair_atimes(cache_dir: Path) -> int:
     return fixed
 
 
-def _sweep_dead_fingerprint_partitions(base: Path, active: str) -> int:
-    """Delete this platform's sibling partitions whose host fingerprint
-    differs from the current host's, plus its legacy fingerprint-less
-    directory. Their XLA:CPU entries can SIGILL-abort on this machine
-    (feature-set mismatch), jax never overwrites existing keys, and the
-    LRU cap only governs the active directory — left alone, each VM
-    migration would squat another 24 GB of (partially) dead executables
-    forever. Other platforms' partitions are never touched."""
+def _sweep_dead_partitions(base: Path, platform: str, active: str) -> int:
+    """Delete partitions that can only hurt this host:
+
+    - cpu partitions with a DIFFERENT host fingerprint (their XLA:CPU
+      entries can SIGILL here; jax never overwrites existing keys, and
+      the LRU cap only governs active directories — left alone, each VM
+      migration would squat another 24 GB of dead executables forever),
+      plus the legacy fingerprint-less ``cpu`` directory;
+    - for an accelerator platform: its legacy FINGERPRINTED directories
+      (``<platform>-<fp>``, the round-3 layout) — superseded by the
+      shared unfingerprinted partition. The CURRENT host's legacy dir is
+      MIGRATED (renamed) into the shared partition rather than deleted:
+      its accelerator entries are valid everywhere, and its embedded cpu
+      entries become unreachable dead weight (reads route by entry
+      backend) that the LRU cap eventually evicts.
+
+    Other platforms' partitions are never touched."""
     import shutil
 
     removed = 0
-    prefix = active[: active.rfind("-") + 1]  # "<platform>-"
-    for sibling in base.glob(f"{prefix}*"):
-        if sibling.is_dir() and sibling.name != active:
-            shutil.rmtree(sibling, ignore_errors=True)
+    doomed: list[Path] = []
+    if platform == "cpu":
+        doomed += [d for d in base.glob("cpu-*") if d.name != active]
+        doomed.append(base / "cpu")
+    else:
+        own_legacy = base / f"{platform}-{_host_fingerprint()}"
+        shared = base / active
+        if own_legacy.is_dir():
+            try:
+                if not any(shared.iterdir()):
+                    shared.rmdir()
+                    own_legacy.rename(shared)
+                else:  # merge: move entries the shared dir lacks
+                    for item in own_legacy.iterdir():
+                        target = shared / item.name
+                        if not target.exists():
+                            item.rename(target)
+                    shutil.rmtree(own_legacy, ignore_errors=True)
+            except OSError:
+                pass  # fall through: the glob below removes it
+        doomed += list(base.glob(f"{platform}-*"))
+    for stale in doomed:
+        if stale.is_dir():
+            shutil.rmtree(stale, ignore_errors=True)
             removed += 1
-    legacy = base / prefix.rstrip("-")  # pre-fingerprint layout
-    if legacy.is_dir():
-        shutil.rmtree(legacy, ignore_errors=True)
-        removed += 1
     return removed
 
 

@@ -158,7 +158,7 @@ def test_parallel_helpers():
     assert rep["w"].sharding.spec == jax.sharding.PartitionSpec()
 
 
-def test_jaxcache_env_spellings(tmp_path, monkeypatch):
+def test_jaxcache_env_spellings(_restore_jaxcache, tmp_path, monkeypatch):
     from sykepic_tpu.utils import jaxcache
 
     monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", "0")
@@ -182,7 +182,7 @@ def test_jaxcache_env_spellings(tmp_path, monkeypatch):
     assert not (tmp_path / "explicit" / "jit_x-00-cache").exists()
 
 
-def test_jaxcache_sweeps_dead_partitions(tmp_path, monkeypatch):
+def test_jaxcache_sweeps_dead_partitions(_restore_jaxcache, tmp_path, monkeypatch):
     """Same-platform partitions from OTHER hosts (different fingerprint)
     and the legacy fingerprint-less directory are deleted — their XLA:CPU
     entries can SIGILL this host; other platforms' partitions survive."""
@@ -201,6 +201,72 @@ def test_jaxcache_sweeps_dead_partitions(tmp_path, monkeypatch):
     assert active == tmp_path / active_name
     assert not dead.exists() and not legacy.exists()
     assert other.is_dir()  # never touch other platforms
+
+
+import pytest
+
+
+@pytest.fixture
+def _restore_jaxcache():
+    """Re-point the module-global backend-routing state back at the real
+    cache base after the test (teardown runs after monkeypatch.undo, so
+    enable() sees the restored env/platform)."""
+    yield
+    from sykepic_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
+
+def test_jaxcache_accel_partition_survives_migration(
+        _restore_jaxcache, tmp_path, monkeypatch):
+    """Accelerator partitions are UNfingerprinted (their executables are
+    host-independent; fingerprinting them threw the whole warm TPU cache
+    away on every VM migration — first epoch 25 s -> 147 s), and the
+    current host's legacy fingerprinted dir is migrated in, not
+    deleted."""
+    from sykepic_tpu.utils import jaxcache
+
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.setattr(jaxcache, "_main_platform", lambda: "axon")
+    fp = jaxcache._host_fingerprint()
+    own_legacy = tmp_path / f"axon-{fp}"
+    other_legacy = tmp_path / "axon-0123456789ab"
+    for d in (own_legacy, other_legacy):
+        d.mkdir(parents=True)
+    (own_legacy / "jit_warm-00-cache").write_bytes(b"x")
+    (own_legacy / "jit_warm-00-atime").write_bytes(b"\0" * 8)
+    active = jaxcache.enable()
+    assert active == tmp_path / "axon"
+    # warm entries moved into the shared partition; stale hosts removed
+    assert (active / "jit_warm-00-cache").is_file()
+    assert not own_legacy.exists() and not other_legacy.exists()
+
+
+def test_jaxcache_routes_entries_by_backend(
+        _restore_jaxcache, tmp_path, monkeypatch):
+    """In an accelerator-platform process, XLA:CPU entries (model init)
+    must land in the fingerprinted cpu partition, not the shared
+    accelerator partition they would poison."""
+    from sykepic_tpu.utils import jaxcache
+
+    monkeypatch.setenv("SYKEPIC_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.setattr(jaxcache, "_main_platform", lambda: "axon")
+    assert jaxcache.enable() == tmp_path / "axon"
+
+    import jax._src.compilation_cache as cc
+
+    class FakeBackend:
+        def __init__(self, platform):
+            self.platform = platform
+            self.runtime_type = "stream_executor"
+
+    from pathlib import Path
+
+    cpu_cache = cc._get_cache(FakeBackend("cpu"))
+    accel_cache = cc._get_cache(FakeBackend("axon"))
+    fp = jaxcache._host_fingerprint()
+    assert Path(str(cpu_cache.path)) == tmp_path / f"cpu-{fp}"
+    assert Path(str(accel_cache.path)) == tmp_path / "axon"
 
 
 def test_batchloader_size_pooling_tightens_canvases(tmp_path):
