@@ -43,6 +43,34 @@ Measured on the realistic bench mix: 3.70 -> ~1.96 KB/ROI; the gradient
 predictor dominates there (second differences of smooth content are
 near-zero, delta entropy 3.3 bits/px vs 3.9 for the 1-D predictors) and
 wins ~3% even on raw-pixel tiles where camera noise punishes it most.
+
+Entropy coding: investigated and rejected (2026-08-20, measured on the
+30k-ROI bench mix; tools/entropy_study.py reproduces it). The numbers:
+
+- best-predictor residual entropy is 3.278 b/px -> an IDEAL entropy
+  coder ships 1,514 B/ROI vs the current 1,986 — the whole remaining
+  prize is 1.31x, not the 1.8x a 4.4 b/px guess suggested (the 4-bit
+  plane + exceptions already sits within 31% of the source entropy).
+- fixed-rate alternatives don't reach it: a 3-bit plane has a 12.0%
+  exception rate -> 1,830 B/ROI even with impossibly cheap 1-byte
+  exceptions (the 3-bit advance field would drown in dummies at that
+  density; realistically ~2.0 KB), a 5-bit plane is 2,317 B/ROI, and
+  2-bit is 2,154 at a 33% exception rate. The current 4-bit plane
+  (1.89% exceptions) is the optimum of this family.
+- a fixed-table nibble Huffman plane (symbol entropy 3.179 b/nib,
+  ~1,507 B/ROI total) needs VARIABLE-POSITION bit gathers to decode:
+  per-symbol code lengths prefix-sum fine (cumsum), but extracting each
+  symbol's bits is an elementwise gather, which this TPU runs at
+  ~12-22 M elem/s (one-hot einsum / scatter-add, measured) — a 6.6 M px
+  shelf dispatch would take ~0.3-0.55 s to decode vs ~55 ms for its
+  ENTIRE CNN inference. On-chip throughput would collapse ~6-10x to
+  ~4-6k ROIs/s, below today's 20k+ e2e — a net loss at any link speed.
+- decode cannot move off-device: the wire's far end is the PJRT
+  runtime; there is no host to run a rANS decoder on before upload.
+
+Verdict: the codec stays at the 4-bit-plane design; further wire-byte
+wins must come from somewhere other than entropy coding (e.g. lossy
+modes would break bit-level CSV parity and are off the table).
 """
 
 from __future__ import annotations
