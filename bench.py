@@ -33,7 +33,7 @@ import time
 # TSL caches its min-log-level on first use — so re-exec once with the
 # variable present from birth (round 3's tail still carried the spam).
 if __name__ == "__main__" and \
-        os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3" and \
+        "TF_CPP_MIN_LOG_LEVEL" not in os.environ and \
         os.environ.get("_SYKEPIC_BENCH_REEXEC") != "1":
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["_SYKEPIC_BENCH_REEXEC"] = "1"
@@ -186,14 +186,18 @@ def _onchip_record() -> float | None:
     against this record means the chip/tunnel round-trip itself is sick
     (round 3 recorded exactly that: 1,820 vs ~36,600)."""
     try:
-        best = 0.0
-        for line in HISTORY.read_text().strip().splitlines():
-            v = json.loads(line).get("onchip_rois_per_sec")
-            if v:
-                best = max(best, float(v))
-        return best or None
-    except (OSError, ValueError):
+        lines = HISTORY.read_text().strip().splitlines()
+    except OSError:
         return None
+    best = 0.0
+    for line in lines:  # tolerate a truncated/garbled line: a process
+        try:  # killed mid-append must not disable the health gate
+            v = json.loads(line).get("onchip_rois_per_sec")
+        except ValueError:
+            continue
+        if v:
+            best = max(best, float(v))
+    return best or None
 
 
 def _probe_onchip(clf, pass_samples) -> float | None:
@@ -226,8 +230,9 @@ RETRY_BUDGET_S = float(os.environ.get("SYKEPIC_BENCH_RETRY_BUDGET", 900.0))
 
 def _run_pass_loop(probability, clf, samples, pass_samples, root,
                    budget_s: float = 420.0):
-    """The timed pass loop. Returns (rates, pass_samples, n_rois,
-    bytes_per_roi is measured by the caller)."""
+    """The timed pass loop. Returns (rates, pass_samples, link_mid) —
+    pass_samples because the loop re-sizes it, link_mid the mid-run
+    bandwidth probe (None when fewer than 3 passes ran)."""
     rates = []
     n_rois = 500 * len(pass_samples)
     link_mid = None
@@ -279,7 +284,7 @@ def _run_pass_loop(probability, clf, samples, pass_samples, root,
             want = int(np.clip(target, 4_000, N_ROIS))
             pass_samples = samples[: max(want // 500, 8)]
             n_rois = 500 * len(pass_samples)
-    return rates, pass_samples, n_rois, link_mid
+    return rates, pass_samples, link_mid
 
 
 def inference_benchmark(root: Path) -> dict:
@@ -354,7 +359,7 @@ def inference_benchmark(root: Path) -> dict:
 
     # ------------------------- timed passes -----------------------------
     link_before = measure_link_mbps()
-    rates, pass_samples, n_rois, link_mid = _run_pass_loop(
+    rates, pass_samples, link_mid = _run_pass_loop(
         probability, clf, samples, pass_samples, root)
 
     # ---- post-run verdict: a collapsed e2e median gets one more shot ---
@@ -371,7 +376,7 @@ def inference_benchmark(root: Path) -> dict:
         onchip_rps = _probe_onchip(clf, pass_samples)
         onchip_probes.append(onchip_rps)
         link_before = measure_link_mbps()
-        rates, pass_samples, n_rois, link_mid = _run_pass_loop(
+        rates, pass_samples, link_mid = _run_pass_loop(
             probability, clf, samples, pass_samples, root,
             budget_s=240.0)
 
@@ -383,14 +388,15 @@ def inference_benchmark(root: Path) -> dict:
                    if p is not None]
     link_mean = max(sum(link_probes) / len(link_probes), 1e-9)
 
-    # Final on-chip ceiling figure: the last probe (post-run if any rerun
-    # happened, else the pre-run gate's). It frames the e2e number as
+    # Final on-chip ceiling figure: always probe AFTER the last pass loop
+    # — a rerun's pre-loop probe is stale if the device recovered during
+    # the loop, and a stale collapsed probe would mislabel a healthy
+    # record-setting value as degraded. Frames the e2e number as
     # "link-bound at X, chip good for Y".
-    if onchip_rps is None or reruns == 0:
-        probe = _probe_onchip(clf, pass_samples)
-        if probe is not None:
-            onchip_rps = probe
-            onchip_probes.append(probe)
+    probe = _probe_onchip(clf, pass_samples)
+    if probe is not None:
+        onchip_rps = probe
+        onchip_probes.append(probe)
 
     # The machine-readable verdict the judge asked for: true when either
     # leg of the measurement sits far below its own git-tracked record.
@@ -493,18 +499,22 @@ def _best_recorded() -> dict | None:
     the best real measurement alongside — clearly labeled, never replacing
     the current run's own number."""
     try:
-        best = None
-        for line in HISTORY.read_text().strip().splitlines():
-            e = json.loads(line)
-            if e.get("value") and (best is None or e["value"] > best["value"]):
-                best = e
-        if best is None:
-            return None
-        return {k: best.get(k) for k in
-                ("value", "best", "link_MBps", "bytes_per_roi",
-                 "recorded_at")}
-    except (OSError, ValueError):
+        lines = HISTORY.read_text().strip().splitlines()
+    except OSError:
         return None
+    best = None
+    for line in lines:
+        try:
+            e = json.loads(line)
+        except ValueError:  # truncated mid-append line: skip, don't bail
+            continue
+        if e.get("value") and (best is None or e["value"] > best["value"]):
+            best = e
+    if best is None:
+        return None
+    return {k: best.get(k) for k in
+            ("value", "best", "link_MBps", "bytes_per_roi",
+             "recorded_at")}
 
 
 def host_pack_benchmark() -> None:
@@ -860,6 +870,10 @@ def main() -> None:
         inf_error = None
         try:
             inf_payload = inference_benchmark(root)
+            # record the measurement NOW: if the train benchmark below
+            # dies non-catchably (driver timeout kill, OOM), a completed
+            # inference result must not vanish with it
+            _record_history(inf_payload)
         except Exception as e:
             inf_error = str(e)[:200]
         if os.environ.get("SYKEPIC_BENCH_SKIP_TRAIN") == "1":
@@ -872,7 +886,6 @@ def main() -> None:
                                   "error": str(e)[:200]}))
         if inf_payload is not None:
             print(json.dumps(inf_payload))
-            _record_history(inf_payload)
         else:  # a parseable last line even on failure
             print(json.dumps({
                 "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",

@@ -91,11 +91,23 @@ def csv_to_df(csv_date_list, thresholds):
     columns are discarded — only the thresholded verdict is needed)."""
     pieces = []
     for path, stamp in csv_date_list:
-        verdicts = prediction_dataframe(path, thresholds)[
-            ["prediction", "classified"]
-        ].copy()
+        preds = prediction_dataframe(path, thresholds)
+        if not len(preds):
+            # a zero-ROI sample's CSV is header-only: prediction_dataframe
+            # skips inserting the verdict columns on an empty frame, so
+            # selecting them would KeyError; the sample contributes nothing
+            continue
+        verdicts = preds[["prediction", "classified"]].copy()
         verdicts.insert(0, "timestamp", stamp)
         pieces.append(verdicts)
+    if not pieces:
+        # classified must be bool-typed: indexing with an empty OBJECT
+        # series would select columns, not rows
+        return pd.DataFrame({
+            "timestamp": pd.Series(dtype="object"),
+            "prediction": pd.Series(dtype="object"),
+            "classified": pd.Series(dtype="bool"),
+        })
     merged = pd.concat(pieces)
     merged["prediction"] = merged["prediction"].astype("category")
     return merged

@@ -231,19 +231,20 @@ def _sweep_dead_partitions(base: Path, platform: str, active: str) -> int:
         own_legacy = base / f"{platform}-{_host_fingerprint()}"
         shared = base / active
         if own_legacy.is_dir():
-            try:
-                if not any(shared.iterdir()):
-                    shared.rmdir()
-                    own_legacy.rename(shared)
-                else:  # merge: move entries the shared dir lacks
-                    for item in own_legacy.iterdir():
-                        target = shared / item.name
-                        if not target.exists():
-                            item.rename(target)
-                    shutil.rmtree(own_legacy, ignore_errors=True)
-            except OSError:
-                pass  # fall through: the glob below removes it
-        doomed += list(base.glob(f"{platform}-*"))
+            # merge-only (no rmdir+rename window): concurrent enable()
+            # calls race here, and per-item renames make the loser's
+            # failures harmless no-ops instead of cache loss
+            for item in list(own_legacy.iterdir()):
+                try:
+                    item.rename(shared / item.name)
+                except OSError:
+                    pass  # target exists (duplicate) or already moved
+            # delete the legacy dir only once no cache entries remain —
+            # a wholesale rename failure must NOT cost the warm cache
+            if not any(own_legacy.glob("*-cache")):
+                shutil.rmtree(own_legacy, ignore_errors=True)
+        doomed += [d for d in base.glob(f"{platform}-*")
+                   if d != own_legacy]
     for stale in doomed:
         if stale.is_dir():
             shutil.rmtree(stale, ignore_errors=True)

@@ -27,18 +27,20 @@ def get_logger(name: str) -> logging.Logger:
     return logging.getLogger(name)
 
 
-def setup(config_file=None) -> None:
-    if config_file:
-        import yaml
+# the reference's record format, str.format style (parity: downstream log
+# scrapers may key on it)
+_FORMAT = " - ".join("{" + f + "}" for f in
+                     ("asctime", "name", "levelname", "message"))
 
-        with open(config_file) as fh:
-            config = yaml.safe_load(fh.read())
-        log_dir = Path(config["handlers"]["file"]["filename"]).parent
-        log_dir.mkdir(parents=True, exist_ok=True)
-        dictConfig(config)
-    else:
-        logging.basicConfig(
-            level=os.environ.get("LOGLEVEL", "INFO"),
-            format="{asctime} - {name} - {levelname} - {message}",
-            style="{",
-        )
+
+def setup(config_file=None) -> None:
+    if not config_file:
+        env_level = os.environ.get("LOGLEVEL", "INFO")
+        logging.basicConfig(level=env_level, format=_FORMAT, style="{")
+        return
+    import yaml
+
+    config = yaml.safe_load(Path(config_file).read_text())
+    file_target = Path(config["handlers"]["file"]["filename"])
+    file_target.parent.mkdir(parents=True, exist_ok=True)
+    dictConfig(config)

@@ -142,3 +142,27 @@ def test_class_plot(tmp_path):
     )
     out = plot.class_plot(csv, ["Aphanizomenon flosaquae"])
     assert out.is_file()
+
+
+def test_frequency_tolerates_zero_roi_samples(tmp_path):
+    """A header-only prob CSV (an IFCB sample with zero ROIs) must not
+    crash the frequency pipeline: prediction_dataframe skips inserting
+    the verdict columns on an empty frame (regression: explicit column
+    selection raised KeyError)."""
+    from sykepic_tpu.analyze import frequency
+
+    d = tmp_path / "2018/07/12"
+    d.mkdir(parents=True)
+    (d / "D20180712T065600_IFCB114.prob.csv").write_text(
+        "roi,A,B\n1,0.9,0.1\n2,0.2,0.8\n"
+    )
+    (d / "D20180712T070000_IFCB114.prob.csv").write_text("roi,A,B\n")
+    df = frequency.frequency_df(tmp_path, thresholds=0.0)
+    assert df.shape == (1, 2) and int(df.sum().sum()) == 2
+    # every sample empty: a well-formed empty result, not a crash
+    empty_root = tmp_path / "empty"
+    d2 = empty_root / "2018/07/12"
+    d2.mkdir(parents=True)
+    (d2 / "D20180712T070000_IFCB114.prob.csv").write_text("roi,A,B\n")
+    df2 = frequency.frequency_df(empty_root, thresholds=0.0)
+    assert df2 is not None and len(df2) == 0
