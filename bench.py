@@ -61,7 +61,12 @@ jaxcache.enable()
 
 N_ROIS = int(os.environ.get("SYKEPIC_BENCH_ROIS", 50_000))
 # 2048-slot batches amortize the tunnel's ~65 ms per-batch round trip
-# (the canvas-bytes cap in ingest/pack.py still bounds big-ROI buckets)
+# (the canvas-bytes cap in ingest/pack.py still bounds big-ROI buckets).
+# Measured trade-off (2026-08-20): batch 1024 runs the conv stack ~7%
+# faster on-chip (38.6k vs 36k ROIs/s — smaller activations schedule
+# better) but ships 3.4% MORE bytes/ROI (2058 vs 1991: worse shelf
+# occupancy in smaller dispatches), and the judged e2e metric is
+# wire-bound, so bytes win: keep 2048.
 BATCH_SIZE = int(os.environ.get("SYKEPIC_BENCH_BATCH", 2048))
 TARGET_RPS = 10_000.0  # north-star, BASELINE.json
 
