@@ -124,6 +124,26 @@ def _roi_shapes(rng: np.random.Generator, n: int) -> list[tuple[int, int]]:
     return shapes
 
 
+def _write_sample_triplet(raw_dir: Path, name: str, imgs) -> Path:
+    """One genuine synthetic .adc/.roi/.hdr triplet from uint8 images
+    (cols 15/16/17 = width/height/start, fixture-matching .hdr volume).
+    Returns the suffix-less sample path."""
+    adc_rows = []
+    roi_bytes = bytearray()
+    start = 0
+    for img in imgs:
+        h, w = img.shape
+        cols = ["0"] * 24
+        cols[15], cols[16], cols[17] = str(w), str(h), str(start)
+        adc_rows.append(",".join(cols))
+        roi_bytes.extend(img.tobytes())
+        start += h * w
+    (raw_dir / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
+    (raw_dir / f"{name}.roi").write_bytes(bytes(roi_bytes))
+    (raw_dir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
+    return raw_dir / name
+
+
 def build_workload(root: Path, n_rois: int) -> list[Path]:
     """Synthetic IFCB samples with the realistic ROI size mix above; pixel
     content comes from the real fixture ROIs resized to each shape, written
@@ -144,29 +164,23 @@ def build_workload(root: Path, n_rois: int) -> list[Path]:
     base = datetime(2018, 7, 12)
     # pre-render one image per distinct shape (content cost, not timed)
     cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def rendered(h, w):
+        img = cache.get((h, w))
+        if img is None:
+            src = images[(h * 31 + w) % len(images)]
+            img = cv2.resize(src, (w, h), interpolation=cv2.INTER_AREA)
+            cache[(h, w)] = img
+        return img
+
     for s in range(n_rois // per_sample):
         # one synthetic sample per minute keeps names unique for any
         # workload size
         ts = base + timedelta(minutes=s)
-        name = f"D{ts:%Y%m%dT%H%M%S}_IFCB114"
-        adc_rows = []
-        roi_bytes = bytearray()
-        start = 0
-        for h, w in _roi_shapes(rng, per_sample):
-            img = cache.get((h, w))
-            if img is None:
-                src = images[(h * 31 + w) % len(images)]
-                img = cv2.resize(src, (w, h), interpolation=cv2.INTER_AREA)
-                cache[(h, w)] = img
-            cols = ["0"] * 24
-            cols[15], cols[16], cols[17] = str(w), str(h), str(start)
-            adc_rows.append(",".join(cols))
-            roi_bytes.extend(img.tobytes())
-            start += h * w
-        (raw_dir / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
-        (raw_dir / f"{name}.roi").write_bytes(bytes(roi_bytes))
-        (raw_dir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
-        sample_paths.append(raw_dir / name)
+        sample_paths.append(_write_sample_triplet(
+            raw_dir, f"D{ts:%Y%m%dT%H%M%S}_IFCB114",
+            (rendered(h, w) for h, w in _roi_shapes(rng, per_sample)),
+        ))
     return sample_paths
 
 
@@ -878,24 +892,14 @@ def fused_benchmark(root: Path) -> None:
     raw_dir = root / "fused_raw"
     raw_dir.mkdir(exist_ok=True)
     per_sample = 500
-    subset = []
     base = datetime(2019, 1, 1)
-    for s in range(8):
-        ts = base + timedelta(minutes=s)
-        name = f"D{ts:%Y%m%dT%H%M%S}_IFCB114"
-        cols_rows = []
-        blob = bytearray()
-        start = 0
-        for _ in range(per_sample):
-            cols = ["0"] * 24
-            cols[15], cols[16], cols[17] = str(w), str(h), str(start)
-            cols_rows.append(",".join(cols))
-            blob.extend(tile.tobytes())
-            start += h * w
-        (raw_dir / f"{name}.adc").write_text("\n".join(cols_rows) + "\n")
-        (raw_dir / f"{name}.roi").write_bytes(bytes(blob))
-        (raw_dir / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
-        subset.append(raw_dir / name)
+    subset = [
+        _write_sample_triplet(
+            raw_dir, f"D{base + timedelta(minutes=s):%Y%m%dT%H%M%S}_IFCB114",
+            [tile] * per_sample,
+        )
+        for s in range(8)
+    ]
     n_rois = per_sample * len(subset)
 
     clf = probability.prepare_model(

@@ -20,29 +20,19 @@ def _synthetic_sample(root: Path, n_rois: int = 32) -> Path:
     (f32 + bf16) CPU run."""
     import cv2
 
+    import bench
     from sykepic_tpu.ingest import ifcb
 
     fixture = Path(__file__).parent / "data/raw/valid/D20180712T065600_IFCB114"
     images = [img for _, img in ifcb.read_sample(fixture).images()]
     rng = np.random.default_rng(3)
-    name = "D20200101T000000_IFCB114"
-    adc_rows = []
-    blob = bytearray()
-    offset = 0
-    for i in range(n_rois):
-        h = int(rng.integers(24, 120))
-        w = int(rng.integers(40, 160))
-        img = cv2.resize(images[i % len(images)], (w, h),
-                         interpolation=cv2.INTER_AREA)
-        cols = ["0"] * 24
-        cols[15], cols[16], cols[17] = str(w), str(h), str(offset)
-        adc_rows.append(",".join(cols))
-        blob.extend(img.tobytes())
-        offset += h * w
-    (root / f"{name}.adc").write_text("\n".join(adc_rows) + "\n")
-    (root / f"{name}.roi").write_bytes(bytes(blob))
-    (root / f"{name}.hdr").write_text("runTime: 1200\ninhibitTime: 18\n")
-    return root / name
+    imgs = [
+        cv2.resize(images[i % len(images)],
+                   (int(rng.integers(40, 160)), int(rng.integers(24, 120))),
+                   interpolation=cv2.INTER_AREA)
+        for i in range(n_rois)
+    ]
+    return bench._write_sample_triplet(root, "D20200101T000000_IFCB114", imgs)
 
 
 def _read_prob_csv(out_dir: Path):
