@@ -528,11 +528,20 @@ def _record_history(payload: dict) -> None:
 
 
 def _last_recorded() -> dict | None:
+    """Most recent INFERENCE entry (history also carries train lines)."""
     try:
         lines = HISTORY.read_text().strip().splitlines()
-        return json.loads(lines[-1]) if lines else None
-    except (OSError, ValueError):
+    except OSError:
         return None
+    for line in reversed(lines):
+        try:
+            e = json.loads(line)
+        except ValueError:
+            continue
+        if e.get("metric", "ifcb_rois_classified_per_sec_per_chip_e2e") == \
+                "ifcb_rois_classified_per_sec_per_chip_e2e":
+            return e
+    return None
 
 
 def _best_recorded() -> dict | None:
@@ -551,12 +560,40 @@ def _best_recorded() -> dict | None:
             e = json.loads(line)
         except ValueError:  # truncated mid-append line: skip, don't bail
             continue
+        if e.get("metric", "ifcb_rois_classified_per_sec_per_chip_e2e") != \
+                "ifcb_rois_classified_per_sec_per_chip_e2e":
+            continue  # history also carries train entries (seconds)
         if e.get("value") and (best is None or e["value"] > best["value"]):
             best = e
     if best is None:
         return None
     return {k: best.get(k) for k in
             ("value", "best", "link_MBps", "bytes_per_roi",
+             "recorded_at")}
+
+
+def _best_train_recorded() -> dict | None:
+    """Fastest prior steady-state epoch on record (smaller seconds =
+    better) — context for a weather-/host-bitten train capture, mirroring
+    the inference line's ``best_recorded``."""
+    try:
+        lines = HISTORY.read_text().strip().splitlines()
+    except OSError:
+        return None
+    best = None
+    for line in lines:
+        try:
+            e = json.loads(line)
+        except ValueError:
+            continue
+        if e.get("metric") != "train_epoch_wall_clock":
+            continue
+        if e.get("value") and (best is None or e["value"] < best["value"]):
+            best = e
+    if best is None:
+        return None
+    return {k: best.get(k) for k in
+            ("value", "img_per_sec", "achieved_tflops", "first_epoch_s",
              "recorded_at")}
 
 
@@ -769,24 +806,25 @@ def train_benchmark(root: Path) -> None:
         utilization = round(achieved / V5E_BF16_PEAK, 3)
     except Exception:  # cost model unavailable: the wall clock still prints
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "train_epoch_wall_clock",
-                "value": round(epoch_s, 2),
-                "unit": "s",
-                # fraction of v5e bf16 peak the steady-state epoch achieves
-                # (the reference publishes no training numbers, BASELINE.md)
-                "vs_baseline": utilization,
-                "baseline": "v5e bf16 peak 197 TFLOP/s",
-                "achieved_tflops": achieved_tflops,
-                "images": n_imgs,
-                "img_per_sec": round(n_imgs / epoch_s, 1),
-                "dataset_build_s": round(build_s, 2),
-                "first_epoch_s": round(first_epoch_s, 2),
-            }
-        )
-    )
+    payload = {
+        "metric": "train_epoch_wall_clock",
+        "value": round(epoch_s, 2),
+        "unit": "s",
+        # fraction of v5e bf16 peak the steady-state epoch achieves
+        # (the reference publishes no training numbers, BASELINE.md)
+        "vs_baseline": utilization,
+        "baseline": "v5e bf16 peak 197 TFLOP/s",
+        "achieved_tflops": achieved_tflops,
+        "images": n_imgs,
+        "img_per_sec": round(n_imgs / epoch_s, 1),
+        "dataset_build_s": round(build_s, 2),
+        "first_epoch_s": round(first_epoch_s, 2),
+        # fastest prior epoch on record: like the inference line's
+        # best_recorded, a slow capture ships its own context
+        "best_recorded": _best_train_recorded(),
+    }
+    print(json.dumps(payload))
+    _record_history(payload)
 
 
 def _train_epoch_flops(trainer, stacked, lrs) -> float:
