@@ -477,6 +477,11 @@ def inference_benchmark(root: Path) -> dict:
                 # dispatch counts show how often the payoff gate engaged
                 "wire_codec": clf.wire_codec,
                 "wire_dispatches": dict(clf.wire_stats),
+                # fixed-point uint16 result rows (engine._pack_probs_u16):
+                # ~108 B/ROI down instead of 200 — the download direction
+                # runs ~5 MB/s on this tunnel, so f32 rows cost ~75 ms of
+                # drain per 2048-slot batch that the pipeline had to hide
+                "d2h_compact": clf.d2h_compact,
                 # device-compute-only throughput on the same workload
                 # (wire excluded): the non-tunneled production ceiling
                 "onchip_rois_per_sec": onchip_rps,

@@ -49,6 +49,48 @@ log = logger.get_logger("engine")
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
+# D2H fixed-point compaction (SYKEPIC_D2H_COMPACT=off reverts): the
+# DOWNLOAD direction of a tunneled link runs far below upload (~5 MB/s vs
+# 30-45 MB/s measured), so a 2048-slot batch's f32 probability rows
+# (50 classes x 4 B = 409 KB) cost ~75 ms of drain that the pipeline must
+# hide behind a ~100 ms upload — on a slow-download day the drain, not the
+# upload, bounds e2e throughput. The CSV contract only carries 5 decimals
+# (ceil(log2(100001)) = 17 bits of information), so the device ships
+# round(p * 1e5) as a uint16 low-word plane plus a packed overflow-bit
+# plane (values > 65535, i.e. p > 0.65535) — ~2.16 B/value instead of 4,
+# reconstructed exactly on the host. Reconstruction changes a printed 5th
+# decimal only where device-f32 rint and host-double rounding of p*1e5
+# disagree (sub-1e-5 events; every downstream contract tolerates >= 1e-4).
+
+
+def _pack_probs_u16(p):
+    """(B, C) f32 probabilities -> (B, C + ceil(C/16)) uint16 wire rows:
+    columns [0, C) carry round(p*1e5) & 0xFFFF, the tail words pack the
+    17th bit of each value, 16 classes per word (bit j of word w belongs
+    to class w*16+j). Traced inside the inference programs."""
+    n, c = p.shape
+    v = jnp.rint(p * jnp.float32(1e5)).astype(jnp.int32)  # 0..100000
+    lo = (v & 0xFFFF).astype(jnp.uint16)
+    nw = -(-c // 16)
+    ovf = jnp.pad(v >> 16, ((0, 0), (0, nw * 16 - c)))  # 0/1 (v < 2^17)
+    weights = jnp.left_shift(jnp.int32(1), jnp.arange(16, dtype=jnp.int32))
+    bits = (ovf.reshape(n, nw, 16) * weights).sum(axis=-1).astype(jnp.uint16)
+    return jnp.concatenate([lo, bits], axis=1)
+
+
+def unpack_probs_u16(rows: np.ndarray, num_classes: int) -> np.ndarray:
+    """Host inverse of :func:`_pack_probs_u16`: (B, C + ceil(C/16)) uint16
+    -> (B, C) float32 probabilities. Exact: the reconstructed value is
+    round(p*1e5) / 1e5 to within one f32 ulp, so re-rounding (the CSV
+    formatter, threshold comparisons) recovers the device's integer."""
+    c = num_classes
+    lo = rows[:, :c].astype(np.int32)
+    words = rows[:, c:]
+    ovf = (words[:, :, None] >> np.arange(16, dtype=np.uint16)) & 1
+    ovf = ovf.reshape(len(rows), -1)[:, :c].astype(np.int32)
+    v = lo + (ovf << 16)
+    return v.astype(np.float32) * np.float32(1e-5)
+
 
 class Classifier:
     """A loaded model directory, ready to classify packed ROI batches.
@@ -141,6 +183,15 @@ class Classifier:
                 self.variables = jax.device_put(variables, self._replicated)
         else:
             self.variables = jax.device_put(variables)
+        # Fixed-point D2H result rows (rationale at _pack_probs_u16): on
+        # by default for the same reason as the wire codec — the stream
+        # is link-bound whenever the chip is remote, and on a local chip
+        # the ~2x smaller result rows still cost nothing. Must be decided
+        # before the infer programs build: the packing is traced into them.
+        self.d2h_compact = (
+            _os.environ.get("SYKEPIC_D2H_COMPACT", "on").lower()
+            not in ("off", "0", "no")
+        )
         self._infer = self._build_infer()
         self._infer_shelf = self._build_infer_shelf()
         # Shelf packing ships ~16% fewer wire bytes on realistic mixes and
@@ -192,6 +243,7 @@ class Classifier:
         # CPU (pallas TPU kernels need interpret mode there, and the tests
         # cover both formulations producing identical values).
         use_pallas = jax.default_backend() != "cpu"
+        compact = self.d2h_compact
 
         @partial(jax.jit, static_argnames=("target_h", "target_w"))
         def infer(canvas, heights, widths, new_h, new_w, pad_top,
@@ -217,9 +269,10 @@ class Classifier:
             x = jax.lax.optimization_barrier(x)
             logits = model.apply(variables, x, train=False)
             # softmax temperature: logits * ln(1.3) (probability.py:191-194)
-            return jax.nn.softmax(
+            probs = jax.nn.softmax(
                 logits.astype(jnp.float32) * math.log(SOFTMAX_EXP), axis=-1
             )
+            return _pack_probs_u16(probs) if compact else probs
 
         return infer
 
@@ -232,6 +285,7 @@ class Classifier:
         spec = self.spec
         model = self.model
         variables = self.variables
+        compact = self.d2h_compact
 
         @partial(jax.jit, static_argnames=("target_h", "target_w"))
         def infer_shelf(windows, meta, *, target_h, target_w):
@@ -256,9 +310,10 @@ class Classifier:
             )
             x = jax.lax.optimization_barrier(x)
             logits = model.apply(variables, x, train=False)
-            return jax.nn.softmax(
+            probs = jax.nn.softmax(
                 logits.astype(jnp.float32) * math.log(SOFTMAX_EXP), axis=-1
             )
+            return _pack_probs_u16(probs) if compact else probs
 
         return infer_shelf
 
@@ -512,7 +567,17 @@ class Classifier:
 
     def infer_packed(self, batch: pack.PackedBatch) -> np.ndarray:
         """Class probabilities for one packed batch: (B, num_classes)."""
-        return np.asarray(self.dispatch_packed(batch))
+        return self.result_probs(self.dispatch_packed(batch))
+
+    def result_probs(self, device_result) -> np.ndarray:
+        """Materialize a :meth:`dispatch_packed`/:meth:`dispatch_shelf`
+        result to (B, num_classes) float32 probabilities — the device rows
+        are fixed-point uint16 when ``d2h_compact`` is on (the default;
+        see :func:`_pack_probs_u16`)."""
+        rows = np.asarray(device_result)
+        if self.d2h_compact:
+            return unpack_probs_u16(rows, len(self.classes))
+        return rows
 
     def onchip_rate(self, tagged_rois, repeats: int = 4,
                     max_batches: int = 32):
@@ -704,7 +769,11 @@ class Classifier:
         dispatched (``copy_to_host_async``), so by drain time the bytes are
         already local. Measured on the tunneled v5e: 37 ms/batch versus
         425 ms/batch with synchronous drains — the blocking D2H round trip
-        was serializing the whole pipeline.
+        was serializing the whole pipeline. Result rows ride as uint16
+        fixed-point (~108 B/ROI instead of 200 at 50 classes, see
+        ``_pack_probs_u16``) because the download direction runs ~5 MB/s
+        on this tunnel — f32 rows cost ~75 ms/batch of drain, within
+        range of the ~100 ms upload they must hide behind.
         """
         from collections import deque
 
@@ -761,12 +830,16 @@ class Classifier:
         # batch is a pack.PackedBatch or a shelf.ShelfBatch — both carry
         # sample_idx / roi_ids / n_valid
         with self.timer.stage("device.drain"):
-            probs = np.asarray(device_probs)
+            rows = np.asarray(device_probs)
         n = batch.n_valid
+        # decode AFTER slicing to the real rows: padding slots never pay
+        # the (cheap) host-side unpack
+        probs = (unpack_probs_u16(rows[:n], len(self.classes))
+                 if self.d2h_compact else rows[:n])
         out = (
             np.asarray(batch.sample_idx[:n]),
             np.asarray(batch.roi_ids[:n]),
-            probs[:n],
+            probs,
         )
         # the device result for this dispatch has arrived, so its upload
         # (raw windows or encoded payload) is long done: multi-MB host
@@ -798,7 +871,7 @@ class Classifier:
 
         def drain(batch, device_probs, device_feats):
             with self.timer.stage("device.drain"):
-                probs = np.asarray(device_probs)
+                probs = self.result_probs(device_probs)
                 feats = np.asarray(device_feats)  # (B, 4): area/biovol/axes
             if batch.wire is not None:  # upload done: pool the payload
                 from ..ingest import wirecodec as _wc

@@ -67,10 +67,21 @@ Entropy coding: investigated and rejected (2026-08-20, measured on the
   ~4-6k ROIs/s, below today's 20k+ e2e — a net loss at any link speed.
 - decode cannot move off-device: the wire's far end is the PJRT
   runtime; there is no host to run a rANS decoder on before upload.
+- the in-between family — a TILE-adaptive plane (fixed P-pixel tiles,
+  2 or 4 bits each by residual range, 2 flag bits/tile) — was also
+  measured (tools/tile_adaptive_study.py, 2026-08-20): best case
+  (4x128 tiles) saves only 38 B/ROI (2%) over the dense 4-bit plane,
+  BEFORE paying its decode (per-tile variable offsets make the unpack
+  a per-pixel gather/scatter again: ~0.4 s per shelf dispatch at the
+  measured 22 M scatter-updates/s vs ~55 ms for the CNN). Real IFCB
+  residuals are camera-noise-dominated — almost no tile is quiet
+  enough for 2 bits — so the family is value-less here regardless.
 
 Verdict: the codec stays at the 4-bit-plane design; further wire-byte
 wins must come from somewhere other than entropy coding (e.g. lossy
-modes would break bit-level CSV parity and are off the table).
+modes would break bit-level CSV parity and are off the table). The
+DOWNLOAD direction is a separate lever: result rows ship as uint16
+fixed-point (engine._pack_probs_u16, ~2x fewer D2H bytes).
 """
 
 from __future__ import annotations

@@ -203,13 +203,13 @@ def test_pre_shrink_classification_equivalent():
     rows_direct = {}
     for batch in pack.pack_rois([(0, 1, big)], batch_size=4,
                                 pre_shrink_to=None):
-        probs = np.asarray(clf.dispatch_packed(batch))
+        probs = clf.infer_packed(batch)
         rows_direct[1] = probs[0]
     rows_shrunk = {}
     for batch in pack.pack_rois([(0, 1, big)], batch_size=4,
                                 pre_shrink_to=(180, 180)):
         assert batch.canvas.shape[1] <= 192 and batch.canvas.shape[2] <= 192
-        probs = np.asarray(clf.dispatch_packed(batch))
+        probs = clf.infer_packed(batch)
         rows_shrunk[1] = probs[0]
     assert np.argmax(rows_direct[1]) == np.argmax(rows_shrunk[1])
     np.testing.assert_allclose(rows_direct[1], rows_shrunk[1], atol=2e-3)
