@@ -63,13 +63,26 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 # disagree (sub-1e-5 events; every downstream contract tolerates >= 1e-4).
 
 
+# 17-bit all-ones: unreachable for finite rows (clipped to <= 131070), so
+# it round-trips non-finite device values back to NaN on the host
+_NONFINITE_SENTINEL = (1 << 17) - 1
+
+
 def _pack_probs_u16(p):
     """(B, C) f32 probabilities -> (B, C + ceil(C/16)) uint16 wire rows:
     columns [0, C) carry round(p*1e5) & 0xFFFF, the tail words pack the
     17th bit of each value, 16 classes per word (bit j of word w belongs
     to class w*16+j). Traced inside the inference programs."""
     n, c = p.shape
-    v = jnp.rint(p * jnp.float32(1e5)).astype(jnp.int32)  # 0..100000
+    # Non-finite probabilities (corrupt checkpoint, numeric blowup) must
+    # stay LOUD: int-casting NaN/Inf is undefined in XLA and would launder
+    # them into plausible-looking values. They map to the sentinel 131071
+    # (impossible for a clipped finite value: 2^17 - 1), which the host
+    # reconstructs as NaN — same visibility as the old f32 rows.
+    finite = jnp.isfinite(p)
+    safe = jnp.where(finite, jnp.clip(p, 0.0, 1.3107), 0.0)
+    v = jnp.rint(safe * jnp.float32(1e5)).astype(jnp.int32)  # 0..131070
+    v = jnp.where(finite, v, jnp.int32(_NONFINITE_SENTINEL))
     lo = (v & 0xFFFF).astype(jnp.uint16)
     nw = -(-c // 16)
     ovf = jnp.pad(v >> 16, ((0, 0), (0, nw * 16 - c)))  # 0/1 (v < 2^17)
@@ -87,9 +100,14 @@ def unpack_probs_u16(rows: np.ndarray, num_classes: int) -> np.ndarray:
     lo = rows[:, :c].astype(np.int32)
     words = rows[:, c:]
     ovf = (words[:, :, None] >> np.arange(16, dtype=np.uint16)) & 1
-    ovf = ovf.reshape(len(rows), -1)[:, :c].astype(np.int32)
+    # explicit target shape: reshape(n, -1) cannot infer a dim on an
+    # empty (0, nw) slice, and zero-valid batches do drain
+    ovf = ovf.reshape(len(rows), words.shape[1] * 16)[:, :c].astype(np.int32)
     v = lo + (ovf << 16)
-    return v.astype(np.float32) * np.float32(1e-5)
+    out = v.astype(np.float32) * np.float32(1e-5)
+    if (v >= _NONFINITE_SENTINEL).any():  # device saw NaN/Inf: stay loud
+        out[v >= _NONFINITE_SENTINEL] = np.nan
+    return out
 
 
 class Classifier:
@@ -103,8 +121,11 @@ class Classifier:
     batch_size : int
         Device batch size (per bucket shape).
     dtype : str
-        "float32" (bit-parity softmax CSVs) or "bfloat16" (max MXU
-        throughput; probabilities differ in the last printed decimals).
+        "float32" (reference-matching softmax CSVs; combine with
+        ``SYKEPIC_D2H_COMPACT=off`` for bit-parity with a host-side f32
+        formatter — the default fixed-point download can move a printed
+        5th decimal by one unit) or "bfloat16" (max MXU throughput;
+        probabilities differ in the last printed decimals).
     """
 
     def __init__(
@@ -569,12 +590,15 @@ class Classifier:
         """Class probabilities for one packed batch: (B, num_classes)."""
         return self.result_probs(self.dispatch_packed(batch))
 
-    def result_probs(self, device_result) -> np.ndarray:
+    def result_probs(self, device_result, n: int | None = None) -> np.ndarray:
         """Materialize a :meth:`dispatch_packed`/:meth:`dispatch_shelf`
         result to (B, num_classes) float32 probabilities — the device rows
         are fixed-point uint16 when ``d2h_compact`` is on (the default;
-        see :func:`_pack_probs_u16`)."""
+        see :func:`_pack_probs_u16`). With ``n`` only the first n rows are
+        decoded (padding slots never pay the host-side unpack)."""
         rows = np.asarray(device_result)
+        if n is not None:
+            rows = rows[:n]
         if self.d2h_compact:
             return unpack_probs_u16(rows, len(self.classes))
         return rows
@@ -829,13 +853,9 @@ class Classifier:
     def _drain_block(self, batch, device_probs):
         # batch is a pack.PackedBatch or a shelf.ShelfBatch — both carry
         # sample_idx / roi_ids / n_valid
-        with self.timer.stage("device.drain"):
-            rows = np.asarray(device_probs)
         n = batch.n_valid
-        # decode AFTER slicing to the real rows: padding slots never pay
-        # the (cheap) host-side unpack
-        probs = (unpack_probs_u16(rows[:n], len(self.classes))
-                 if self.d2h_compact else rows[:n])
+        with self.timer.stage("device.drain"):
+            probs = self.result_probs(device_probs, n=n)
         out = (
             np.asarray(batch.sample_idx[:n]),
             np.asarray(batch.roi_ids[:n]),
@@ -871,7 +891,7 @@ class Classifier:
 
         def drain(batch, device_probs, device_feats):
             with self.timer.stage("device.drain"):
-                probs = self.result_probs(device_probs)
+                probs = self.result_probs(device_probs, n=batch.n_valid)
                 feats = np.asarray(device_feats)  # (B, 4): area/biovol/axes
             if batch.wire is not None:  # upload done: pool the payload
                 from ..ingest import wirecodec as _wc

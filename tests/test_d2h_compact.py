@@ -53,6 +53,23 @@ def test_pack_unpack_round_trip_exact(n_classes):
     np.testing.assert_array_equal(np.argmax(out, 1), np.argmax(p, 1))
 
 
+def test_zero_row_unpack():
+    """Zero-valid batches drain too: the unpack must return an empty
+    (0, C) array, not crash on a shape-inference corner."""
+    out = engine.unpack_probs_u16(np.zeros((0, 54), np.uint16), 50)
+    assert out.shape == (0, 50) and out.dtype == np.float32
+
+
+def test_nonfinite_probs_stay_loud():
+    """NaN/Inf device probabilities must reconstruct as NaN (the f32
+    download path's behavior), not launder into plausible fixed-point
+    values via undefined float->int casts."""
+    p = np.array([[np.nan, 0.5, np.inf, -np.inf, 0.25]], np.float32)
+    out = engine.unpack_probs_u16(_pack(p), p.shape[1])
+    assert np.isnan(out[0, 0]) and np.isnan(out[0, 2]) and np.isnan(out[0, 3])
+    assert abs(out[0, 1] - 0.5) < 1e-6 and abs(out[0, 4] - 0.25) < 1e-6
+
+
 def test_two_overflow_values_in_one_word():
     """Bit packing must keep per-class overflow bits independent (v >
     65535 can hold for several values of an arbitrary row, even though a

@@ -58,8 +58,11 @@ def test_sharded_matches_single_device(classifiers, tagged):
     out_sharded = {rid: p for _, rid, p in sharded.classify_rois(iter(tagged))}
     assert out_single.keys() == out_sharded.keys()
     for rid in out_single:
+        # atol admits ONE fixed-point D2H quantum (~1.0014e-5 after f32
+        # reconstruction): cross-mesh ulp noise that straddles a
+        # round(p*1e5) boundary legitimately lands on adjacent integers
         np.testing.assert_allclose(
-            out_sharded[rid], out_single[rid], rtol=1e-5, atol=1e-6
+            out_sharded[rid], out_single[rid], rtol=1e-5, atol=1.1e-5
         )
 
 
@@ -75,6 +78,7 @@ def test_sharded_fused_features(classifiers, tagged):
     out_m = {r[1]: r for r in sharded.classify_and_feature_rois(iter(tagged))}
     assert out_s.keys() == out_m.keys()
     for rid in out_s:
+        # atol: one fixed-point D2H quantum (see classify test above)
         np.testing.assert_allclose(out_m[rid][2], out_s[rid][2],
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-5, atol=1.1e-5)
         np.testing.assert_allclose(out_m[rid][3], out_s[rid][3], rtol=1e-4)

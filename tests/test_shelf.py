@@ -130,7 +130,9 @@ def test_shelf_classification_matches_slot_path(model_dir):
     b = run("shelf")
     assert set(a) == set(b)
     worst = max(float(np.abs(a[k] - b[k]).max()) for k in a)
-    assert worst < 1e-5, worst
+    # one fixed-point D2H quantum (~1.0014e-5 reconstructed): slot-vs-
+    # shelf ulp noise straddling a round(p*1e5) boundary is legitimate
+    assert worst < 1.2e-5, worst
 
 
 def test_onchip_rate_shelf_counts(model_dir):
