@@ -36,13 +36,17 @@ SOFTMAX_EXP = 1.3
 
 # Async D2H pipeline depths: how many dispatched batches ride in flight
 # before the oldest is drained. Tuned for the high-latency tunneled TPU this
-# repo benches on (deep enough to hide ~6 round trips); on a local chip the
-# optimum is smaller (2-3) — override via the env vars without code changes.
-# The fused classify+features path carries two transfers per batch, so it
-# saturates at a shallower depth.
+# repo benches on: the link's bandwidth jitters second-to-second, and a
+# deeper queue lets slow windows borrow from fast ones — an alternating
+# A/B (2026-08-20, after the fixed-point D2H rows cut drain cost) had
+# depth 12 beat depth 6 in every paired pass, median 17.2k vs 16.2k
+# ROIs/s, for ~24 MB of extra in-flight host buffers. On a local chip the
+# optimum is smaller (2-3) — override via the env vars without code
+# changes. The fused classify+features path carries two transfers per
+# batch, so it saturates at a shallower depth.
 import os as _os
 
-PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_PIPELINE_DEPTH", "6"))
+PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_PIPELINE_DEPTH", "12"))
 FUSED_PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_FUSED_PIPELINE_DEPTH", "4"))
 
 log = logger.get_logger("engine")
