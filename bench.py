@@ -349,11 +349,14 @@ def inference_benchmark(root: Path) -> dict:
     # Warmup: compile the bucket shapes AND fill the in-flight pipeline
     # depth -- the first pipelined pass after compilation runs ~10x
     # slower while device/transfer buffers warm up (measured on the
-    # tunneled v5e), so warm with enough samples to cycle the full
-    # 12-deep in-flight queue at least once (~12k ROIs >= 12 dispatches).
+    # tunneled v5e), so warm with enough samples to cycle the 12-deep
+    # in-flight queue at least once: shelf dispatches carry ~1,700-1,900
+    # ROIs each (the record run's artifact shows 471 dispatches/~800k
+    # ROIs), so >= 12 dispatches needs ~22k ROIs = 44 samples.
+    warm_samples = samples[:44]
     t0 = time.perf_counter()
-    probability.process_samples_batched(samples[:24], clf, root / "warmup")
-    warm_rate = 24 * 500 / (time.perf_counter() - t0)
+    probability.process_samples_batched(warm_samples, clf, root / "warmup")
+    warm_rate = len(warm_samples) * 500 / (time.perf_counter() - t0)
 
     # The tunneled link's bandwidth swings 5-50 MB/s with occasional
     # multi-minute stalls, so (a) size the pass so one takes ~15-20 s at

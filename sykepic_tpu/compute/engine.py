@@ -40,7 +40,9 @@ SOFTMAX_EXP = 1.3
 # deeper queue lets slow windows borrow from fast ones — an alternating
 # A/B (2026-08-20, after the fixed-point D2H rows cut drain cost) had
 # depth 12 beat depth 6 in every paired pass, median 17.2k vs 16.2k
-# ROIs/s, for ~24 MB of extra in-flight host buffers. On a local chip the
+# ROIs/s, for ~50 MB of extra in-flight host buffers (each undrained
+# shelf batch pins its ~6.3 MB window tensor plus ~2 MB wire payload
+# until _drain_block recycles them). On a local chip the
 # optimum is smaller (2-3) — override via the env vars without code
 # changes. The fused classify+features path carries two transfers per
 # batch, so it saturates at a shallower depth.
@@ -792,7 +794,8 @@ class Classifier:
         ROIs from different samples may share device batches; ordering is
         not guaranteed (sort per sample before writing CSVs).
 
-        Pipelined: up to 6 batches stay in flight, and every result's
+        Pipelined: up to ``PIPELINE_DEPTH`` (default 12) batches stay in
+        flight, and every result's
         device->host copy is started asynchronously the moment it is
         dispatched (``copy_to_host_async``), so by drain time the bytes are
         already local. Measured on the tunneled v5e: 37 ms/batch versus

@@ -30,6 +30,7 @@ pure classification stream (reference workload:
 
 from __future__ import annotations
 
+import os as _os
 from collections import defaultdict, deque
 from dataclasses import dataclass
 
@@ -245,8 +246,12 @@ class _Shelver:
 # pays mmap page faults for the whole tensor. Recycling the buffer once
 # its dispatch has DRAINED (the consumer proved the device is done with
 # it) makes the cost a 6.3 MB fill instead. deque append/pop are
-# GIL-atomic; maxlen bounds the idle pool at ~2 pipeline depths.
-_WINDOW_POOL: dict[int, deque] = defaultdict(lambda: deque(maxlen=12))
+# GIL-atomic; the capacity tracks the engine's in-flight pipeline depth
+# (same env default as engine.PIPELINE_DEPTH) plus slack, so a deeper
+# pipeline can never overflow the pool and silently drop buffers back
+# to the page-fault path.
+POOL_CAP = int(_os.environ.get("SYKEPIC_PIPELINE_DEPTH", "12")) + 4
+_WINDOW_POOL: dict[int, deque] = defaultdict(lambda: deque(maxlen=POOL_CAP))
 
 
 def _window_buffer(nc: int, fill: int) -> np.ndarray:

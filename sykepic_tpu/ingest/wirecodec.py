@@ -143,8 +143,11 @@ class WirePayload:
 # mmap page faults under a real streaming pass because jax staging
 # allocations defeat glibc arena reuse. The engine recycles a payload
 # once its dispatch has drained (upload provably complete). deque ops
-# are GIL-atomic; maxlen bounds idle memory.
-_POOL: dict[object, deque] = defaultdict(lambda: deque(maxlen=12))
+# are GIL-atomic; the capacity tracks the engine's in-flight pipeline
+# depth (same env default as engine.PIPELINE_DEPTH) plus slack.
+from .shelf import POOL_CAP
+
+_POOL: dict[object, deque] = defaultdict(lambda: deque(maxlen=POOL_CAP))
 _SCRATCH = threading.local()  # native encoder's exception scratch
 
 
