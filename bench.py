@@ -47,6 +47,15 @@ if __name__ == "__main__" and \
         pass  # exec denied: run anyway, the spam is cosmetic
 
 
+# The TF_CPP re-exec above silences the C++ plugin spam, but jax's OWN
+# logger still emits "Platform 'axon' is experimental" WARNINGs at first
+# backend use — r04's driver-captured tail carried them interleaved with
+# the JSON lines. The driver artifact must be clean JSON: raise that
+# logger's level before anything touches the backend.
+import logging as _logging
+
+_logging.getLogger("jax._src.xla_bridge").setLevel(_logging.ERROR)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import _venvfix
 

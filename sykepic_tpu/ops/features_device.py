@@ -101,6 +101,21 @@ def _dilate3(x):
     )
 
 
+def _use_pallas_flood() -> bool:
+    """Floods run as a VMEM-resident pallas kernel on real accelerators
+    (ops/pallas_flood.py — per-iteration kernel-launch overhead, not
+    bandwidth, bounds the XLA while_loop formulation; measured 51 -> ~3 ms
+    for two hole fills at the fused-leg shape). CPU keeps the XLA path
+    (pallas needs interpret mode there; equality is pinned in
+    tests/test_pallas_flood.py). ``SYKEPIC_PALLAS_FLOOD=off`` reverts."""
+    import os
+
+    if os.environ.get("SYKEPIC_PALLAS_FLOOD", "on").lower() in (
+            "off", "0", "no"):
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def _flood(seed, within, iterations: int):
     """Grow ``seed`` through ``within`` by 8-connected steps (bool arrays).
 
@@ -109,6 +124,10 @@ def _flood(seed, within, iterations: int):
     exceed ``h + w``, so a fixed short bound would silently truncate curved
     chains); typical masks converge in tens of steps.
     """
+    if _use_pallas_flood():
+        from . import pallas_flood
+
+        return pallas_flood.flood_pallas(seed, within, iterations)
     within_f = within.astype(_MASK_DTYPE)
     state = seed.astype(_MASK_DTYPE) * within_f
 
@@ -312,16 +331,37 @@ def _dft_constants(rows: int, cols: int):
 
 
 def _masked_median(values, valid):
-    """Per-image median over the valid region. values/valid: (B, H, W)."""
+    """Per-image median over the valid region. values/valid: (B, H, W).
+
+    ``values`` must be NON-NEGATIVE (amplitudes): exact order statistics
+    are found by a 31-step radix binary search on the float32 bit
+    patterns (monotonic for non-negative floats) — each step is one fused
+    compare+count pass, which the TPU runs ~5x faster than sorting the
+    (B, H*W) rows (measured 45 -> 9.3 ms for phasecong's six medians at
+    the 2048 x 48x96 fused-leg shape; result bit-equal to the sort).
+    Invalid pixels count as +inf, so an all-invalid image returns inf —
+    the same value the sort-based median produced.
+    """
     b = values.shape[0]
     flat = jnp.where(valid, values, jnp.inf).reshape(b, -1)
-    srt = jnp.sort(flat, axis=1)
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int32)
     n = valid.reshape(b, -1).sum(axis=1)
-    lo = jnp.maximum((n - 1) // 2, 0)
-    hi = jnp.maximum(n // 2, 0)
-    vlo = jnp.take_along_axis(srt, lo[:, None], axis=1)[:, 0]
-    vhi = jnp.take_along_axis(srt, hi[:, None], axis=1)[:, 0]
-    return (vlo + vhi) / 2.0
+    # both central order statistics searched side by side: (B, 2)
+    ks = jnp.stack([jnp.maximum((n - 1) // 2, 0),
+                    jnp.maximum(n // 2, 0)], axis=1)
+    lo = jnp.zeros((b, 2), jnp.int32)
+    hi = jnp.full((b, 2), jnp.int32(0x7F800000))  # +inf bit pattern
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + jax.lax.shift_right_logical(hi - lo, 1)
+        cnt = (bits[:, None, :] <= mid[:, :, None]).sum(axis=2)
+        take = cnt >= ks + 1  # k-th smallest is <= mid
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    vals = jax.lax.bitcast_convert_type(lo, jnp.float32)
+    return (vals[:, 0] + vals[:, 1]) / 2.0
 
 
 def phasecong_Mm_batched(x, valid, nscale=4, norient=6, mult=2.1,
