@@ -292,6 +292,17 @@ def _pc_filter_bank(rows: int, cols: int, nscale=4, norient=6, minWaveLength=3,
 # slots: 14.0 ms -> 10.6 ms per orientation batch at f32 HIGHEST, with
 # eo max abs err 9e-5 on a ~2e2-scale signal). The matmul cost grows as
 # O(HW*(H+W)) vs FFT's O(HW log HW), so large canvases keep the FFT.
+#
+# Lower-precision go/no-go (VERDICT r04 item 8, measured 2026-08-20):
+# with the profile attributing the residual phasecong cost to these
+# matmuls, f32 HIGHEST (6-pass bf16 emulation) runs at its arithmetic
+# roofline (~260 GFLOP/batch in ~10.6 ms); DEFAULT/bf16 inputs measured
+# eo max err ~1.8 on a ~2.3e2-scale signal (~8e-3 relative), which blows
+# the 5e-3 phasecong parity band (tests/test_features_device.py), and
+# Precision.HIGH measured SLOWER than HIGHEST on this chip (73 vs 7.8 ms
+# in the standalone A/B) — so reduced precision is a measured no-go, not
+# an oversight. int8 quantization of the cos/sin matrices (~2^-7 steps)
+# is coarser still.
 _DFT_MATMUL_MAX_PIXELS = 16384  # 128x128
 
 

@@ -62,9 +62,14 @@ def flood_pallas(seed, within, cap: int, interpret: bool = False):
     bool); returns the converged bool mask. ``cap`` bounds pathological
     cases exactly like the XLA flood's ``iterations``."""
     b, h, w = seed.shape
-    # tile the batch so seed+within+out stay well under VMEM (~3 bytes/px
-    # of f32 x 3 buffers; 2 MB per buffer keeps big slot canvases legal)
-    tile_b = max(1, min(b, (512 * 1024) // max(h * w, 1)))
+    # Tile the batch so the kernel's live VMEM set fits: Mosaic pads the
+    # last two dims to (8, 128) f32 tiles, and the loop body holds ~8 live
+    # buffers (state, within, 2 shift copies per pass, grown, zeros), so
+    # budget ~512 KB per buffer on PADDED bytes (a 113-image tile at 48x96
+    # measured 19.2 MB of scoped vmem and OOM'd the 16 MB limit).
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    tile_b = max(1, min(b, (128 * 1024) // max(hp * wp, 1)))
     pad = (-b) % tile_b
     seed_f = jnp.pad(seed.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
     within_f = jnp.pad(within.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
