@@ -1010,6 +1010,8 @@ def fused_benchmark(root: Path) -> None:
         subset, clf, fused=True,
         budget_s=min(420.0, max(_remaining() - 180.0, 60.0)),
     )
+    onchip_fused = _probe_fused_onchip(clf, subset)
+    link_before = measure_link_mbps()
 
     rates = []
     deadline = time.perf_counter() + min(150.0, max(_remaining() - 60.0, 30.0))
@@ -1029,7 +1031,7 @@ def fused_benchmark(root: Path) -> None:
         rates.append(n_rois / elapsed)
         if time.perf_counter() > deadline:
             break
-    print(json.dumps({
+    payload = {
         "metric": "fused_classify_features_rois_per_sec",
         "value": round(float(np.median(rates)), 1),
         "unit": "ROIs/s",
@@ -1038,7 +1040,91 @@ def fused_benchmark(root: Path) -> None:
         "passes": len(rates),
         "device_features": True,  # probs AND geometry features on chip
         "roi_shape": [h, w],  # single-shape workload (see comment above)
-    }))
+        # wire-free compute ceiling of the fused program pair on the same
+        # workload (device-resident args, classify + feature dispatches
+        # back to back): the leg is COMPUTE-bound on a healthy link, so a
+        # low e2e value with a healthy ceiling reads as link weather —
+        # exactly how r05's 4,650 capture at a probed 1.6-7.8 MB/s link
+        # hid a 17.7k ceiling
+        "onchip_fused_rois_per_sec": onchip_fused,
+        "link_MBps": [p for p in (link_before, measure_link_mbps())
+                      if p is not None],
+        "best_recorded": _best_fused_recorded(),
+    }
+    print(json.dumps(payload))
+    _record_history(payload)
+
+
+def _probe_fused_onchip(clf, samples, max_batches: int = 4,
+                        repeats: int = 4) -> float | None:
+    """ROIs/s of the fused classify+features program pair alone (wire
+    excluded): device-resident batch args, both dispatches back to back,
+    one drain. The fused leg's analogue of ``onchip_rois_per_sec``."""
+    import itertools
+
+    try:
+        import jax
+
+        from sykepic_tpu.ingest import ifcb
+        from sykepic_tpu.ops import features_device
+
+        def stream():
+            for idx, p in enumerate(samples[:4]):
+                for rid, img in ifcb.read_sample(p).images():
+                    yield idx, rid, img
+
+        args_list = []
+        n = 0
+        for batch, meta in itertools.islice(
+                clf._prepared_batches(stream(), consolidate_tails=False),
+                max_batches):
+            new_h, new_w, pad_top, pad_left, border = meta
+            args_list.append(tuple(jax.device_put(a) for a in (
+                batch.canvas, batch.heights, batch.widths,
+                new_h, new_w, pad_top, pad_left, border)))
+            n += batch.n_valid
+        kw = dict(target_h=clf.spec.target_h, target_w=clf.spec.target_w)
+
+        def one_pass():
+            out = None
+            for a in args_list:
+                clf._infer(*a, **kw)
+                out = features_device.device_features(a[0], a[1], a[2])
+            return out
+
+        np.asarray(one_pass())  # warm (programs are precompiled already)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = one_pass()
+        np.asarray(out)
+        return round(n * repeats / (time.perf_counter() - t0), 1)
+    except Exception:  # the probe must never sink the leg
+        return None
+
+
+def _best_fused_recorded() -> dict | None:
+    """Best prior fused-leg run on record (same role as the primary
+    line's best_recorded: a weather-bitten final capture ships the best
+    real measurement alongside, clearly labeled)."""
+    try:
+        lines = HISTORY.read_text().strip().splitlines()
+    except OSError:
+        return None
+    best = None
+    for line in lines:
+        try:
+            e = json.loads(line)
+        except ValueError:
+            continue
+        if e.get("metric") != "fused_classify_features_rois_per_sec":
+            continue
+        if e.get("value") and (best is None or e["value"] > best["value"]):
+            best = e
+    if best is None:
+        return None
+    return {k: best.get(k) for k in
+            ("value", "best", "onchip_fused_rois_per_sec", "link_MBps",
+             "recorded_at")}
 
 
 def _backend_responds(timeout_s: float = 180.0) -> bool:
