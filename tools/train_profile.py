@@ -137,7 +137,16 @@ def full_step(params, bstats, opt_state, store, idx, key):
     x = trainer._device_preprocess(cv, hh, ww, nh, nw, pt, pl, bd, lx, ly,
                                    aug_key, train=True)
     out = core(params, bstats, opt_state, x, y, wts, lrs, drop_key)
-    return out[3]  # loss_sum
+    # reduce the WHOLE new state to one scalar: returning only the loss
+    # would let XLA dead-code-eliminate backward+optimizer entirely
+    # (measured: "full" == forward-only without this)
+    new_params, new_bstats, new_opt, loss_sum, _, _ = out
+    acc = loss_sum
+    for t in (new_params, new_bstats, new_opt):
+        for leaf in jax.tree_util.tree_leaves(t):
+            if hasattr(leaf, "astype"):
+                acc = acc + jnp.sum(leaf.astype(jnp.float32))
+    return acc
 
 
 def timeit(label, fn, *args, repeats=20):
