@@ -66,7 +66,14 @@ _DISK2_OFFSETS = [
 
 
 def batched_otsu(canvas, heights, widths):
-    """Per-image Otsu threshold over the valid region. (B,) int32."""
+    """Per-image Otsu threshold over the valid region. (B,) int32.
+
+    The (B, H, W, 256) one-hot histogram is the measured-fastest
+    formulation on the v5e (2026-08-21, 2048 x 48x96): a segment-sum
+    scatter histogram (b*256+pixel keys) ran 12x SLOWER (85 vs 7.1 ms)
+    despite the chip's good batched scatter-add rate — random-key
+    9.4M-update scatters do not hit that path. Keep the one-hot.
+    """
     b, ch, cw = canvas.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)[None]
     cols = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)[None]

@@ -64,6 +64,30 @@ def test_phasecong_matches_host():
         assert np.abs(mm_dev - mm_host).max() < 5e-3
 
 
+def test_phasecong_dft_matmul_equals_fft_path():
+    """The two transform formulations (DFT-by-matmul for small canvases,
+    jnp.fft above _DFT_MATMUL_MAX_PIXELS) are the same math: forcing each
+    path on the same mid-size image must agree to float tolerance, so the
+    large-canvas FFT branch keeps coverage now that every test-size canvas
+    rides the matmul path."""
+    import cv2
+
+    rois = ifcb.read_sample("tests/data/raw/valid/D20180712T065600_IFCB114")
+    img = next(im for _, im in rois.images() if im.size > 2000)
+    img = cv2.resize(img, (140, 120), interpolation=cv2.INTER_AREA)
+    x = np.asarray(img, np.float32)[None]
+    valid = np.ones((1, 120, 140), bool)
+    orig = features_device._DFT_MATMUL_MAX_PIXELS
+    try:
+        features_device._DFT_MATMUL_MAX_PIXELS = 1  # force FFT
+        mm_fft = np.asarray(features_device.phasecong_Mm_batched(x, valid))
+        features_device._DFT_MATMUL_MAX_PIXELS = 10**9  # force matmul
+        mm_dft = np.asarray(features_device.phasecong_Mm_batched(x, valid))
+    finally:
+        features_device._DFT_MATMUL_MAX_PIXELS = orig
+    assert np.abs(mm_fft - mm_dft).max() < 2e-3
+
+
 def test_morphology_matches_host_semantics():
     rng = np.random.default_rng(3)
     m = rng.uniform(size=(28, 33)) < 0.35
