@@ -1069,20 +1069,32 @@ def _probe_fused_onchip(clf, samples, max_batches: int = 4,
         from sykepic_tpu.ops import features_device
 
         def stream():
-            for idx, p in enumerate(samples[:4]):
+            # enough ROIs to fill max_batches FULL-SIZE dispatches: the
+            # pow2 tail ladder's small batches run several-x worse
+            # per-ROI (fixed per-dispatch cost) and a probe built from
+            # them read 5.5k where full batches measure ~17.7k
+            for idx, p in enumerate(samples[:16]):
                 for rid, img in ifcb.read_sample(p).images():
                     yield idx, rid, img
 
         args_list = []
         n = 0
+        full_slots = None
         for batch, meta in itertools.islice(
                 clf._prepared_batches(stream(), consolidate_tails=False),
-                max_batches):
+                4 * max_batches):
+            slots = len(batch.heights)
+            if full_slots is None:
+                full_slots = slots
+            if slots < full_slots and args_list:
+                continue  # ladder tail: not the steady-state shape
             new_h, new_w, pad_top, pad_left, border = meta
             args_list.append(tuple(jax.device_put(a) for a in (
                 batch.canvas, batch.heights, batch.widths,
                 new_h, new_w, pad_top, pad_left, border)))
             n += batch.n_valid
+            if len(args_list) >= max_batches:
+                break
         kw = dict(target_h=clf.spec.target_h, target_w=clf.spec.target_w)
 
         def one_pass():
