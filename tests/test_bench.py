@@ -46,3 +46,55 @@ def test_build_model_dir_loads(bench, tmp_path):
     model_dir = bench.build_model_dir(tmp_path)
     clf = probability.prepare_model(model_dir, batch_size=32)
     assert len(clf.classes) == 50
+
+
+def test_history_lookups_filter_by_metric(bench, tmp_path, monkeypatch):
+    """The record lookups behind the health/link gates must pick the right
+    metric lines, tolerate garbage, and surface the context fields."""
+    hist = tmp_path / "hist.jsonl"
+    rows = [
+        {"metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+         "value": 20000.0, "best": 21000.0, "link_MBps": [30.0, 35.5],
+         "bytes_per_roi": 1991.0, "onchip_rois_per_sec": 36000.0,
+         "recorded_at": "2026-08-20T00:00:00Z"},
+        {"metric": "train_epoch_wall_clock", "value": 0.7,
+         "img_per_sec": 11702.9, "achieved_tflops": 81.0,
+         "first_epoch_s": 24.8, "recorded_at": "2026-08-19T00:00:00Z"},
+        {"metric": "fused_classify_features_rois_per_sec",
+         "value": 11537.2, "best": 11601.2,
+         "onchip_fused_rois_per_sec": 17000.0, "link_MBps": [40.1],
+         "recorded_at": "2026-08-21T00:00:00Z"},
+        {"metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+         "value": 23493.7, "best": 24893.1, "link_MBps": [42.0, 40.5],
+         "bytes_per_roi": 1991.1, "onchip_rois_per_sec": 38617.4,
+         "recorded_at": "2026-08-20T19:41:04Z"},
+    ]
+    with open(hist, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+        fh.write("{truncated mid-append\n")  # must not disable the gates
+    monkeypatch.setattr(bench, "HISTORY", hist)
+
+    best = bench._best_recorded()
+    assert best["value"] == 23493.7 and max(best["link_MBps"]) == 42.0
+
+    fused = bench._best_fused_recorded()
+    assert fused["value"] == 11537.2
+    assert fused["onchip_fused_rois_per_sec"] == 17000.0
+
+    assert bench._onchip_record() == 38617.4
+
+    train = bench._best_train_recorded()
+    assert train["value"] == 0.7 and train["achieved_tflops"] == 81.0
+
+    last = bench._last_recorded()
+    assert last["value"] == 23493.7  # most recent e2e line, train skipped
+
+
+def test_history_lookups_empty_file(bench, tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "HISTORY", tmp_path / "missing.jsonl")
+    assert bench._best_recorded() is None
+    assert bench._best_fused_recorded() is None
+    assert bench._onchip_record() is None
+    assert bench._best_train_recorded() is None
+    assert bench._last_recorded() is None
