@@ -10,4 +10,9 @@ r04). Rationale for the defaults lives at the engine's definitions.
 import os
 
 PIPELINE_DEPTH = int(os.environ.get("SYKEPIC_PIPELINE_DEPTH", "12"))
+# Re-A/B'd after the r05 feature-program rework made the fused leg more
+# wire-bound (2026-08-21, alternating passes at a 34-40 MB/s link):
+# depth 8 median 11,201 ROIs/s vs depth 12's 10,541 and visibly steadier
+# pass-to-pass — the deeper queue only adds in-flight buffer pressure
+# (each fused dispatch pins TWO result transfers). 8 stays the default.
 FUSED_PIPELINE_DEPTH = int(os.environ.get("SYKEPIC_FUSED_PIPELINE_DEPTH", "8"))
