@@ -419,10 +419,10 @@ def inference_benchmark(root: Path) -> dict:
     # chip probes healthy, nap-and-reprobe inside the same retry budget
     # before spending passes; if it never recovers, the payload carries a
     # machine-readable link_degraded verdict with the evidence.
-    link_rec_entry = _best_recorded()
-    link_rec = (max(link_rec_entry["link_MBps"])
-                if link_rec_entry and link_rec_entry.get("link_MBps")
-                else None)
+    # record basis: only v2 (streamed) probes are comparable to this
+    # run's — single-blob v1 numbers read ~2x low and would halve the
+    # gate threshold (see _link_record)
+    link_rec = _link_record()
     link_before = measure_link_mbps()
     link_pregate_probes = [link_before]
     while (link_rec and link_before < 0.5 * link_rec
@@ -602,12 +602,11 @@ def _last_recorded() -> dict | None:
     return None
 
 
-def _best_recorded() -> dict | None:
-    """Highest-median prior run (value + the context needed to read it).
-    The tunnel's bandwidth swings 5-50 MB/s BETWEEN runs: the final run of
-    a round can land in a stall window, so the primary JSON line carries
-    the best real measurement alongside — clearly labeled, never replacing
-    the current run's own number."""
+def _best_entry(metric: str, keys, better) -> dict | None:
+    """One definition of the BENCH_HISTORY best-entry scan (the gates'
+    record basis): tolerate truncated mid-append lines, treat a missing
+    ``metric`` field as the primary e2e metric (pre-tag entries), keep
+    the entry whose value wins ``better``, project ``keys``."""
     try:
         lines = HISTORY.read_text().strip().splitlines()
     except OSError:
@@ -618,22 +617,36 @@ def _best_recorded() -> dict | None:
             e = json.loads(line)
         except ValueError:  # truncated mid-append line: skip, don't bail
             continue
-        if e.get("metric", "ifcb_rois_classified_per_sec_per_chip_e2e") != \
-                "ifcb_rois_classified_per_sec_per_chip_e2e":
-            continue  # history also carries train entries (seconds)
-        if e.get("value") and (best is None or e["value"] > best["value"]):
+        if e.get("metric",
+                 "ifcb_rois_classified_per_sec_per_chip_e2e") != metric:
+            continue
+        if e.get("value") and (best is None
+                               or better(e["value"], best["value"])):
             best = e
     if best is None:
         return None
-    return {k: best.get(k) for k in
-            ("value", "best", "link_MBps", "bytes_per_roi",
-             "recorded_at")}
+    return {k: best.get(k) for k in keys}
 
 
-def _best_train_recorded() -> dict | None:
-    """Fastest prior steady-state epoch on record (smaller seconds =
-    better) — context for a weather-/host-bitten train capture, mirroring
-    the inference line's ``best_recorded``."""
+def _best_recorded() -> dict | None:
+    """Highest-median prior run (value + the context needed to read it).
+    The tunnel's bandwidth swings 5-50 MB/s BETWEEN runs: the final run of
+    a round can land in a stall window, so the primary JSON line carries
+    the best real measurement alongside — clearly labeled, never replacing
+    the current run's own number."""
+    return _best_entry(
+        "ifcb_rois_classified_per_sec_per_chip_e2e",
+        ("value", "best", "link_MBps", "bytes_per_roi", "recorded_at"),
+        lambda new, old: new > old,
+    )
+
+
+def _link_record() -> float | None:
+    """Best link probe (MB/s) among prior e2e entries whose probes used
+    the STREAMED measurement (``link_probe_version`` 2) — the only
+    numbers comparable to this run's. Single-blob v1 probes read ~2x low
+    (19-35 vs ~48 sustained), so mixing them in would halve the link
+    gate's threshold and let a genuinely slumped link pass as healthy."""
     try:
         lines = HISTORY.read_text().strip().splitlines()
     except OSError:
@@ -644,15 +657,27 @@ def _best_train_recorded() -> dict | None:
             e = json.loads(line)
         except ValueError:
             continue
-        if e.get("metric") != "train_epoch_wall_clock":
+        if e.get("metric") != "ifcb_rois_classified_per_sec_per_chip_e2e" \
+                or e.get("link_probe_version") != 2:
             continue
-        if e.get("value") and (best is None or e["value"] < best["value"]):
-            best = e
-    if best is None:
-        return None
-    return {k: best.get(k) for k in
-            ("value", "img_per_sec", "achieved_tflops", "first_epoch_s",
-             "recorded_at")}
+        probes = e.get("link_MBps") or []
+        if probes:
+            top = max(probes)
+            if best is None or top > best:
+                best = top
+    return best
+
+
+def _best_train_recorded() -> dict | None:
+    """Fastest prior steady-state epoch on record (smaller seconds =
+    better) — context for a weather-/host-bitten train capture, mirroring
+    the inference line's ``best_recorded``."""
+    return _best_entry(
+        "train_epoch_wall_clock",
+        ("value", "img_per_sec", "achieved_tflops", "first_epoch_s",
+         "recorded_at"),
+        lambda new, old: new < old,
+    )
 
 
 def host_pack_benchmark() -> None:
@@ -1118,25 +1143,12 @@ def _best_fused_recorded() -> dict | None:
     """Best prior fused-leg run on record (same role as the primary
     line's best_recorded: a weather-bitten final capture ships the best
     real measurement alongside, clearly labeled)."""
-    try:
-        lines = HISTORY.read_text().strip().splitlines()
-    except OSError:
-        return None
-    best = None
-    for line in lines:
-        try:
-            e = json.loads(line)
-        except ValueError:
-            continue
-        if e.get("metric") != "fused_classify_features_rois_per_sec":
-            continue
-        if e.get("value") and (best is None or e["value"] > best["value"]):
-            best = e
-    if best is None:
-        return None
-    return {k: best.get(k) for k in
-            ("value", "best", "onchip_fused_rois_per_sec", "link_MBps",
-             "recorded_at")}
+    return _best_entry(
+        "fused_classify_features_rois_per_sec",
+        ("value", "best", "onchip_fused_rois_per_sec", "link_MBps",
+         "recorded_at"),
+        lambda new, old: new > old,
+    )
 
 
 def _backend_responds(timeout_s: float = 180.0) -> bool:

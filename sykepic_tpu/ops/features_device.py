@@ -134,7 +134,11 @@ def _flood(seed, within, iterations: int):
     if _use_pallas_flood():
         from . import pallas_flood
 
-        return pallas_flood.flood_pallas(seed, within, iterations)
+        # big canvases exceed the kernel's per-image VMEM budget even at
+        # one image per tile (the fused path never pre-shrinks): those
+        # keep the XLA formulation, which works at any shape
+        if pallas_flood.fits_vmem(*seed.shape[1:]):
+            return pallas_flood.flood_pallas(seed, within, iterations)
     within_f = within.astype(_MASK_DTYPE)
     state = seed.astype(_MASK_DTYPE) * within_f
 

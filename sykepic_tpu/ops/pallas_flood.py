@@ -25,6 +25,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Largest PADDED per-image pixel count the kernel accepts: at tile_b=1 a
+# single f32 image costs hp*wp*4 bytes per buffer and the loop body holds
+# ~8 live buffers, so 131072 px (= 512 KB/buffer, ~4 MB live) keeps the
+# 16 MB scoped-VMEM limit safe. Callers must route bigger canvases to the
+# XLA while_loop flood (features_device._flood does) — without this gate a
+# fused --device-features batch holding one large ROI (slot canvases are
+# NOT pre-shrunk: features need original pixel units) would fail the
+# Mosaic compile outright where the XLA flood works at any shape.
+MAX_PADDED_PIXELS = 131072
+
+
+def padded_pixels(h: int, w: int) -> int:
+    """Per-image pixel count after Mosaic's (8, 128) f32 tile padding —
+    the quantity the VMEM budget is really spent on."""
+    return (-(-h // 8) * 8) * (-(-w // 128) * 128)
+
+
+def fits_vmem(h: int, w: int) -> bool:
+    return padded_pixels(h, w) <= MAX_PADDED_PIXELS
+
+
 def _kernel(seed_ref, within_ref, out_ref, *, cap: int):
     within = within_ref[:]
     s = seed_ref[:] * within
@@ -62,14 +83,18 @@ def flood_pallas(seed, within, cap: int, interpret: bool = False):
     bool); returns the converged bool mask. ``cap`` bounds pathological
     cases exactly like the XLA flood's ``iterations``."""
     b, h, w = seed.shape
+    if not fits_vmem(h, w):
+        raise ValueError(
+            f"flood_pallas: ({h}, {w}) canvas exceeds the per-image VMEM "
+            f"budget ({padded_pixels(h, w)} > {MAX_PADDED_PIXELS} padded "
+            "px); route this shape to the XLA flood instead"
+        )
     # Tile the batch so the kernel's live VMEM set fits: Mosaic pads the
     # last two dims to (8, 128) f32 tiles, and the loop body holds ~8 live
     # buffers (state, within, 2 shift copies per pass, grown, zeros), so
     # budget ~512 KB per buffer on PADDED bytes (a 113-image tile at 48x96
     # measured 19.2 MB of scoped vmem and OOM'd the 16 MB limit).
-    hp = -(-h // 8) * 8
-    wp = -(-w // 128) * 128
-    tile_b = max(1, min(b, (128 * 1024) // max(hp * wp, 1)))
+    tile_b = max(1, min(b, MAX_PADDED_PIXELS // max(padded_pixels(h, w), 1)))
     pad = (-b) % tile_b
     seed_f = jnp.pad(seed.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))
     within_f = jnp.pad(within.astype(jnp.float32), ((0, pad), (0, 0), (0, 0)))

@@ -90,6 +90,31 @@ def test_history_lookups_filter_by_metric(bench, tmp_path, monkeypatch):
     last = bench._last_recorded()
     assert last["value"] == 23493.7  # most recent e2e line, train skipped
 
+    # link record: only v2 (streamed) probes count — the 42.0 entry is
+    # untagged (v1-era), so it must NOT set the gate threshold
+    assert bench._link_record() is None
+
+
+def test_link_record_uses_v2_probes_only(bench, tmp_path, monkeypatch):
+    hist = tmp_path / "hist.jsonl"
+    rows = [
+        {"metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+         "value": 23000.0, "link_MBps": [19.0, 35.0]},  # v1 single-blob
+        {"metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+         "value": 20000.0, "link_MBps": [39.4, 32.9],
+         "link_probe_version": 2},
+        {"metric": "ifcb_rois_classified_per_sec_per_chip_e2e",
+         "value": 15000.0, "link_MBps": [44.1, 12.0],
+         "link_probe_version": 2},
+    ]
+    with open(hist, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    monkeypatch.setattr(bench, "HISTORY", hist)
+    # max over v2 entries' probes, regardless of which run had the best
+    # throughput; the untagged 35.0 is ignored
+    assert bench._link_record() == 44.1
+
 
 def test_history_lookups_empty_file(bench, tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "HISTORY", tmp_path / "missing.jsonl")

@@ -65,9 +65,12 @@ def test_pallas_flood_ring_hole_fill_semantics():
 
 def test_pallas_flood_tiles_and_padding():
     """Batch not divisible by the tile size: padded images must not leak
-    into real outputs."""
+    into real outputs. (A single tile can never carry padding: tile_b =
+    min(b, budget), so padding appears only with >= 2 tiles.)"""
     rng = np.random.default_rng(7)
-    b, h, w = 5, 120, 140  # tile_b = 512*1024 // 16800 = 31 > b: one tile
+    # padded dims 120x256 -> tile_b = 131072 // 30720 = 4 < b: two grid
+    # tiles, the second carrying 3 padding images
+    b, h, w = 5, 120, 140
     within = rng.uniform(size=(b, h, w)) < 0.5
     seed = np.zeros_like(within)
     seed[:, ::17, ::23] = True
@@ -84,3 +87,23 @@ def test_pallas_flood_tiles_and_padding():
                                                interpret=True))
     want = _xla_flood(seed, within, h2 * w2)
     np.testing.assert_array_equal(got, want)
+
+
+def test_oversized_canvas_routes_to_xla_flood(monkeypatch):
+    """A canvas past the per-image VMEM budget must refuse the kernel
+    (explicit ValueError) and the features_device gate must route it to
+    the XLA flood instead of crashing the fused pipeline."""
+    import pytest
+
+    h, w = 600, 600  # padded 600x640 = 384000 px > 131072
+    assert not pallas_flood.fits_vmem(h, w)
+    assert pallas_flood.fits_vmem(48, 96)
+    mask = np.zeros((1, h, w), bool)
+    mask[0, :50, :50] = True
+    with pytest.raises(ValueError):
+        pallas_flood.flood_pallas(mask, mask, 10, interpret=True)
+    # gate: force the pallas path on; the oversized shape must still run
+    # (and match) via the XLA formulation
+    monkeypatch.setattr(features_device, "_use_pallas_flood", lambda: True)
+    got = np.asarray(features_device._flood(mask, mask, 10))
+    np.testing.assert_array_equal(got, mask)
